@@ -1,0 +1,118 @@
+"""Complex FFT core tests: numpy oracle + reference-convention roundtrips.
+
+Stronger than the reference's eyeball-only smoke tests (test_cfft.cpp has no
+assertions — SURVEY §4); tolerance bar from BASELINE.json: <= 1e-5.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from opencl_fft_tpu.ops import fft
+from opencl_fft_tpu.ops.cplx import from_complex, to_complex
+
+RNG = np.random.default_rng(1234)
+IMPLS = ["mm", "stockham", "xla"]
+SIZES = [2, 4, 8, 16, 32, 128, 256, 1024, 4096, 16384]
+
+
+def randc(shape):
+    return (RNG.standard_normal(shape) + 1j * RNG.standard_normal(shape)).astype(
+        np.complex64
+    )
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+@pytest.mark.parametrize("n", SIZES)
+def test_forward_matches_numpy(impl, n):
+    x = randc((3, n))
+    got = np.asarray(fft.fft_unnormalized(x, -1, impl))
+    ref = np.fft.fft(x)
+    scale = np.max(np.abs(ref))
+    np.testing.assert_allclose(got, ref, atol=2e-5 * scale, rtol=0)
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+@pytest.mark.parametrize("n", [2, 16, 1024])
+def test_inverse_matches_numpy(impl, n):
+    x = randc((2, n))
+    got = np.asarray(fft.fft_unnormalized(x, +1, impl))
+    ref = np.fft.ifft(x) * n  # unnormalized sum convention
+    scale = np.max(np.abs(ref)) + 1e-20
+    np.testing.assert_allclose(got, ref, atol=2e-5 * scale, rtol=0)
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+@pytest.mark.parametrize("n", SIZES)
+def test_reference_roundtrip(impl, n):
+    """cfft forward (scaled 1/N, cl_fft.cpp:39-40) then inverse == identity."""
+    x = randc((n,))
+    rt = np.asarray(fft.cfft(fft.cfft(x, True, impl), False, impl))
+    np.testing.assert_allclose(rt, x, atol=1e-5 * np.max(np.abs(x)), rtol=0)
+
+
+def test_forward_is_scaled_dft():
+    """Reference forward convention: DFT / N."""
+    n = 64
+    x = randc((n,))
+    got = np.asarray(fft.cfft(x, True))
+    np.testing.assert_allclose(got, np.fft.fft(x) / n, atol=1e-6, rtol=0)
+
+
+def test_impls_agree():
+    x = randc((5, 512))
+    outs = [np.asarray(fft.fft_unnormalized(x, -1, impl)) for impl in IMPLS]
+    for o in outs[1:]:
+        np.testing.assert_allclose(o, outs[0], atol=2e-5 * np.max(np.abs(outs[0])))
+
+
+def test_batched_shapes():
+    x = randc((2, 3, 4, 64))
+    got = np.asarray(fft.fft_unnormalized(x, -1, "mm"))
+    ref = np.fft.fft(x)
+    assert got.shape == x.shape
+    np.testing.assert_allclose(got, ref, atol=2e-5 * np.max(np.abs(ref)), rtol=0)
+
+
+def test_jit_and_grad_compatible():
+    """The core is functional: jit-able and differentiable (split form)."""
+    x = from_complex(randc((4, 128)))
+
+    @jax.jit
+    def loss(x):
+        re, im = fft.fft_split(x, -1, "mm")
+        return (re**2 + im**2).sum()
+
+    g = jax.grad(loss)(x)
+    assert g[0].shape == (4, 128) and np.isfinite(np.asarray(g[0])).all()
+
+
+def test_linearity_and_parseval():
+    n = 1024
+    x, y = randc((n,)), randc((n,))
+    fx = np.asarray(fft.fft_unnormalized(x, -1))
+    fy = np.asarray(fft.fft_unnormalized(y, -1))
+    fxy = np.asarray(fft.fft_unnormalized(x + 2 * y, -1))
+    np.testing.assert_allclose(fxy, fx + 2 * fy, atol=1e-4)
+    np.testing.assert_allclose(
+        np.sum(np.abs(fx) ** 2) / n, np.sum(np.abs(x) ** 2), rtol=1e-5
+    )
+
+
+def test_invalid_sizes_raise():
+    with pytest.raises(ValueError):
+        fft.fft_unnormalized(randc((12,)), -1)  # not a power of two
+    with pytest.raises(ValueError):
+        fft.fft_unnormalized(randc((8,)), 0)
+    with pytest.raises(ValueError):
+        fft.fft_unnormalized(randc((8,)), -1, "nope")
+
+
+def test_deterministic_rerun():
+    """TPU reductions are deterministic (vs the reference's CAS-loop atomics,
+    cl_conv_kernels.h:29-44, which are order-nondeterministic): identical
+    inputs must give bitwise-identical outputs."""
+    x = randc((8, 256))
+    a = np.asarray(fft.fft_unnormalized(x, -1, "mm"))
+    b = np.asarray(fft.fft_unnormalized(x, -1, "mm"))
+    assert np.array_equal(a, b)
