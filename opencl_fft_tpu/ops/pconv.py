@@ -1,0 +1,268 @@
+"""Uniform partitioned fast convolution (frequency-delay-line), TPU-native.
+
+Capability parity with ``Clpconv`` (``cl_conv.h:124-188``, ``cl_conv.cpp``):
+a length-``cvs`` convolution split into ``nparts = cvs/pts`` spectral
+partitions processed against a frequency-delay line — O(L log P) per sample
+with one-partition latency. Covers the LTI path (IR preloaded via
+``push_ir``, ``cl_conv.cpp:353-388``), the streaming hot path
+(``cl_conv.cpp:393-458``) and the time-varying path where both operands are
+streamed (``cl_conv.cpp:460-548``).
+
+TPU-first redesign (not a translation):
+  * All streaming state is an explicit, device-resident pytree
+    (``PconvState``) — the per-block host<->device copies of the reference
+    (``cl_conv.cpp:399,455``) shrink to one ``pts``-sample block in/out, and
+    checkpoint/resume is free (serialize the pytree).
+  * The per-(partition x bin) ``convol`` kernel with CAS-loop float atomics
+    (``cl_conv_kernels.h:102-118``) becomes a deterministic batched
+    complex-MAC reduction over the partition axis — bitwise reproducible.
+  * The reference's two OpenCL command queues for the two concurrent forward
+    FFTs of time-varying convolution (``cl_conv.cpp:160-173,460-522``)
+    become a single batched transform (leading dim 2): task parallelism via
+    batching, not queues.
+  * The log2(bins) sequential kernel launches per transform collapse into
+    one fused jit region.
+
+Normalization follows the reference exactly: unnormalized FFTs both ways,
+single division by ``pts`` in the overlap-add (``cl_conv_kernels.h:120-124``).
+
+Bin-0 note: the reference multiplies the packed (DC, Nyq) bin componentwise
+(``cl_conv_kernels.h:114-115``). Because forward packing stores DC/2 and
+Nyq/2 (``cl_conv_kernels.h:76``) while the inverse unpack expects half-scale
+convention, the product of two half-scale values halves the DC and Nyquist
+components of the *output* relative to true convolution. ``bin0_mode="exact"``
+(default) restores the missing factor 2; ``bin0_mode="compat"`` reproduces
+the reference bit-for-bit (SURVEY §8 policy: replicate documented behavior —
+"convolution" — not the artifact, but keep the artifact reachable).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.numerics import is_pow2
+from .cplx import Cplx
+from .rfft import irfft_split, rfft_split
+
+Float = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class PconvConfig:
+    """Static configuration (the ctor args of Clpconv, cl_conv.cpp:140-143).
+
+    pts:    partition size in samples (FFT size is 2*pts; bins = pts).
+    nparts: number of partitions (= cvs / pts).
+    bin0_mode: "exact" (true convolution) or "compat" (reference artifact).
+    impl:   FFT implementation (see ops/fft.py).
+    """
+
+    pts: int
+    nparts: int
+    bin0_mode: str = "exact"
+    impl: str = "auto"
+
+    def __post_init__(self):
+        if not is_pow2(self.pts) or self.pts < 2:
+            raise ValueError(f"partition size must be a power of two >= 2, got {self.pts}")
+        if self.nparts < 1:
+            raise ValueError(f"need at least one partition, got {self.nparts}")
+        if self.bin0_mode not in ("exact", "compat"):
+            raise ValueError(f"bin0_mode must be 'exact' or 'compat', got {self.bin0_mode}")
+
+    @property
+    def bins(self) -> int:
+        return self.pts
+
+    @property
+    def cvs(self) -> int:
+        return self.pts * self.nparts
+
+    @staticmethod
+    def for_ir_length(cvs: int, pts: int, **kw) -> "PconvConfig":
+        """Reference ctor arithmetic: nparts = cvs / pts (cl_conv.cpp:143)."""
+        if pts <= 0 or cvs % pts:
+            raise ValueError(f"convolution size {cvs} must be a multiple of pts {pts}")
+        return PconvConfig(pts=pts, nparts=cvs // pts, **kw)
+
+
+class PconvState(NamedTuple):
+    """Device-resident streaming state (pytree).
+
+    Mirrors the reference's persistent device buffers (cl_conv.h:126-129):
+    spec1/spec2 spectral rings, olap tail, wp/wp2 write pointers — but as a
+    serializable functional value.
+    """
+
+    spec_x_re: Float  # (nparts, bins) input spectral ring
+    spec_x_im: Float
+    spec_h_re: Float  # (nparts, bins) IR / second-operand spectral ring
+    spec_h_im: Float
+    tail: Float       # (pts,) overlap-add tail (unnormalized)
+    wp: Float         # () int32 — input ring pointer (increments)
+    wp2: Float        # () int32 — coef ring pointer (decrements)
+
+
+def pconv_init(cfg: PconvConfig) -> PconvState:
+    """Zero state; wp = 0, wp2 = nparts - 1 (cl_conv.cpp:144)."""
+    z = jnp.zeros((cfg.nparts, cfg.bins), jnp.float32)
+    return PconvState(
+        spec_x_re=z, spec_x_im=z,
+        spec_h_re=z, spec_h_im=z,
+        tail=jnp.zeros((cfg.pts,), jnp.float32),
+        wp=jnp.asarray(0, jnp.int32),
+        wp2=jnp.asarray(cfg.nparts - 1, jnp.int32),
+    )
+
+
+def _forward_partition(cfg: PconvConfig, block: Float) -> Cplx:
+    """Zero-padded unnormalized forward real FFT of (..., pts) blocks.
+
+    The reference zero-pads implicitly: the reorder kernel zeroes the input
+    buffer as it reads (cl_conv_kernels.h:51), so the second half of every
+    2*pts-point frame is zero. Here the pad is explicit.
+    """
+    pad = jnp.zeros(block.shape[:-1] + (cfg.pts,), jnp.float32)
+    frame = jnp.concatenate([jnp.asarray(block, jnp.float32), pad], axis=-1)
+    return rfft_split(frame, cfg.impl, unnormalized=True)
+
+
+def push_ir(cfg: PconvConfig, state: PconvState, ir: Float) -> PconvState:
+    """Analyze an impulse response into the coefficient ring.
+
+    Parity with Clpconv::push_ir (cl_conv.cpp:353-388): partitions are
+    written at wp2, wp2 decrementing, so after nparts writes the ring holds
+    the IR partitions in REVERSE order and wp2 is back where it started —
+    the ordering that lets the MAC walk input frames forward
+    (cl_conv_kernels.h:104-113).
+    """
+    ir = jnp.asarray(ir, jnp.float32)
+    if ir.shape != (cfg.cvs,):
+        raise ValueError(f"IR must have shape ({cfg.cvs},), got {ir.shape}")
+    parts = ir.reshape(cfg.nparts, cfg.pts)
+    hr, hi = _forward_partition(cfg, parts)          # (nparts, bins) batched
+    slots = (state.wp2 - jnp.arange(cfg.nparts)) % cfg.nparts
+    return state._replace(
+        spec_h_re=state.spec_h_re.at[slots].set(hr),
+        spec_h_im=state.spec_h_im.at[slots].set(hi),
+        # wp2 decremented nparts times == unchanged (mod nparts)
+    )
+
+
+def _spectral_mac(cfg: PconvConfig, state: PconvState, rp: Float) -> Cplx:
+    """Frequency-delay-line MAC: sum over partitions of in[(rp+q) % np] * coef[q].
+
+    Deterministic tree reduction replacing the AtomicAdd accumulation of the
+    ``convol`` kernel (cl_conv_kernels.h:102-118). Bin 0 is the packed
+    (DC, Nyq) pair and multiplies componentwise (``:114-115``).
+    """
+    np_ = cfg.nparts
+    idx = (rp + jnp.arange(np_)) % np_
+    xr = jnp.take(state.spec_x_re, idx, axis=0)
+    xi = jnp.take(state.spec_x_im, idx, axis=0)
+    hr, hi = state.spec_h_re, state.spec_h_im
+    acc_r = jnp.sum(xr * hr - xi * hi, axis=0)
+    acc_i = jnp.sum(xr * hi + xi * hr, axis=0)
+    b0_scale = 2.0 if cfg.bin0_mode == "exact" else 1.0
+    acc_r = acc_r.at[0].set(b0_scale * jnp.sum(xr[:, 0] * hr[:, 0]))
+    acc_i = acc_i.at[0].set(b0_scale * jnp.sum(xi[:, 0] * hi[:, 0]))
+    return acc_r, acc_i
+
+
+def _inverse_and_ola(cfg: PconvConfig, state: PconvState, acc: Cplx
+                     ) -> Tuple[Float, Float]:
+    """Inverse transform + overlap-add; returns (out_block, new_tail).
+
+    out = (ifft_first_half + tail) / pts ; new tail = second half —
+    cl_conv_kernels.h:120-124 (the /parts division IS the inverse-FFT
+    normalization, deferred to the last step).
+    """
+    y = irfft_split(acc, cfg.impl)                   # (2*pts,) reals
+    out = (y[..., : cfg.pts] + state.tail) / cfg.pts
+    return out, y[..., cfg.pts:]
+
+
+def pconv_step(cfg: PconvConfig, state: PconvState, block: Float
+               ) -> Tuple[PconvState, Float]:
+    """One LTI streaming block: Clpconv::convolution(out, in) parity
+    (cl_conv.cpp:393-458). block: (pts,) -> out: (pts,)."""
+    xr, xi = _forward_partition(cfg, block)
+    spec_x_re = jax.lax.dynamic_update_slice(state.spec_x_re, xr[None], (state.wp, 0))
+    spec_x_im = jax.lax.dynamic_update_slice(state.spec_x_im, xi[None], (state.wp, 0))
+    wp = (state.wp + 1) % cfg.nparts                  # cl_conv.cpp:424
+    state = state._replace(spec_x_re=spec_x_re, spec_x_im=spec_x_im, wp=wp)
+    acc = _spectral_mac(cfg, state, wp)               # rp = post-increment wp
+    out, tail = _inverse_and_ola(cfg, state, acc)
+    return state._replace(tail=tail), out
+
+
+def pconv_step_tv(cfg: PconvConfig, state: PconvState, block_x: Float,
+                  block_h: Float) -> Tuple[PconvState, Float]:
+    """One time-varying block: Clpconv::convolution(out, in1, in2) parity
+    (cl_conv.cpp:460-548). The reference's dual command queues become one
+    batched forward transform (leading dim 2)."""
+    both = jnp.stack([jnp.asarray(block_x, jnp.float32),
+                      jnp.asarray(block_h, jnp.float32)])
+    fr, fi = _forward_partition(cfg, both)            # (2, bins)
+    spec_x_re = jax.lax.dynamic_update_slice(state.spec_x_re, fr[0][None], (state.wp, 0))
+    spec_x_im = jax.lax.dynamic_update_slice(state.spec_x_im, fi[0][None], (state.wp, 0))
+    spec_h_re = jax.lax.dynamic_update_slice(state.spec_h_re, fr[1][None], (state.wp2, 0))
+    spec_h_im = jax.lax.dynamic_update_slice(state.spec_h_im, fi[1][None], (state.wp2, 0))
+    wp = (state.wp + 1) % cfg.nparts                  # cl_conv.cpp:516
+    wp2 = (state.wp2 - 1) % cfg.nparts                # cl_conv.cpp:519
+    state = state._replace(
+        spec_x_re=spec_x_re, spec_x_im=spec_x_im,
+        spec_h_re=spec_h_re, spec_h_im=spec_h_im, wp=wp, wp2=wp2,
+    )
+    acc = _spectral_mac(cfg, state, wp)
+    out, tail = _inverse_and_ola(cfg, state, acc)
+    return state._replace(tail=tail), out
+
+
+# ---------------------------------------------------------------------------
+# Batch conveniences (scan over blocks) — the "offline" view used by tests,
+# benchmarks and the models layer.
+# ---------------------------------------------------------------------------
+
+def pconv_stream(cfg: PconvConfig, state: PconvState, blocks: Float
+                 ) -> Tuple[PconvState, Float]:
+    """Run many LTI blocks through a lax.scan. blocks: (nblocks, pts)."""
+    def body(st, blk):
+        return pconv_step(cfg, st, blk)
+    return jax.lax.scan(body, state, blocks)
+
+
+def pconv_stream_tv(cfg: PconvConfig, state: PconvState, blocks_x: Float,
+                    blocks_h: Float) -> Tuple[PconvState, Float]:
+    """Run many TV blocks through a lax.scan."""
+    def body(st, blks):
+        return pconv_step_tv(cfg, st, blks[0], blks[1])
+    stacked = jnp.stack([blocks_x, blocks_h], axis=1)  # (nblocks, 2, pts)
+    return jax.lax.scan(body, state, stacked)
+
+
+def convolve(signal: Float, ir: Float, pts: int, bin0_mode: str = "exact",
+             impl: str = "auto") -> Float:
+    """Full linear convolution of `signal` with `ir` via the streaming engine.
+
+    Returns len(signal) + len(ir) - 1 samples, matching
+    scipy.signal.fftconvolve(signal, ir) up to f32 tolerance (with the
+    default bin0_mode="exact"). IR length is zero-padded up to a multiple
+    of pts. Intended for tests/benchmarks — production streaming should use
+    pconv_step directly.
+    """
+    signal = jnp.asarray(signal, jnp.float32)
+    ir = jnp.asarray(ir, jnp.float32)
+    cvs = -(-ir.shape[-1] // pts) * pts
+    ir_p = jnp.pad(ir, (0, cvs - ir.shape[-1]))
+    cfg = PconvConfig.for_ir_length(cvs, pts, bin0_mode=bin0_mode, impl=impl)
+    out_len = signal.shape[-1] + ir.shape[-1] - 1
+    nblocks = -(-(signal.shape[-1] + cvs) // pts)
+    sig_p = jnp.pad(signal, (0, nblocks * pts - signal.shape[-1]))
+    state = push_ir(cfg, pconv_init(cfg), ir_p)
+    _, out = pconv_stream(cfg, state, sig_p.reshape(nblocks, pts))
+    return out.reshape(-1)[:out_len]
