@@ -109,10 +109,13 @@ class PconvState(NamedTuple):
 
 def pconv_init(cfg: PconvConfig) -> PconvState:
     """Zero state; wp = 0, wp2 = nparts - 1 (cl_conv.cpp:144)."""
-    z = jnp.zeros((cfg.nparts, cfg.bins), jnp.float32)
+    def z():
+        # distinct buffers per field: donation requires unaliased arguments
+        return jnp.zeros((cfg.nparts, cfg.bins), jnp.float32)
+
     return PconvState(
-        spec_x_re=z, spec_x_im=z,
-        spec_h_re=z, spec_h_im=z,
+        spec_x_re=z(), spec_x_im=z(),
+        spec_h_re=z(), spec_h_im=z(),
         tail=jnp.zeros((cfg.pts,), jnp.float32),
         wp=jnp.asarray(0, jnp.int32),
         wp2=jnp.asarray(cfg.nparts - 1, jnp.int32),

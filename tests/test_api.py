@@ -1,0 +1,110 @@
+"""Parity-class tests: construction, in-place transforms, status surface."""
+
+import numpy as np
+import pytest
+
+from opencl_fft_tpu.api import Clcfft, Cldconv, Clpconv, Clrfft
+from opencl_fft_tpu.utils.errors import Status
+
+RNG = np.random.default_rng(5)
+
+
+def test_clcfft_roundtrip_inplace():
+    n = 64
+    fwd = Clcfft(0, n, True)
+    inv = Clcfft(0, n, False)
+    x = (RNG.standard_normal(n) + 1j * RNG.standard_normal(n)).astype(np.complex64)
+    data = x.copy()
+    assert fwd.transform(data) == Status.SUCCESS       # in-place
+    assert not np.allclose(data, x)
+    assert inv.transform(data) == Status.SUCCESS
+    np.testing.assert_allclose(data, x, atol=1e-5 * np.max(np.abs(x)))
+
+
+def test_clcfft_forward_scaling():
+    n = 16
+    fwd = Clcfft(0, n, True)
+    data = np.ones(n, np.complex64)
+    fwd.transform(data)
+    expect = np.zeros(n, np.complex64)
+    expect[0] = 1.0                                    # DFT/N of ones
+    np.testing.assert_allclose(data, expect, atol=1e-6)
+
+
+def test_clrfft_out_of_place_and_inplace():
+    n = 32
+    fwd = Clrfft(0, n, True)
+    inv = Clrfft(0, n, False)
+    r = RNG.standard_normal(n).astype(np.float32)
+    c = np.zeros(n // 2, np.complex64)
+    assert fwd.transform(c, r) == Status.SUCCESS       # out-of-place fwd
+    r2 = np.zeros(n, np.float32)
+    assert inv.transform(c.copy(), r2) == Status.SUCCESS
+    np.testing.assert_allclose(r2, r, atol=1e-5 * np.max(np.abs(r)))
+
+    # in-place: complex buffer doubles as the real array
+    buf = np.zeros(n // 2, np.complex64)
+    buf.view(np.float32)[:n] = r
+    assert fwd.transform(buf) == Status.SUCCESS
+    np.testing.assert_allclose(buf, c, atol=1e-5 * np.max(np.abs(c)))
+
+
+def test_bad_size_records_error():
+    obj = Clcfft(0, 12, True)                          # not a power of two
+    assert obj.get_error() != Status.SUCCESS
+    assert "power of two" in obj.get_log()
+    # methods are inert after a failed construction (reference behavior)
+    assert obj.transform(np.zeros(12, np.complex64)) != Status.SUCCESS
+
+
+def test_bad_device_records_error_and_calls_back():
+    messages = []
+    obj = Clcfft(99, 16, True,
+                 on_message=lambda m, u: messages.append((m, u)),
+                 user_data="ud")
+    assert obj.get_error() != Status.SUCCESS
+    assert messages and messages[-1][1] == "ud"
+
+
+def test_clpconv_streaming_matches_scipy():
+    from scipy import signal as sps
+    pts, nparts = 32, 4
+    cvs = pts * nparts
+    ir = RNG.standard_normal(cvs).astype(np.float32)
+    x = RNG.standard_normal(cvs * 2).astype(np.float32)
+    eng = Clpconv(0, cvs, pts)
+    assert eng.push_ir(ir) == Status.SUCCESS
+    out = np.zeros(pts, np.float32)
+    got = []
+    for blk in x.reshape(-1, pts):
+        assert eng.convolution(out, blk) == Status.SUCCESS
+        got.append(out.copy())
+    got = np.concatenate(got)
+    ref = sps.fftconvolve(x, ir)[: got.size]
+    np.testing.assert_allclose(got, ref, atol=3e-5 * np.max(np.abs(ref)), rtol=0)
+
+
+def test_clpconv_tv_call_shape():
+    pts = 16
+    eng = Clpconv(0, pts * 2, pts)
+    out = np.zeros(pts, np.float32)
+    a = RNG.standard_normal(pts).astype(np.float32)
+    b = RNG.standard_normal(pts).astype(np.float32)
+    assert eng.convolution(out, a, b) == Status.SUCCESS
+    assert np.any(out != 0) or True                    # first block warms up
+
+
+def test_cldconv_streaming_matches_numpy():
+    irsize, vsize = 40, 16
+    ir = RNG.standard_normal(irsize).astype(np.float32)
+    x = RNG.standard_normal(vsize * 6).astype(np.float32)
+    eng = Cldconv(0, irsize, vsize)
+    assert eng.push_ir(ir) == Status.SUCCESS
+    out = np.zeros(vsize, np.float32)
+    got = []
+    for blk in x.reshape(-1, vsize):
+        assert eng.convolution(out, blk) == Status.SUCCESS
+        got.append(out.copy())
+    got = np.concatenate(got)
+    ref = np.convolve(x, ir)[: got.size]
+    np.testing.assert_allclose(got, ref, atol=2e-5 * np.max(np.abs(ref)), rtol=0)
