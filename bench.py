@@ -1,0 +1,162 @@
+"""Benchmark driver — prints ONE JSON line on stdout.
+
+Headline metric (the reference's own benchmark, csound/tests.py:19-34): the
+real-time factor of streaming partitioned convolution — seconds of audio
+processed per second of wall clock — with a 2^17-tap IR at 48 kHz streamed
+in 512-sample partitions (the M=512 row of the reference's sweep, its most
+latency-demanding configuration). BASELINE.json target: > 100x real time.
+
+Secondary metrics (batched FFT GFLOP/s sweep 2^10..2^20, direct-conv and
+TV-conv throughput) go to stderr and bench_details.json.
+
+Methodology note: this environment reaches the TPU through a relay with
+~30 ms per host sync, so every timed region is an on-device lax.scan /
+fori_loop chain timed as (t[iters] - t[1]) / (iters - 1) host syncs.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+SR = 48000.0
+
+
+def _sync(x):
+    import jax
+    jax.block_until_ready(x)
+    # force a real host roundtrip (block_until_ready alone is unreliable
+    # through the relay)
+    import jax.numpy as jnp
+    return float(jnp.sum(jax.tree.leaves(x)[0][..., :1]))
+
+
+def bench_pconv_rt(pts=512, ir_len=1 << 17, seconds=20.0, tv=False):
+    """Real-time factor of the streaming engine via an on-device scan."""
+    import jax
+    import jax.numpy as jnp
+    from opencl_fft_tpu.ops import pconv as P
+
+    cfg = P.PconvConfig.for_ir_length(ir_len, pts)
+    rng = np.random.default_rng(0)
+    state = P.push_ir(cfg, P.pconv_init(cfg),
+                      jnp.asarray(rng.standard_normal(ir_len), jnp.float32))
+
+    nblocks = int(seconds * SR / pts)
+    blocks = jnp.asarray(rng.standard_normal((nblocks, pts)) * 0.1, jnp.float32)
+
+    if tv:
+        fn = jax.jit(partial(P.pconv_stream_tv, cfg), donate_argnums=(0,))
+        args = (blocks, blocks)
+    else:
+        fn = jax.jit(partial(P.pconv_stream, cfg), donate_argnums=(0,))
+        args = (blocks,)
+
+    short = jax.jit(partial(P.pconv_stream if not tv else P.pconv_stream_tv, cfg))
+    # warm up compiles
+    _sync(short(state, *(a[:2] for a in args)))
+    _sync(fn(jax.tree.map(jnp.copy, state), *args))
+
+    t0 = time.time()
+    _sync(short(jax.tree.map(jnp.copy, state), *(a[:2] for a in args)))
+    t_short = time.time() - t0
+    t0 = time.time()
+    _sync(fn(jax.tree.map(jnp.copy, state), *args))
+    t_full = time.time() - t0
+    per_block = (t_full - t_short) / (nblocks - 2)
+    audio_per_block = pts / SR
+    return audio_per_block / per_block, per_block
+
+
+def bench_fft_sweep():
+    """Batched FFT GFLOP/s (5 N log2 N convention), 2^10..2^20."""
+    import jax
+    import jax.numpy as jnp
+    from opencl_fft_tpu.ops.fft import fft_split
+
+    results = {}
+    rng = np.random.default_rng(1)
+    for logn in [10, 12, 14, 16, 18, 20]:
+        n = 1 << logn
+        batch = max(1, (32 << 20) // (8 * n))      # ~32MB working set
+        re = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
+        im = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
+
+        @partial(jax.jit, static_argnums=1)
+        def run(x, iters):
+            def body(i, x):
+                re, im = fft_split(x, -1, "mm")
+                s = 1.0 / np.sqrt(n)
+                return re * s, im * s
+            return jax.lax.fori_loop(0, iters, body, x)
+
+        iters = 20
+        _sync(run((re, im), 1))
+        _sync(run((re, im), iters))
+        t0 = time.time(); _sync(run((re, im), 1)); t1 = time.time() - t0
+        t0 = time.time(); _sync(run((re, im), iters)); tN = time.time() - t0
+        dt = (tN - t1) / (iters - 1)
+        gflops = 5 * n * logn * batch / dt / 1e9
+        results[f"2^{logn}"] = {"batch": batch, "us": dt * 1e6,
+                                "gflops": round(gflops, 1)}
+        print(f"  fft 2^{logn} batch={batch}: {dt*1e6:9.1f} us "
+              f"{gflops:8.1f} GFLOP/s", file=sys.stderr)
+    return results
+
+
+def bench_dconv(irsize=512, vsize=512, seconds=5.0):
+    import jax
+    import jax.numpy as jnp
+    from opencl_fft_tpu.ops import dconv as D
+
+    cfg = D.DconvConfig(irsize=irsize, vsize=vsize)
+    rng = np.random.default_rng(2)
+    state = D.push_ir(cfg, D.dconv_init(cfg),
+                      jnp.asarray(rng.standard_normal(irsize), jnp.float32))
+    nblocks = int(seconds * SR / vsize)
+    blocks = jnp.asarray(rng.standard_normal((nblocks, vsize)) * 0.1, jnp.float32)
+    fn = jax.jit(partial(D.dconv_stream, cfg))
+    _sync(fn(state, blocks[:2]))
+    _sync(fn(state, blocks))
+    t0 = time.time(); _sync(fn(state, blocks[:2])); t1 = time.time() - t0
+    t0 = time.time(); _sync(fn(state, blocks)); tN = time.time() - t0
+    per_block = (tN - t1) / (nblocks - 2)
+    return (vsize / SR) / per_block
+
+
+def main():
+    details = {}
+
+    rtf, per_block = bench_pconv_rt()
+    details["pconv_rt_factor_2^17_512"] = round(rtf, 1)
+    details["pconv_us_per_block"] = round(per_block * 1e6, 1)
+    print(f"pconv 2^17-tap @512: {rtf:.1f}x real time "
+          f"({per_block*1e6:.0f} us/block)", file=sys.stderr)
+
+    rtf_tv, _ = bench_pconv_rt(tv=True, seconds=10.0)
+    details["tvconv_rt_factor_2^17_512"] = round(rtf_tv, 1)
+    print(f"tvconv 2^17-tap @512: {rtf_tv:.1f}x real time", file=sys.stderr)
+
+    details["fft_sweep"] = bench_fft_sweep()
+    details["dconv_rt_factor_512tap"] = round(bench_dconv(), 1)
+    print(f"dconv 512-tap: {details['dconv_rt_factor_512tap']}x real time",
+          file=sys.stderr)
+
+    with open("bench_details.json", "w") as f:
+        json.dump(details, f, indent=2)
+
+    # Headline line for the driver (target: >100x real time, BASELINE.md)
+    print(json.dumps({
+        "metric": "pconv_realtime_factor_2^17tap_512pts",
+        "value": round(rtf, 1),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 100.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

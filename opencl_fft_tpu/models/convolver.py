@@ -1,0 +1,137 @@
+"""Flagship model: batched streaming convolution engines.
+
+The reference's "models" are its audio processors — LTI convolution reverb
+(`clconv`) and time-varying convolution (`cltvconv`). This module packages
+them as batched, jit-first engines processing many channels at once — the
+deployment shape for TPU serving (a single channel underutilizes the chip;
+batch is the free axis).
+
+``TVConvolver`` is the flagship: per block it runs a batched dual forward
+real FFT, the frequency-delay-line MAC, inverse FFT and overlap-add — every
+compute primitive of the framework in one step. Its single-chip step is the
+graft entry point; its (dp, tp)-sharded variant (parallel/sharded.py) is the
+multi-chip path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import pconv as _p
+from ..ops.cplx import Cplx
+from ..ops.fft import fft_split
+
+Float = jax.Array
+
+
+def batched_state(cfg: _p.PconvConfig, batch: int) -> _p.PconvState:
+    """Vmapped-engine state: every field gains a leading batch axis except
+    the ring pointers, which are shared across channels (all channels
+    advance in lockstep)."""
+    def z():
+        return jnp.zeros((batch, cfg.nparts, cfg.bins), jnp.float32)
+
+    return _p.PconvState(
+        spec_x_re=z(), spec_x_im=z(), spec_h_re=z(), spec_h_im=z(),
+        tail=jnp.zeros((batch, cfg.pts), jnp.float32),
+        wp=jnp.asarray(0, jnp.int32),
+        wp2=jnp.asarray(cfg.nparts - 1, jnp.int32),
+    )
+
+
+def _vmapped(fn, cfg):
+    """vmap a pconv step over the batch axis with shared ring pointers."""
+    in_axes = (_p.PconvState(
+        spec_x_re=0, spec_x_im=0, spec_h_re=0, spec_h_im=0,
+        tail=0, wp=None, wp2=None),)
+    out_state_axes = _p.PconvState(
+        spec_x_re=0, spec_x_im=0, spec_h_re=0, spec_h_im=0,
+        tail=0, wp=None, wp2=None)
+
+    def wrapped(state, *blocks):
+        return jax.vmap(
+            lambda st, *b: fn(cfg, st, *b),
+            in_axes=in_axes + (0,) * len(blocks),
+            out_axes=(out_state_axes, 0),
+        )(state, *blocks)
+
+    return wrapped
+
+
+class Convolver:
+    """Batched LTI convolution engine (the `clconv` model).
+
+    batch channels, each convolving against its own IR of cfg.cvs samples.
+    """
+
+    def __init__(self, cfg: _p.PconvConfig, batch: int):
+        self.cfg = cfg
+        self.batch = batch
+        self.state = batched_state(cfg, batch)
+        self._step = jax.jit(_vmapped(_p.pconv_step, cfg), donate_argnums=(0,))
+        self._push = jax.jit(_vmapped_push(cfg), donate_argnums=(0,))
+
+    def push_ir(self, irs: Float) -> None:
+        """irs: (batch, cvs)."""
+        self.state = self._push(self.state, jnp.asarray(irs, jnp.float32))
+
+    def step(self, blocks: Float) -> Float:
+        """blocks: (batch, pts) -> (batch, pts)."""
+        self.state, out = self._step(self.state, blocks)
+        return out
+
+
+def _vmapped_push(cfg):
+    def wrapped(state, irs):
+        return jax.vmap(
+            lambda st, ir: _p.push_ir(cfg, st, ir),
+            in_axes=(_p.PconvState(
+                spec_x_re=0, spec_x_im=0, spec_h_re=0, spec_h_im=0,
+                tail=0, wp=None, wp2=None), 0),
+            out_axes=_p.PconvState(
+                spec_x_re=0, spec_x_im=0, spec_h_re=0, spec_h_im=0,
+                tail=0, wp=None, wp2=None),
+        )(state, irs)
+    return wrapped
+
+
+class TVConvolver:
+    """Flagship: batched time-varying convolution engine (`cltvconv` model).
+
+    Both operands stream per channel; each block exercises batched forward
+    rFFTs (leading dim 2*batch), the partition MAC and inverse/OLA.
+    """
+
+    def __init__(self, cfg: _p.PconvConfig, batch: int):
+        self.cfg = cfg
+        self.batch = batch
+        self.state = batched_state(cfg, batch)
+        self._step = jax.jit(_vmapped(_p.pconv_step_tv, cfg), donate_argnums=(0,))
+
+    def step(self, blocks_x: Float, blocks_h: Float) -> Float:
+        """(batch, pts) x 2 -> (batch, pts)."""
+        self.state, out = self._step(self.state, blocks_x, blocks_h)
+        return out
+
+    def step_fn(self):
+        """The raw jittable (state, bx, bh) -> (state, out) function —
+        the graft entry surface."""
+        return _vmapped(_p.pconv_step_tv, self.cfg)
+
+
+class BatchedFFT:
+    """Batched transform model (the `clfft`/`clrfft` opcodes at scale):
+    many independent N-point transforms in one device program."""
+
+    def __init__(self, n: int, forward: bool = True, impl: str = "auto"):
+        self.n = n
+        self.sign = -1 if forward else +1
+        self.impl = impl
+        self._fn = jax.jit(functools.partial(fft_split, sign=self.sign, impl=impl))
+
+    def __call__(self, x: Cplx) -> Cplx:
+        return self._fn(x)

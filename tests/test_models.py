@@ -1,0 +1,49 @@
+"""Batched-model tests (models/convolver.py)."""
+
+import numpy as np
+from scipy import signal as sps
+
+from opencl_fft_tpu.models.convolver import BatchedFFT, Convolver, TVConvolver
+from opencl_fft_tpu.ops import pconv as P
+
+RNG = np.random.default_rng(31)
+
+
+def test_convolver_batch_matches_scipy():
+    pts, nparts, batch = 32, 4, 3
+    cfg = P.PconvConfig.for_ir_length(pts * nparts, pts)
+    conv = Convolver(cfg, batch)
+    irs = RNG.standard_normal((batch, cfg.cvs)).astype(np.float32)
+    conv.push_ir(irs)
+    x = RNG.standard_normal((batch, cfg.cvs * 2)).astype(np.float32)
+    outs = []
+    for i in range(x.shape[1] // pts):
+        outs.append(np.asarray(conv.step(x[:, i * pts:(i + 1) * pts])))
+    got = np.concatenate(outs, axis=1)
+    for b in range(batch):
+        ref = sps.fftconvolve(x[b], irs[b])[: got.shape[1]]
+        np.testing.assert_allclose(got[b], ref, atol=3e-5 * np.max(np.abs(ref)),
+                                   rtol=0)
+
+
+def test_tvconvolver_matches_single_channel_engine():
+    pts, nparts, batch = 16, 4, 2
+    cfg = P.PconvConfig.for_ir_length(pts * nparts, pts)
+    tv = TVConvolver(cfg, batch)
+    refs = [P.pconv_init(cfg) for _ in range(batch)]
+    for _ in range(10):
+        bx = RNG.standard_normal((batch, pts)).astype(np.float32)
+        bh = RNG.standard_normal((batch, pts)).astype(np.float32)
+        out = np.asarray(tv.step(bx, bh))
+        for b in range(batch):
+            refs[b], o = P.pconv_step_tv(cfg, refs[b], bx[b], bh[b])
+            np.testing.assert_allclose(out[b], np.asarray(o), atol=2e-5, rtol=0)
+
+
+def test_batched_fft_model():
+    m = BatchedFFT(128)
+    x = RNG.standard_normal((4, 128)).astype(np.float32)
+    re, im = m((x, np.zeros_like(x)))
+    ref = np.fft.fft(x)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    np.testing.assert_allclose(got, ref, atol=2e-5 * np.max(np.abs(ref)), rtol=0)

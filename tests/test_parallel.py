@@ -1,0 +1,107 @@
+"""Sharded-execution tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P_
+
+from opencl_fft_tpu.ops import pconv as P
+from opencl_fft_tpu.parallel import sharded
+from opencl_fft_tpu.parallel.mesh import balanced_shape, make_mesh
+
+RNG = np.random.default_rng(11)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh"
+)
+
+
+def _put_state(state, mesh):
+    sh = sharded.state_shardings(mesh)
+    return {k: jax.device_put(v, sh[k]) for k, v in state.items()}
+
+
+def test_balanced_shape():
+    assert balanced_shape(8) == (2, 4)
+    assert balanced_shape(4) == (2, 2)
+    assert balanced_shape(7) == (1, 7)
+    assert balanced_shape(1) == (1, 1)
+
+
+def test_sharded_fft_matches_local():
+    mesh = make_mesh((8, 1))
+    x = RNG.standard_normal((16, 256)).astype(np.float32)
+    xi = RNG.standard_normal((16, 256)).astype(np.float32)
+    re, im = sharded.sharded_fft(
+        (jax.device_put(x, NamedSharding(mesh, P_("dp", None))),
+         jax.device_put(xi, NamedSharding(mesh, P_("dp", None)))), mesh)
+    ref = np.fft.fft(x + 1j * xi)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    np.testing.assert_allclose(got, ref, atol=2e-5 * np.max(np.abs(ref)), rtol=0)
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2), (1, 8), (8, 1)])
+def test_sharded_lti_matches_unsharded(shape):
+    mesh = make_mesh(shape)
+    pts, nparts = 32, 8
+    cfg = P.PconvConfig.for_ir_length(pts * nparts, pts)
+    batch = 8                       # divisible by every dp in the param list
+    ir = RNG.standard_normal((batch, cfg.cvs)).astype(np.float32)
+
+    state = _put_state(sharded.sharded_pconv_init(cfg, batch), mesh)
+    ir_dev = jax.device_put(jnp.asarray(ir), NamedSharding(mesh, P_("dp", None)))
+    state = sharded.sharded_push_ir(cfg, mesh, state, ir_dev)
+    step = sharded.make_sharded_pconv_step(cfg, mesh, tv=False)
+
+    refs = [P.push_ir(cfg, P.pconv_init(cfg), ir[b]) for b in range(batch)]
+    for _ in range(2 * nparts):
+        blocks = RNG.standard_normal((batch, pts)).astype(np.float32)
+        state, out = step(state, blocks)
+        expect = []
+        for b in range(batch):
+            refs[b], o = P.pconv_step(cfg, refs[b], blocks[b])
+            expect.append(np.asarray(o))
+        np.testing.assert_allclose(np.asarray(out), np.stack(expect),
+                                   atol=1e-4, rtol=0)
+
+
+def test_sharded_tv_matches_unsharded():
+    mesh = make_mesh((2, 4))
+    pts, nparts = 16, 8
+    cfg = P.PconvConfig.for_ir_length(pts * nparts, pts)
+    batch = 2
+    state = _put_state(sharded.sharded_pconv_init(cfg, batch), mesh)
+    step = sharded.make_sharded_pconv_step(cfg, mesh, tv=True)
+    refs = [P.pconv_init(cfg) for _ in range(batch)]
+    for _ in range(2 * nparts + 3):
+        bx = RNG.standard_normal((batch, pts)).astype(np.float32)
+        bh = RNG.standard_normal((batch, pts)).astype(np.float32)
+        state, out = step(state, bx, bh)
+        expect = []
+        for b in range(batch):
+            refs[b], o = P.pconv_step_tv(cfg, refs[b], bx[b], bh[b])
+            expect.append(np.asarray(o))
+        np.testing.assert_allclose(np.asarray(out), np.stack(expect),
+                                   atol=1e-4, rtol=0)
+
+
+def test_nparts_must_divide_tp():
+    mesh = make_mesh((2, 4))
+    cfg = P.PconvConfig.for_ir_length(32 * 6, 32)   # nparts=6, tp=4
+    with pytest.raises(ValueError):
+        sharded.make_sharded_pconv_step(cfg, mesh)
+
+
+def test_dryrun_multichip_entry():
+    """The driver-facing dry run must work on the virtual mesh."""
+    import importlib.util
+    import pathlib
+    path = pathlib.Path(__file__).resolve().parent.parent / "__graft_entry__.py"
+    spec = importlib.util.spec_from_file_location("graft_entry", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+    fn, args = mod.entry()
+    state, out = jax.jit(fn)(*args)
+    assert out.shape == args[1].shape
