@@ -91,6 +91,20 @@ class ClrfftProcessor:
         return r[: self.length]
 
 
+def make_accumulator(parts: int, n_streams: int = 1, native: bool = True):
+    """Block accumulator factory: the C++ runtime when available
+    (runtime/stream_rt.cpp), else the numpy implementation below. Both
+    implement identical semantics (asserted in tests/test_runtime.py)."""
+    if native:
+        try:
+            from .runtime import NativeBlockAccumulator, native_available
+            if native_available():
+                return NativeBlockAccumulator(parts, n_streams)
+        except Exception:
+            pass
+    return _BlockAccumulator(parts, n_streams)
+
+
 class _BlockAccumulator:
     """The opcode layer's sample shuttle (opcode.cpp:240-249): accumulate
     arbitrary-size input blocks into `parts`-sample engine calls, emitting
@@ -157,7 +171,7 @@ class ClconvProcessor:
             self._engine = Clpconv(device_index, cvs, parts, on_message,
                                    user_data, bin0_mode=bin0_mode, impl=impl)
             self._engine.push_ir(padded)
-            self._acc = _BlockAccumulator(parts)
+            self._acc = make_accumulator(parts)
 
     @property
     def latency(self) -> int:
@@ -214,7 +228,7 @@ class CltvconvProcessor:
                     f"conv size {size} must be a multiple of parts {parts}")
             self._engine = Clpconv(device_index, size, parts, on_message,
                                    user_data, bin0_mode=bin0_mode, impl=impl)
-            self._acc = _BlockAccumulator(parts, n_streams=2)
+            self._acc = make_accumulator(parts, n_streams=2)
 
     def process(self, in1: np.ndarray, in2: np.ndarray,
                 freeze1: Optional[bool] = None,

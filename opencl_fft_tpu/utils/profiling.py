@@ -1,0 +1,68 @@
+"""Profiling / tracing helpers.
+
+The reference has none (queues created without CL_QUEUE_PROFILING_ENABLE,
+SURVEY §5.1); external wall-clock timing only. Here:
+
+  * ``trace(path)`` — context manager around jax.profiler for device traces
+    viewable in TensorBoard/XProf.
+  * ``device_timer`` — robust kernel timing through the axon relay: the
+    per-call host sync costs ~30 ms, so timed regions are iterated
+    on-device (lax.fori_loop / lax.scan) and measured as the delta between
+    a 1-iteration and an N-iteration launch.
+  * FLOP conventions used by the benchmarks (5 N log2 N per FFT — the
+    BASELINE.json convention).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@contextlib.contextmanager
+def trace(path: str = "/tmp/opencl_fft_tpu_trace"):
+    """Capture a device trace for the enclosed block."""
+    jax.profiler.start_trace(path)
+    try:
+        yield path
+    finally:
+        jax.profiler.stop_trace()
+
+
+def fft_flops(n: int, batch: int = 1) -> float:
+    """5 N log2 N convention (BASELINE.json:2)."""
+    return 5.0 * n * np.log2(n) * batch
+
+
+def pconv_flops_per_block(pts: int, nparts: int) -> float:
+    """Two rFFTs (~half-size complex) + 8-flop complex MAC per partition bin."""
+    return 2 * fft_flops(pts) + 8.0 * nparts * pts
+
+
+def _force(x) -> float:
+    """Force a genuine host roundtrip (block_until_ready alone is
+    unreliable through the relay)."""
+    leaf = jax.tree.leaves(x)[0]
+    return float(jnp.sum(leaf[..., :1]))
+
+
+def device_timer(step: Callable, x0, iters: int = 20) -> float:
+    """Seconds per application of `step`, amortizing launch+sync overhead.
+
+    step: x -> x (same pytree structure, so it can chain on device).
+    """
+    @partial(jax.jit, static_argnums=1)
+    def run(x, n):
+        return jax.lax.fori_loop(0, n, lambda i, x: step(x), x)
+
+    _force(run(x0, 1))
+    _force(run(x0, iters))
+    t0 = time.time(); _force(run(x0, 1)); t1 = time.time() - t0
+    t0 = time.time(); _force(run(x0, iters)); tn = time.time() - t0
+    return max(tn - t1, 1e-12) / (iters - 1)
