@@ -9,9 +9,13 @@ latency-demanding configuration). BASELINE.json target: > 100x real time.
 Secondary metrics (batched FFT GFLOP/s sweep 2^10..2^20, direct-conv and
 TV-conv throughput) go to stderr and bench_details.json.
 
-Methodology note: this environment reaches the TPU through a relay with
-~30 ms per host sync, so every timed region is an on-device lax.scan /
-fori_loop chain timed as (t[iters] - t[1]) / (iters - 1) host syncs.
+Methodology notes for this environment:
+  * the TPU sits behind a relay with ~30 ms per host sync, so every timed
+    region chains work on device (lax.scan / fori_loop) and measures the
+    delta between a short and a long chain;
+  * the remote compiler is slow for large scan trip counts (minutes) but
+    caches persistently, so scans are kept <= ~100 iterations and repeated
+    by chaining state on the host with async dispatch.
 """
 
 from __future__ import annotations
@@ -27,28 +31,49 @@ SR = 48000.0
 
 
 def _sync(x):
-    import jax
-    jax.block_until_ready(x)
-    # force a real host roundtrip (block_until_ready alone is unreliable
-    # through the relay)
     import jax.numpy as jnp
+    import jax
     return float(jnp.sum(jax.tree.leaves(x)[0][..., :1]))
 
 
-def bench_pconv_rt(pts=512, ir_len=1 << 17, seconds=20.0, tv=False):
-    """Real-time factor of the streaming engine via an on-device scan."""
+def _time_chained(fn, make_state, args, reps=12, warm=2):
+    """Seconds per fn() call: chain state through repeated async dispatches,
+    sync once, subtract a short chain to cancel dispatch+sync overhead."""
+    import jax
+
+    st, out = fn(make_state(), *args)
+    _sync(out)                                   # compile + warm
+
+    def run(n):
+        st = make_state()
+        t0 = time.time()
+        out = None
+        for _ in range(n):
+            st, out = fn(st, *args)
+        _sync(out)
+        return time.time() - t0
+
+    t_short = run(warm)
+    t_long = run(warm + reps)
+    return max(t_long - t_short, 1e-9) / reps
+
+
+def bench_pconv_rt(pts=512, ir_len=1 << 17, tv=False, scan_blocks=94):
+    """Real-time factor of the streaming engine."""
     import jax
     import jax.numpy as jnp
     from opencl_fft_tpu.ops import pconv as P
 
     cfg = P.PconvConfig.for_ir_length(ir_len, pts)
     rng = np.random.default_rng(0)
-    state = P.push_ir(cfg, P.pconv_init(cfg),
-                      jnp.asarray(rng.standard_normal(ir_len), jnp.float32))
+    ir = jnp.asarray(rng.standard_normal(ir_len), jnp.float32)
+    base = jax.tree.map(np.asarray, P.push_ir(cfg, P.pconv_init(cfg), ir))
 
-    nblocks = int(seconds * SR / pts)
-    blocks = jnp.asarray(rng.standard_normal((nblocks, pts)) * 0.1, jnp.float32)
+    def make_state():
+        return jax.tree.map(jnp.asarray, base)
 
+    blocks = jnp.asarray(rng.standard_normal((scan_blocks, pts)) * 0.1,
+                         jnp.float32)
     if tv:
         fn = jax.jit(partial(P.pconv_stream_tv, cfg), donate_argnums=(0,))
         args = (blocks, blocks)
@@ -56,20 +81,32 @@ def bench_pconv_rt(pts=512, ir_len=1 << 17, seconds=20.0, tv=False):
         fn = jax.jit(partial(P.pconv_stream, cfg), donate_argnums=(0,))
         args = (blocks,)
 
-    short = jax.jit(partial(P.pconv_stream if not tv else P.pconv_stream_tv, cfg))
-    # warm up compiles
-    _sync(short(state, *(a[:2] for a in args)))
-    _sync(fn(jax.tree.map(jnp.copy, state), *args))
+    per_scan = _time_chained(fn, make_state, args)
+    per_block = per_scan / scan_blocks
+    return (pts / SR) / per_block, per_block
 
-    t0 = time.time()
-    _sync(short(jax.tree.map(jnp.copy, state), *(a[:2] for a in args)))
-    t_short = time.time() - t0
-    t0 = time.time()
-    _sync(fn(jax.tree.map(jnp.copy, state), *args))
-    t_full = time.time() - t0
-    per_block = (t_full - t_short) / (nblocks - 2)
-    audio_per_block = pts / SR
-    return audio_per_block / per_block, per_block
+
+def bench_dconv(irsize=512, vsize=512, scan_blocks=94):
+    import jax
+    import jax.numpy as jnp
+    from opencl_fft_tpu.ops import dconv as D
+
+    cfg = D.DconvConfig(irsize=irsize, vsize=vsize)
+    rng = np.random.default_rng(2)
+    base = jax.tree.map(
+        np.asarray,
+        D.push_ir(cfg, D.dconv_init(cfg),
+                  jnp.asarray(rng.standard_normal(irsize), jnp.float32)))
+
+    def make_state():
+        return jax.tree.map(jnp.asarray, base)
+
+    blocks = jnp.asarray(rng.standard_normal((scan_blocks, vsize)) * 0.1,
+                         jnp.float32)
+    fn = jax.jit(partial(D.dconv_stream, cfg), donate_argnums=(0,))
+    per_scan = _time_chained(fn, make_state, (blocks,))
+    per_block = per_scan / scan_blocks
+    return (vsize / SR) / per_block
 
 
 def bench_fft_sweep():
@@ -89,9 +126,9 @@ def bench_fft_sweep():
         @partial(jax.jit, static_argnums=1)
         def run(x, iters):
             def body(i, x):
-                re, im = fft_split(x, -1, "mm")
+                r, i_ = fft_split(x, -1, "mm")
                 s = 1.0 / np.sqrt(n)
-                return re * s, im * s
+                return r * s, i_ * s
             return jax.lax.fori_loop(0, iters, body, x)
 
         iters = 20
@@ -101,31 +138,11 @@ def bench_fft_sweep():
         t0 = time.time(); _sync(run((re, im), iters)); tN = time.time() - t0
         dt = (tN - t1) / (iters - 1)
         gflops = 5 * n * logn * batch / dt / 1e9
-        results[f"2^{logn}"] = {"batch": batch, "us": dt * 1e6,
+        results[f"2^{logn}"] = {"batch": batch, "us": round(dt * 1e6, 1),
                                 "gflops": round(gflops, 1)}
         print(f"  fft 2^{logn} batch={batch}: {dt*1e6:9.1f} us "
               f"{gflops:8.1f} GFLOP/s", file=sys.stderr)
     return results
-
-
-def bench_dconv(irsize=512, vsize=512, seconds=5.0):
-    import jax
-    import jax.numpy as jnp
-    from opencl_fft_tpu.ops import dconv as D
-
-    cfg = D.DconvConfig(irsize=irsize, vsize=vsize)
-    rng = np.random.default_rng(2)
-    state = D.push_ir(cfg, D.dconv_init(cfg),
-                      jnp.asarray(rng.standard_normal(irsize), jnp.float32))
-    nblocks = int(seconds * SR / vsize)
-    blocks = jnp.asarray(rng.standard_normal((nblocks, vsize)) * 0.1, jnp.float32)
-    fn = jax.jit(partial(D.dconv_stream, cfg))
-    _sync(fn(state, blocks[:2]))
-    _sync(fn(state, blocks))
-    t0 = time.time(); _sync(fn(state, blocks[:2])); t1 = time.time() - t0
-    t0 = time.time(); _sync(fn(state, blocks)); tN = time.time() - t0
-    per_block = (tN - t1) / (nblocks - 2)
-    return (vsize / SR) / per_block
 
 
 def main():
@@ -137,14 +154,15 @@ def main():
     print(f"pconv 2^17-tap @512: {rtf:.1f}x real time "
           f"({per_block*1e6:.0f} us/block)", file=sys.stderr)
 
-    rtf_tv, _ = bench_pconv_rt(tv=True, seconds=10.0)
+    rtf_tv, _ = bench_pconv_rt(tv=True)
     details["tvconv_rt_factor_2^17_512"] = round(rtf_tv, 1)
     print(f"tvconv 2^17-tap @512: {rtf_tv:.1f}x real time", file=sys.stderr)
 
+    rtf_d = bench_dconv()
+    details["dconv_rt_factor_512tap"] = round(rtf_d, 1)
+    print(f"dconv 512-tap: {rtf_d:.1f}x real time", file=sys.stderr)
+
     details["fft_sweep"] = bench_fft_sweep()
-    details["dconv_rt_factor_512tap"] = round(bench_dconv(), 1)
-    print(f"dconv 512-tap: {details['dconv_rt_factor_512tap']}x real time",
-          file=sys.stderr)
 
     with open("bench_details.json", "w") as f:
         json.dump(details, f, indent=2)

@@ -1,0 +1,158 @@
+"""Benchmark sweep harness — the analog of the reference's csound/tests.py.
+
+The reference times `cltvconv` against the CPU `tvconv` for 100 s of audio
+across devices x partition sizes M in {2^9, 2^11, 2^13, 2^15} x IR lengths
+L in {2^16..2^22}, then writes a real-time-ratio plot and a LaTeX table
+(csound/tests.py:10-76). This module reproduces that sweep for the TPU
+engines:
+
+  * the workload is the time-varying partitioned convolver (the same
+    engine `cltvconv` drives);
+  * the metric is the real-time ratio dur/elapsed (tests.py:33);
+  * outputs: sweep.json (all points), table.tex (the table.tex analog,
+    tests.py:70-76) and plot.csv — RT ratio vs log2(L) per partition size
+    (matplotlib is optional; the CSV always works).
+
+Run:  python -m opencl_fft_tpu.bench.sweep [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+SR = 44100.0          # the reference benches at sr=44100 (tests.csd:3)
+
+
+def _sync(x):
+    import jax
+    import jax.numpy as jnp
+    return float(jnp.sum(jax.tree.leaves(x)[0][..., :1]))
+
+
+def rt_ratio(pts: int, ir_len: int, scan_blocks: int = 64, reps: int = 8,
+             tv: bool = True) -> float:
+    """Real-time ratio of the (tv-)partitioned convolver at one sweep point."""
+    import jax
+    import jax.numpy as jnp
+    from ..ops import pconv as P
+
+    cfg = P.PconvConfig.for_ir_length(ir_len, pts)
+    rng = np.random.default_rng(0)
+    base = jax.tree.map(np.asarray, P.pconv_init(cfg))
+
+    def make_state():
+        return jax.tree.map(jnp.asarray, base)
+
+    blocks = jnp.asarray(rng.standard_normal((scan_blocks, pts)) * 0.1,
+                         jnp.float32)
+    if tv:
+        fn = jax.jit(partial(P.pconv_stream_tv, cfg), donate_argnums=(0,))
+        args = (blocks, blocks)
+    else:
+        fn = jax.jit(partial(P.pconv_stream, cfg), donate_argnums=(0,))
+        args = (blocks,)
+
+    st, out = fn(make_state(), *args)
+    _sync(out)
+
+    def run(n):
+        st = make_state()
+        t0 = time.time()
+        out = None
+        for _ in range(n):
+            st, out = fn(st, *args)
+        _sync(out)
+        return time.time() - t0
+
+    t_short = run(2)
+    t_long = run(2 + reps)
+    per_block = max(t_long - t_short, 1e-9) / (reps * scan_blocks)
+    return (pts / SR) / per_block
+
+
+def run_sweep(parts_list, ir_list, tv=True, out_prefix="sweep"):
+    results = {}
+    for pts in parts_list:
+        for L in ir_list:
+            if L < pts:
+                continue
+            r = rt_ratio(pts, L, tv=tv)
+            results[f"M={pts},L=2^{int(np.log2(L))}"] = round(r, 1)
+            print(f"  M={pts:6d} L=2^{int(np.log2(L)):2d}: {r:10.1f}x realtime",
+                  file=sys.stderr, flush=True)
+
+    with open(f"{out_prefix}.json", "w") as f:
+        json.dump(results, f, indent=2)
+
+    # table.tex analog (tests.py:70-76): rows = partition sizes, cols = L
+    with open(f"{out_prefix}_table.tex", "w") as f:
+        cols = " & ".join(f"$2^{{{int(np.log2(L))}}}$" for L in ir_list)
+        f.write("\\begin{tabular}{l" + "r" * len(ir_list) + "}\n")
+        f.write(f"M / L & {cols} \\\\\n\\hline\n")
+        for pts in parts_list:
+            vals = []
+            for L in ir_list:
+                key = f"M={pts},L=2^{int(np.log2(L))}"
+                vals.append(f"{results[key]:.0f}" if key in results else "--")
+            f.write(f"{pts} & " + " & ".join(vals) + " \\\\\n")
+        f.write("\\end{tabular}\n")
+
+    # plot.csv: RT ratio vs log2(L), one column per M (plot.eps analog)
+    with open(f"{out_prefix}_plot.csv", "w") as f:
+        f.write("log2L," + ",".join(f"M{p}" for p in parts_list) + "\n")
+        for L in ir_list:
+            row = [str(int(np.log2(L)))]
+            for pts in parts_list:
+                key = f"M={pts},L=2^{int(np.log2(L))}"
+                row.append(str(results.get(key, "")))
+            f.write(",".join(row) + "\n")
+
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots()
+        for pts in parts_list:
+            xs, ys = [], []
+            for L in ir_list:
+                key = f"M={pts},L=2^{int(np.log2(L))}"
+                if key in results:
+                    xs.append(int(np.log2(L)))
+                    ys.append(results[key])
+            ax.plot(xs, ys, marker="o", label=f"M={pts}")
+        ax.set_xlabel("log2(IR length)")
+        ax.set_ylabel("x real time")
+        ax.set_yscale("log")
+        ax.legend()
+        fig.savefig(f"{out_prefix}_plot.png", dpi=120)
+    except Exception:
+        pass                                        # CSV is the durable output
+
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="small sweep (CI-sized)")
+    ap.add_argument("--lti", action="store_true",
+                    help="bench the LTI engine instead of time-varying")
+    args = ap.parse_args()
+    if args.quick:
+        parts = [1 << 9, 1 << 11]
+        irs = [1 << 16, 1 << 18]
+    else:
+        # the reference grid: tests.py:10,12
+        parts = [1 << 9, 1 << 11, 1 << 13, 1 << 15]
+        irs = [1 << k for k in range(16, 23)]
+    run_sweep(parts, irs, tv=not args.lti)
+
+
+if __name__ == "__main__":
+    main()

@@ -82,6 +82,22 @@ def push_ir(cfg: DconvConfig, state: DconvState, ir: Float) -> DconvState:
     return state._replace(coefs=state.coefs.at[: cfg.irsize].set(ir))
 
 
+def _sliding_windows(d: Float, rows: int, width: int) -> Float:
+    """W[i, :] = d[i : i+width] for i in [0, rows), via tile/reshape.
+
+    With r = [d, 0] of length L+1, flattening rows of length L+2 over a
+    tiling of r advances the phase by exactly one sample per row
+    (i*(L+2) mod (L+1) == i), so row i reads d shifted left by i. Requires
+    rows - 1 + width <= L + 1, which the delay-line geometry guarantees
+    (rows-1 + width = vsize + irsize = L).
+    """
+    L = d.shape[-1]
+    r = jnp.concatenate([d, jnp.zeros((1,), d.dtype)])
+    reps = (rows * (L + 2) + L) // (L + 1)
+    t = jnp.tile(r, reps)[: rows * (L + 2)].reshape(rows, L + 2)
+    return t[:, :width]
+
+
 def _ring_write(ring: Float, block: Float, wp: Float) -> Float:
     """Write `block` at ring position wp with wrap-around.
 
@@ -112,10 +128,11 @@ def dconv_step(cfg: DconvConfig, state: DconvState, block: Float
     # a VALID cross-correlation.
     d = jnp.roll(delay, -wp)
     k = jnp.flip(state.coefs[: cfg.irsize])
-    valid = jax.lax.conv_general_dilated(
-        d[None, None, :], k[None, None, :],
-        window_strides=(1,), padding="VALID",
-    )[0, 0]                                            # (vsize + 1,)
+    # Toeplitz-windows formulation: sliding windows of the delay line feed
+    # one matvec on the MXU. Windows are built with a tile/reshape trick —
+    # no gather (slow on TPU) and no XLA convolution (this backend takes
+    # minutes to compile long-kernel 1-D convs).
+    valid = _sliding_windows(d, cfg.vsize + 1, cfg.irsize) @ k   # (vsize+1,)
     # valid[n] = sum_h d[n+h] k[h]; the reference alignment is valid[:vsize]
     # (one sample late, see DconvConfig.delay_compat); standard FIR is the
     # window shifted by one so out[n] includes x[n]*coefs[0].
