@@ -131,12 +131,17 @@ def bench_fft_sweep():
                 return r * s, i_ * s
             return jax.lax.fori_loop(0, iters, body, x)
 
-        iters = 20
+        iters = 80 if logn <= 14 else 30
         _sync(run((re, im), 1))
         _sync(run((re, im), iters))
-        t0 = time.time(); _sync(run((re, im), 1)); t1 = time.time() - t0
-        t0 = time.time(); _sync(run((re, im), iters)); tN = time.time() - t0
-        dt = (tN - t1) / (iters - 1)
+
+        def best(k, tries=3):
+            ts = []
+            for _ in range(tries):
+                t0 = time.time(); _sync(run((re, im), k)); ts.append(time.time() - t0)
+            return min(ts)                     # min masks relay jitter
+
+        dt = (best(iters) - best(1)) / (iters - 1)
         gflops = 5 * n * logn * batch / dt / 1e9
         results[f"2^{logn}"] = {"batch": batch, "us": round(dt * 1e6, 1),
                                 "gflops": round(gflops, 1)}

@@ -32,11 +32,12 @@ def batched_state(cfg: _p.PconvConfig, batch: int) -> _p.PconvState:
     """Vmapped-engine state: every field gains a leading batch axis except
     the ring pointers, which are shared across channels (all channels
     advance in lockstep)."""
-    def z():
-        return jnp.zeros((batch, cfg.nparts, cfg.bins), jnp.float32)
+    def z(rows):
+        return jnp.zeros((batch, rows, cfg.bins), jnp.float32)
 
     return _p.PconvState(
-        spec_x_re=z(), spec_x_im=z(), spec_h_re=z(), spec_h_im=z(),
+        spec_x_re=z(2 * cfg.nparts), spec_x_im=z(2 * cfg.nparts),
+        spec_h_re=z(cfg.nparts), spec_h_im=z(cfg.nparts),
         tail=jnp.zeros((batch, cfg.pts), jnp.float32),
         wp=jnp.asarray(0, jnp.int32),
         wp2=jnp.asarray(cfg.nparts - 1, jnp.int32),

@@ -36,11 +36,38 @@ import numpy as np
 from ..utils.numerics import ilog2, is_pow2
 from .cplx import Cplx, from_complex, to_complex
 
-# Largest DFT leaf solved by a single dense matmul. 128 matches the MXU
-# systolic-array edge; the balanced splitter below never exceeds it.
+# Largest DFT leaf solved by a single dense matmul by default. 128 matches
+# the MXU systolic-array edge; tuned plans may force direct leaves up to
+# _MAX_DIRECT.
 MAX_RADIX = 128
+_MAX_DIRECT = 512
 
 _HIGHEST = jax.lax.Precision.HIGHEST
+
+# Matmul precision for the DFT leaves. HIGHEST = full f32 (6-pass bf16,
+# ~31 TFLOP/s here); HIGH = bf16x3 (~61 TFLOP/s, ~1.5e-5/stage). Small
+# radices are HBM-bound either way, so HIGHEST is the accuracy-free-lunch
+# default; set_fast_math(True) trades ~1e-5/stage for speed at radix >= 64.
+_LEAF_PRECISION = _HIGHEST
+
+
+def set_fast_math(enabled: bool) -> None:
+    """Toggle bf16x3 (Precision.HIGH) leaf matmuls framework-wide."""
+    global _LEAF_PRECISION
+    _LEAF_PRECISION = jax.lax.Precision.HIGH if enabled else _HIGHEST
+
+
+# Tuned factorization plan: n -> n1 (left factor of the four-step split),
+# or 0 to force a direct dense leaf (n <= _MAX_DIRECT). Filled by
+# tools/autotune_fft.py (measured on the target chip) via _fft_plans.py;
+# sizes not listed use the balanced default.
+_SPLIT_OVERRIDES: dict = {}
+
+try:                                       # tuned table is optional
+    from ._fft_plans import PLANS as _TUNED_PLANS
+    _SPLIT_OVERRIDES.update(_TUNED_PLANS)
+except ImportError:
+    pass
 
 
 # ---------------------------------------------------------------------------
@@ -81,14 +108,23 @@ def _stage_twiddle_np(m: int, sign: int) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def _split_factors(n: int) -> Tuple[int, int]:
-    """Balanced power-of-two factorization n = n1 * n2 with n1 <= n2.
+    """Power-of-two factorization n = n1 * n2 (tuned table, else balanced).
 
-    Recursing on both factors drives every leaf to size <= MAX_RADIX in
+    The balanced default recurses both factors to leaves <= MAX_RADIX in
     O(log log n) levels (e.g. 2^20 -> (1024, 1024) -> (32, 32) leaves).
     """
+    n1 = _SPLIT_OVERRIDES.get(n, 0)
+    if n1:
+        return n1, n // n1
     k = ilog2(n)
     n1 = 1 << (k // 2)
     return n1, n // n1
+
+
+def _is_leaf(n: int) -> bool:
+    if n <= MAX_RADIX:
+        return True
+    return n <= _MAX_DIRECT and _SPLIT_OVERRIDES.get(n, -1) == 0
 
 
 # ---------------------------------------------------------------------------
@@ -99,10 +135,10 @@ def _fft_mm(x: Cplx, sign: int) -> Cplx:
     """Unnormalized DFT over the last axis via recursive four-step matmuls."""
     re, im = x
     n = re.shape[-1]
-    if n <= MAX_RADIX:
+    if _is_leaf(n):
         w = jnp.asarray(_leaf_matrix_np(n, sign))
         z = jnp.concatenate([re, im], axis=-1)
-        y = jnp.einsum("...n,nk->...k", z, w, precision=_HIGHEST)
+        y = jnp.einsum("...n,nk->...k", z, w, precision=_LEAF_PRECISION)
         return y[..., :n], y[..., n:]
     n1, n2 = _split_factors(n)
     batch = re.shape[:-1]

@@ -65,6 +65,7 @@ class PconvConfig:
     nparts: int
     bin0_mode: str = "exact"
     impl: str = "auto"
+    pallas: str = "auto"   # fused MAC kernel: "auto" | "on" | "off"
 
     def __post_init__(self):
         if not is_pow2(self.pts) or self.pts < 2:
@@ -73,6 +74,16 @@ class PconvConfig:
             raise ValueError(f"need at least one partition, got {self.nparts}")
         if self.bin0_mode not in ("exact", "compat"):
             raise ValueError(f"bin0_mode must be 'exact' or 'compat', got {self.bin0_mode}")
+        if self.pallas not in ("auto", "on", "off"):
+            raise ValueError(f"pallas must be 'auto'|'on'|'off', got {self.pallas}")
+
+    def _use_pallas_mac(self) -> bool:
+        from .pallas.mac import fits_vmem
+        if self.pallas == "off" or not fits_vmem(self.nparts, self.bins):
+            return False
+        if self.pallas == "on":
+            return True
+        return jax.default_backend() not in ("cpu",)
 
     @property
     def bins(self) -> int:
@@ -96,9 +107,14 @@ class PconvState(NamedTuple):
     Mirrors the reference's persistent device buffers (cl_conv.h:126-129):
     spec1/spec2 spectral rings, olap tail, wp/wp2 write pointers — but as a
     serializable functional value.
+
+    The input ring is stored DOUBLED (2*nparts rows; each frame written at
+    wp and wp+nparts), so the per-block frequency-delay-line MAC reads one
+    contiguous dynamic_slice window instead of a modulo gather — a plain
+    vector load on TPU. Costs one extra bins-row write per block.
     """
 
-    spec_x_re: Float  # (nparts, bins) input spectral ring
+    spec_x_re: Float  # (2*nparts, bins) doubled input spectral ring
     spec_x_im: Float
     spec_h_re: Float  # (nparts, bins) IR / second-operand spectral ring
     spec_h_im: Float
@@ -109,13 +125,13 @@ class PconvState(NamedTuple):
 
 def pconv_init(cfg: PconvConfig) -> PconvState:
     """Zero state; wp = 0, wp2 = nparts - 1 (cl_conv.cpp:144)."""
-    def z():
+    def z(rows):
         # distinct buffers per field: donation requires unaliased arguments
-        return jnp.zeros((cfg.nparts, cfg.bins), jnp.float32)
+        return jnp.zeros((rows, cfg.bins), jnp.float32)
 
     return PconvState(
-        spec_x_re=z(), spec_x_im=z(),
-        spec_h_re=z(), spec_h_im=z(),
+        spec_x_re=z(2 * cfg.nparts), spec_x_im=z(2 * cfg.nparts),
+        spec_h_re=z(cfg.nparts), spec_h_im=z(cfg.nparts),
         tail=jnp.zeros((cfg.pts,), jnp.float32),
         wp=jnp.asarray(0, jnp.int32),
         wp2=jnp.asarray(cfg.nparts - 1, jnp.int32),
@@ -164,13 +180,18 @@ def _spectral_mac(cfg: PconvConfig, state: PconvState, rp: Float) -> Cplx:
     (DC, Nyq) pair and multiplies componentwise (``:114-115``).
     """
     np_ = cfg.nparts
-    idx = (rp + jnp.arange(np_)) % np_
-    xr = jnp.take(state.spec_x_re, idx, axis=0)
-    xi = jnp.take(state.spec_x_im, idx, axis=0)
+    b0_scale = 2.0 if cfg.bin0_mode == "exact" else 1.0
+    if cfg._use_pallas_mac():
+        from .pallas.mac import spectral_mac
+        return spectral_mac(
+            (state.spec_x_re, state.spec_x_im),
+            (state.spec_h_re, state.spec_h_im), rp, b0_scale)
+    # doubled ring: rows [rp, rp+nparts) are exactly frames (rp+q) % nparts
+    xr = jax.lax.dynamic_slice(state.spec_x_re, (rp, 0), (np_, cfg.bins))
+    xi = jax.lax.dynamic_slice(state.spec_x_im, (rp, 0), (np_, cfg.bins))
     hr, hi = state.spec_h_re, state.spec_h_im
     acc_r = jnp.sum(xr * hr - xi * hi, axis=0)
     acc_i = jnp.sum(xr * hi + xi * hr, axis=0)
-    b0_scale = 2.0 if cfg.bin0_mode == "exact" else 1.0
     acc_r = acc_r.at[0].set(b0_scale * jnp.sum(xr[:, 0] * hr[:, 0]))
     acc_i = acc_i.at[0].set(b0_scale * jnp.sum(xi[:, 0] * hi[:, 0]))
     return acc_r, acc_i
@@ -189,13 +210,19 @@ def _inverse_and_ola(cfg: PconvConfig, state: PconvState, acc: Cplx
     return out, y[..., cfg.pts:]
 
 
+def _ring_write2(ring: Float, row: Float, wp: Float, nparts: int) -> Float:
+    """Write one frame into the doubled ring: at wp and wp + nparts."""
+    ring = jax.lax.dynamic_update_slice(ring, row[None], (wp, 0))
+    return jax.lax.dynamic_update_slice(ring, row[None], (wp + nparts, 0))
+
+
 def pconv_step(cfg: PconvConfig, state: PconvState, block: Float
                ) -> Tuple[PconvState, Float]:
     """One LTI streaming block: Clpconv::convolution(out, in) parity
     (cl_conv.cpp:393-458). block: (pts,) -> out: (pts,)."""
     xr, xi = _forward_partition(cfg, block)
-    spec_x_re = jax.lax.dynamic_update_slice(state.spec_x_re, xr[None], (state.wp, 0))
-    spec_x_im = jax.lax.dynamic_update_slice(state.spec_x_im, xi[None], (state.wp, 0))
+    spec_x_re = _ring_write2(state.spec_x_re, xr, state.wp, cfg.nparts)
+    spec_x_im = _ring_write2(state.spec_x_im, xi, state.wp, cfg.nparts)
     wp = (state.wp + 1) % cfg.nparts                  # cl_conv.cpp:424
     state = state._replace(spec_x_re=spec_x_re, spec_x_im=spec_x_im, wp=wp)
     acc = _spectral_mac(cfg, state, wp)               # rp = post-increment wp
@@ -211,8 +238,8 @@ def pconv_step_tv(cfg: PconvConfig, state: PconvState, block_x: Float,
     both = jnp.stack([jnp.asarray(block_x, jnp.float32),
                       jnp.asarray(block_h, jnp.float32)])
     fr, fi = _forward_partition(cfg, both)            # (2, bins)
-    spec_x_re = jax.lax.dynamic_update_slice(state.spec_x_re, fr[0][None], (state.wp, 0))
-    spec_x_im = jax.lax.dynamic_update_slice(state.spec_x_im, fi[0][None], (state.wp, 0))
+    spec_x_re = _ring_write2(state.spec_x_re, fr[0], state.wp, cfg.nparts)
+    spec_x_im = _ring_write2(state.spec_x_im, fi[0], state.wp, cfg.nparts)
     spec_h_re = jax.lax.dynamic_update_slice(state.spec_h_re, fr[1][None], (state.wp2, 0))
     spec_h_im = jax.lax.dynamic_update_slice(state.spec_h_im, fi[1][None], (state.wp2, 0))
     wp = (state.wp + 1) % cfg.nparts                  # cl_conv.cpp:516

@@ -1,0 +1,56 @@
+"""Pallas kernel tests (interpret mode on CPU; compiled path runs on TPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from opencl_fft_tpu.ops.pallas.mac import fits_vmem, spectral_mac
+
+RNG = np.random.default_rng(55)
+
+
+def _xla_mac(x, h, rp, b0):
+    xr, xi = x
+    hr, hi = h
+    np_ = xr.shape[0]
+    idx = (rp + np.arange(np_)) % np_
+    gxr, gxi = xr[idx], xi[idx]
+    acc_r = np.sum(gxr * hr - gxi * hi, axis=0)
+    acc_i = np.sum(gxr * hi + gxi * hr, axis=0)
+    acc_r[0] = b0 * np.sum(gxr[:, 0] * hr[:, 0])
+    acc_i[0] = b0 * np.sum(gxi[:, 0] * hi[:, 0])
+    return acc_r, acc_i
+
+
+@pytest.mark.parametrize("nparts,bins", [(8, 128), (16, 256), (32, 512)])
+@pytest.mark.parametrize("rp", [0, 1, 3, 7, 9])
+@pytest.mark.parametrize("b0", [1.0, 2.0])
+def test_mac_kernel_matches_xla(nparts, bins, rp, b0):
+    x = tuple(RNG.standard_normal((nparts, bins)).astype(np.float32)
+              for _ in range(2))
+    h = tuple(RNG.standard_normal((nparts, bins)).astype(np.float32)
+              for _ in range(2))
+    rp = rp % nparts
+    x2 = tuple(np.concatenate([p, p], axis=0) for p in x)   # doubled ring
+    got_r, got_i = spectral_mac(
+        tuple(map(jnp.asarray, x2)), tuple(map(jnp.asarray, h)),
+        rp, b0, interpret=True)
+    exp_r, exp_i = _xla_mac(tuple(map(np.array, x)), tuple(map(np.array, h)),
+                            rp, b0)
+    np.testing.assert_allclose(np.asarray(got_r), exp_r, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_i), exp_i, atol=1e-4)
+
+
+def test_fits_vmem_gate():
+    assert fits_vmem(256, 512)
+    assert not fits_vmem(2048, 1024)
+
+
+def test_pconv_uses_pallas_only_when_sized():
+    from opencl_fft_tpu.ops.pconv import PconvConfig
+    small = PconvConfig.for_ir_length(1 << 17, 512, pallas="on")
+    assert small._use_pallas_mac()
+    big = PconvConfig.for_ir_length(1 << 22, 512, pallas="on")
+    assert not big._use_pallas_mac()          # exceeds VMEM budget
+    off = PconvConfig.for_ir_length(1 << 17, 512, pallas="off")
+    assert not off._use_pallas_mac()
