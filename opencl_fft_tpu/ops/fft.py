@@ -195,8 +195,66 @@ def _fft_stockham(x: Cplx, sign: int) -> Cplx:
 
 
 # ---------------------------------------------------------------------------
+# Implementation: Bluestein chirp-z for arbitrary (non-power-of-two) sizes.
+# Beyond-parity capability: the reference is power-of-two only (its opcode
+# layer rounds sizes up, csound/opcode.cpp:30-35).
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _bluestein_tables_np(n: int, sign: int) -> Tuple[np.ndarray, ...]:
+    """Chirp tables for an n-point DFT via an m-point circular convolution.
+
+    With w = exp(sign*2i*pi/n): X[k] = c[k] * sum_n (x[n] c[n]) * conj_c[k-n]
+    where c[j] = w^{j^2/2}. Phases use j^2 mod 2n in f64 to avoid large-angle
+    trig error. Returns (chirp, B_spectrum) with m = np2(2n - 1).
+    """
+    m = 2
+    while m < 2 * n - 1:
+        m <<= 1
+    j = np.arange(n, dtype=np.int64)
+    phase = (j * j) % (2 * n)
+    c = np.exp(sign * 1j * np.pi * phase.astype(np.float64) / n)
+    b = np.zeros(m, np.complex128)
+    b[:n] = np.conj(c)
+    b[m - n + 1:] = np.conj(c[1:][::-1])          # b[-j] = conj(c[j])
+    B = np.fft.fft(b)                             # host precompute, f64
+    return (c.astype(np.complex64), B.astype(np.complex64), m)
+
+
+def _fft_bluestein(x: Cplx, sign: int, impl: str) -> Cplx:
+    re, im = x
+    n = re.shape[-1]
+    c, B, m = _bluestein_tables_np(n, sign)
+    cr, ci = jnp.asarray(c.real), jnp.asarray(c.imag)
+    Br, Bi = jnp.asarray(B.real), jnp.asarray(B.imag)
+    ar = re * cr - im * ci
+    ai = re * ci + im * cr
+    pad = [(0, 0)] * (ar.ndim - 1) + [(0, m - n)]
+    Ar, Ai = _fft_dispatch((jnp.pad(ar, pad), jnp.pad(ai, pad)), -1, impl)
+    Yr = Ar * Br - Ai * Bi
+    Yi = Ar * Bi + Ai * Br
+    yr, yi = _fft_dispatch((Yr, Yi), +1, impl)
+    yr, yi = yr[..., :n] / m, yi[..., :n] / m
+    return yr * cr - yi * ci, yr * ci + yi * cr
+
+
+# ---------------------------------------------------------------------------
 # Dispatcher + reference-normalized entry points
 # ---------------------------------------------------------------------------
+
+
+def _fft_dispatch(x: Cplx, sign: int, impl: str) -> Cplx:
+    """Power-of-two dispatch (impl already validated)."""
+    if impl in ("auto", "mm"):
+        if impl == "auto" and x[0].shape[-1] <= _STOCKHAM_MAX:
+            return _fft_stockham(x, sign)
+        return _fft_mm(x, sign)
+    if impl == "stockham":
+        return _fft_stockham(x, sign)
+    z = to_complex(x)
+    n = x[0].shape[-1]
+    z = jnp.fft.fft(z) if sign == -1 else jnp.fft.ifft(z) * n
+    return from_complex(z)
 
 _IMPLS = ("auto", "mm", "stockham", "xla")
 
@@ -220,20 +278,16 @@ def fft_split(x: Cplx, sign: int, impl: str = "auto") -> Cplx:
     if re.shape != im.shape:
         raise ValueError(f"re/im shapes differ: {re.shape} vs {im.shape}")
     n = re.shape[-1]
-    if not is_pow2(n):
-        raise ValueError(f"FFT size must be a power of two, got {n}")
+    if n < 1:
+        raise ValueError("empty transform")
     if n == 1:
         return re, im
-    if impl == "auto":
-        impl = "stockham" if n <= _STOCKHAM_MAX else "mm"
-    if impl == "mm":
-        return _fft_mm((re, im), sign)
-    if impl == "stockham":
-        return _fft_stockham((re, im), sign)
-    # xla builtin (CPU/debug only — not implemented by the axon TPU backend)
-    z = to_complex((re, im))
-    z = jnp.fft.fft(z) if sign == -1 else jnp.fft.ifft(z) * n
-    return from_complex(z)
+    if not is_pow2(n):
+        # beyond-parity: arbitrary sizes via Bluestein (power-of-two core)
+        if impl == "xla":
+            return _fft_dispatch((re, im), sign, impl)
+        return _fft_bluestein((re, im), sign, impl)
+    return _fft_dispatch((re, im), sign, impl)
 
 
 def fft_unnormalized(x: jax.Array, sign: int, impl: str = "auto") -> jax.Array:

@@ -81,9 +81,10 @@ class PconvConfig:
         from .pallas.mac import fits_vmem
         if self.pallas == "off" or not fits_vmem(self.nparts, self.bins):
             return False
-        if self.pallas == "on":
-            return True
-        return jax.default_backend() not in ("cpu",)
+        # measured on v5e: XLA's fused dynamic_slice+reduce beats the pallas
+        # kernel (~20 vs ~27 us/block at 2^17@512), so "auto" means XLA; the
+        # kernel stays available for explicit opt-in and other topologies.
+        return self.pallas == "on"
 
     @property
     def bins(self) -> int:

@@ -93,19 +93,30 @@ def test_linearity_and_parseval():
     fx = np.asarray(fft.fft_unnormalized(x, -1))
     fy = np.asarray(fft.fft_unnormalized(y, -1))
     fxy = np.asarray(fft.fft_unnormalized(x + 2 * y, -1))
-    np.testing.assert_allclose(fxy, fx + 2 * fy, atol=1e-4)
+    np.testing.assert_allclose(fxy, fx + 2 * fy,
+                               atol=1e-5 * np.max(np.abs(fx + 2 * fy)))
     np.testing.assert_allclose(
         np.sum(np.abs(fx) ** 2) / n, np.sum(np.abs(x) ** 2), rtol=1e-5
     )
 
 
-def test_invalid_sizes_raise():
-    with pytest.raises(ValueError):
-        fft.fft_unnormalized(randc((12,)), -1)  # not a power of two
+def test_invalid_args_raise():
     with pytest.raises(ValueError):
         fft.fft_unnormalized(randc((8,)), 0)
     with pytest.raises(ValueError):
         fft.fft_unnormalized(randc((8,)), -1, "nope")
+
+
+@pytest.mark.parametrize("n", [3, 12, 100, 384, 1000])
+def test_bluestein_non_pow2(n):
+    """Beyond-parity: arbitrary sizes via Bluestein chirp-z (the reference
+    is power-of-two only and rounds up, csound/opcode.cpp:30-35)."""
+    x = randc((2, n))
+    got = np.asarray(fft.fft_unnormalized(x, -1))
+    ref = np.fft.fft(x)
+    np.testing.assert_allclose(got, ref, atol=3e-5 * np.max(np.abs(ref)), rtol=0)
+    inv = np.asarray(fft.fft_unnormalized(got, +1)) / n
+    np.testing.assert_allclose(inv, x, atol=3e-5 * np.max(np.abs(x)), rtol=0)
 
 
 def test_deterministic_rerun():
