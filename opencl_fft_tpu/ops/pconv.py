@@ -276,6 +276,40 @@ def pconv_stream_tv(cfg: PconvConfig, state: PconvState, blocks_x: Float,
     return jax.lax.scan(body, state, stacked)
 
 
+def convolve_oneshot(signal: Float, ir: Float, impl: str = "auto") -> Float:
+    """Full linear convolution in ONE zero-padded transform (offline path).
+
+    The streaming engine exists for bounded latency; when latency doesn't
+    matter (offline rendering, IR preprocessing) a single big rFFT pair is
+    the fast path — O(L log L) with all FLOPs in MXU matmul stages.
+    Matches scipy.signal.fftconvolve to f32 tolerance.
+
+    Spectral bookkeeping in the packed convention: bin 0 carries
+    (DC/2, Nyq/2) so the product needs a factor 2 there; bin M/2 is stored
+    conjugated by BOTH forward transforms, and the inverse's skipped
+    conjugation makes the product self-consistent (see ops/rfft.py).
+    """
+    from .rfft import irfft_split, rfft_split
+
+    signal = jnp.asarray(signal, jnp.float32)
+    ir = jnp.asarray(ir, jnp.float32)
+    out_len = signal.shape[-1] + ir.shape[-1] - 1
+    n = 4
+    while n < out_len:
+        n <<= 1
+    m = n // 2
+    xr, xi = rfft_split(jnp.pad(signal, (0, n - signal.shape[-1])), impl,
+                        unnormalized=True)
+    hr, hi = rfft_split(jnp.pad(ir, (0, n - ir.shape[-1])), impl,
+                        unnormalized=True)
+    yr = xr * hr - xi * hi
+    yi = xr * hi + xi * hr
+    yr = yr.at[..., 0].set(2.0 * xr[..., 0] * hr[..., 0])
+    yi = yi.at[..., 0].set(2.0 * xi[..., 0] * hi[..., 0])
+    y = irfft_split((yr, yi), impl) / m
+    return y[..., :out_len]
+
+
 def convolve(signal: Float, ir: Float, pts: int, bin0_mode: str = "exact",
              impl: str = "auto") -> Float:
     """Full linear convolution of `signal` with `ir` via the streaming engine.

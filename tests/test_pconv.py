@@ -186,3 +186,23 @@ def test_config_validation():
     cfg = PconvConfig.for_ir_length(64, 16)
     with pytest.raises(ValueError):
         push_ir(cfg, pconv_init(cfg), np.zeros(63, np.float32))
+
+
+def test_oneshot_matches_scipy():
+    from opencl_fft_tpu.ops.pconv import convolve_oneshot
+    for nx, nh in [(1000, 300), (100, 5000), (333, 77)]:
+        x = RNG.standard_normal(nx).astype(np.float32)
+        h = RNG.standard_normal(nh).astype(np.float32)
+        got = np.asarray(convolve_oneshot(x, h))
+        ref = sps.fftconvolve(x, h)
+        np.testing.assert_allclose(got, ref, atol=3e-5 * np.max(np.abs(ref)),
+                                   rtol=0)
+
+
+def test_oneshot_equals_streaming():
+    from opencl_fft_tpu.ops.pconv import convolve_oneshot
+    x = RNG.standard_normal(2000).astype(np.float32)
+    h = RNG.standard_normal(512).astype(np.float32)
+    a = np.asarray(convolve_oneshot(x, h))
+    b = np.asarray(pconv.convolve(x, h, 64))
+    np.testing.assert_allclose(a, b, atol=5e-5 * np.max(np.abs(a)), rtol=0)
