@@ -63,10 +63,6 @@ def sharded_fft(x: Cplx, mesh: Mesh, sign: int = -1, impl: str = "auto",
 # dp x tp sharded partitioned convolution
 # ---------------------------------------------------------------------------
 
-class ShardedPconvState(Tuple):
-    pass
-
-
 def sharded_pconv_init(cfg: _p.PconvConfig, batch: int):
     """State for a batched sharded convolver.
 
