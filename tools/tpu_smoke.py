@@ -1,0 +1,118 @@
+"""On-device validation sweep: run every compute path on the visible chip
+and check against numpy/scipy oracles. The pytest suite runs on CPU (see
+tests/conftest.py); this script is the hardware counterpart.
+
+Run:  python tools/tpu_smoke.py
+Exit code 0 iff every check passes.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+FAILED = []
+
+
+def check(name, err, tol):
+    ok = err < tol
+    print(f"{'PASS' if ok else 'FAIL'}  {name}: err={err:.2e} (tol {tol:.0e})",
+          flush=True)
+    if not ok:
+        FAILED.append(name)
+
+
+def main():
+    import jax.numpy as jnp
+    from scipy import signal as sps
+
+    from opencl_fft_tpu.ops import dconv as D
+    from opencl_fft_tpu.ops import pconv as P
+    from opencl_fft_tpu.ops.fft import fft_split
+    from opencl_fft_tpu.ops.rfft import irfft_split, rfft_split
+    from opencl_fft_tpu.ops.pallas.mac import spectral_mac
+
+    rng = np.random.default_rng(0)
+
+    # C2C FFT across sizes
+    for n in [16, 1024, 65536]:
+        x = rng.standard_normal((4, n)).astype(np.float32)
+        y = rng.standard_normal((4, n)).astype(np.float32)
+        re, im = fft_split((jnp.asarray(x), jnp.asarray(y)), -1)
+        got = np.asarray(re) + 1j * np.asarray(im)
+        ref = np.fft.fft(x + 1j * y)
+        check(f"cfft n={n}", np.max(np.abs(got - ref)) / np.max(np.abs(ref)), 3e-5)
+
+    # Bluestein
+    x = rng.standard_normal((2, 1000)).astype(np.float32)
+    re, im = fft_split((jnp.asarray(x), jnp.zeros_like(jnp.asarray(x))), -1)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    ref = np.fft.fft(x)
+    check("bluestein n=1000", np.max(np.abs(got - ref)) / np.max(np.abs(ref)), 5e-5)
+
+    # rfft roundtrip
+    r = rng.standard_normal((2, 4096)).astype(np.float32)
+    back = np.asarray(irfft_split(rfft_split(jnp.asarray(r))))
+    check("rfft roundtrip", np.max(np.abs(back - r)) / np.max(np.abs(r)), 1e-5)
+
+    # partitioned convolution vs scipy
+    pts = 256
+    ir = rng.standard_normal(pts * 8).astype(np.float32)
+    sig = rng.standard_normal(pts * 16).astype(np.float32)
+    got = np.asarray(P.convolve(jnp.asarray(sig), jnp.asarray(ir), pts))
+    ref = sps.fftconvolve(sig, ir)
+    check("pconv vs scipy", np.max(np.abs(got - ref)) / np.max(np.abs(ref)), 5e-5)
+
+    # one-shot convolution
+    got = np.asarray(P.convolve_oneshot(jnp.asarray(sig), jnp.asarray(ir)))
+    check("oneshot conv", np.max(np.abs(got - ref)) / np.max(np.abs(ref)), 5e-5)
+
+    # direct convolution
+    h = rng.standard_normal(128).astype(np.float32)
+    got = np.asarray(D.convolve_direct(jnp.asarray(sig[:2048]), jnp.asarray(h),
+                                       vsize=256))
+    ref = np.convolve(sig[:2048], h)
+    check("dconv vs numpy", np.max(np.abs(got - ref)) / np.max(np.abs(ref)), 3e-5)
+
+    # pallas MAC kernel (compiled)
+    np_, bins = 64, 256
+    base = [rng.standard_normal((np_, bins)).astype(np.float32) for _ in range(2)]
+    x2 = tuple(jnp.asarray(np.concatenate([b, b], 0)) for b in base)
+    hh = [rng.standard_normal((np_, bins)).astype(np.float32) for _ in range(2)]
+    r_, i_ = spectral_mac(x2, tuple(map(jnp.asarray, hh)), 5, 2.0)
+    idx = (5 + np.arange(np_)) % np_
+    gx = [b[idx] for b in base]
+    er = gx[0] * hh[0] - gx[1] * hh[1]
+    ei = gx[0] * hh[1] + gx[1] * hh[0]
+    er[:, 0] = 2.0 * gx[0][:, 0] * hh[0][:, 0]
+    ei[:, 0] = 2.0 * gx[1][:, 0] * hh[1][:, 0]
+    err = max(np.max(np.abs(np.asarray(r_) - er.sum(0))),
+              np.max(np.abs(np.asarray(i_) - ei.sum(0))))
+    scale = np.max(np.abs(er.sum(0))) + 1e-9
+    check("pallas MAC", err / scale, 1e-4)
+
+    # TV streaming against the literal reference model
+    sys.path.insert(0, "tests")
+    from reference_model import RefPconv
+    cfg = P.PconvConfig.for_ir_length(64 * 4, 64, bin0_mode="compat")
+    st = P.pconv_init(cfg)
+    model = RefPconv(64 * 4, 64)
+    worst = 0.0
+    for _ in range(10):
+        b1 = rng.standard_normal(64).astype(np.float32)
+        b2 = rng.standard_normal(64).astype(np.float32)
+        st, out = P.pconv_step_tv(cfg, st, jnp.asarray(b1), jnp.asarray(b2))
+        exp = model.convolution_tv(b1.astype(np.float64), b2.astype(np.float64))
+        worst = max(worst, np.max(np.abs(np.asarray(out) - exp)) /
+                    (np.max(np.abs(exp)) + 1e-9))
+    check("tvconv vs reference model", worst, 5e-4)
+
+    print(f"\n{'ALL PASS' if not FAILED else 'FAILURES: ' + ', '.join(FAILED)}")
+    sys.exit(1 if FAILED else 0)
+
+
+if __name__ == "__main__":
+    main()
