@@ -13,9 +13,11 @@ Methodology notes for this environment:
   * the TPU sits behind a relay with ~30 ms per host sync, so every timed
     region chains work on device (lax.scan / fori_loop) and measures the
     delta between a short and a long chain;
-  * the remote compiler is slow for large scan trip counts (minutes) but
-    caches persistently, so scans are kept <= ~100 iterations and repeated
-    by chaining state on the host with async dispatch.
+  * dispatch through the relay costs ~1-3 ms and donated state chains
+    scans SEQUENTIALLY, so each timed dispatch must carry enough on-device
+    work to swamp that latency: long scans (~40 s of audio per dispatch),
+    few chained reps. First-time remote compiles of long scans are slow
+    (minutes) but cached persistently across processes.
 """
 
 from __future__ import annotations
@@ -36,7 +38,7 @@ def _sync(x):
     return float(jnp.sum(jax.tree.leaves(x)[0][..., :1]))
 
 
-def _time_chained(fn, make_state, args, reps=12, warm=2):
+def _time_chained(fn, make_state, args, reps=4, warm=1):
     """Seconds per fn() call: chain state through repeated async dispatches,
     sync once, subtract a short chain to cancel dispatch+sync overhead."""
     import jax
@@ -58,7 +60,7 @@ def _time_chained(fn, make_state, args, reps=12, warm=2):
     return max(t_long - t_short, 1e-9) / reps
 
 
-def bench_pconv_rt(pts=512, ir_len=1 << 17, tv=False, scan_blocks=94):
+def bench_pconv_rt(pts=512, ir_len=1 << 17, tv=False, scan_blocks=1880):
     """Real-time factor of the streaming engine."""
     import jax
     import jax.numpy as jnp
@@ -86,7 +88,7 @@ def bench_pconv_rt(pts=512, ir_len=1 << 17, tv=False, scan_blocks=94):
     return (pts / SR) / per_block, per_block
 
 
-def bench_dconv(irsize=512, vsize=512, scan_blocks=94):
+def bench_dconv(irsize=512, vsize=512, scan_blocks=1880):
     import jax
     import jax.numpy as jnp
     from opencl_fft_tpu.ops import dconv as D

@@ -35,7 +35,7 @@ def _sync(x):
     return float(jnp.sum(jax.tree.leaves(x)[0][..., :1]))
 
 
-def rt_ratio(pts: int, ir_len: int, scan_blocks: int = 64, reps: int = 8,
+def rt_ratio(pts: int, ir_len: int, scan_blocks: int = 512, reps: int = 4,
              tv: bool = True) -> float:
     """Real-time ratio of the (tv-)partitioned convolver at one sweep point."""
     import jax
