@@ -170,8 +170,9 @@ def _fft_mm(x: Cplx, sign: int) -> Cplx:
 
     re = shape_to(re, (n1, n2))
     im = shape_to(im, (n1, n2))
-    if _is_leaf(n1):
+    if _is_leaf(n1) and n1 >= _AXIS2_MIN_N1:
         # transpose-free first factor: contract n1 over axis -2 directly
+        # (wins ~20% at 2^20; hurts small transforms, hence the gate)
         re, im = _leaf_dft(re, im, sign, -2)             # (..., k1, n2)
     else:
         re = jnp.swapaxes(re, -1, -2)                    # (..., n2, n1)
@@ -289,6 +290,12 @@ _IMPLS = ("auto", "mm", "stockham", "xla")
 # Below this size, one matmul leaf is a full transform; the Stockham path
 # wins only for tiny batch*N where matmul setup dominates.
 _STOCKHAM_MAX = 8
+
+# Contract the first four-step factor over axis -2 (transpose-free) only
+# when the factor is at least this large: measured ~20% faster at 2^20
+# (n1=128/256) but ~2x slower for the small per-block transforms inside the
+# streaming convolver (n1=8..16).
+_AXIS2_MIN_N1 = 64
 
 
 def fft_split(x: Cplx, sign: int, impl: str = "auto") -> Cplx:
