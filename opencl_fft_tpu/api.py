@@ -28,7 +28,7 @@ from .ops.cplx import from_complex, to_complex
 from .ops.fft import cfft_split
 from .ops.rfft import irfft_split, rfft_split
 from .utils.devices import get_device
-from .utils.errors import ArgumentError, SizeError, Status
+from .utils.errors import SizeError, Status
 from .utils.logging import MessageCallback, resolve_callback
 from .utils.numerics import is_pow2
 

@@ -24,7 +24,6 @@ XLA collectives; no explicit queues/transfers (SURVEY §5.8 mapping).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
