@@ -111,6 +111,37 @@ def bench_dconv(irsize=512, vsize=512, scan_blocks=1880):
     return (vsize / SR) / per_block
 
 
+def bench_batched_serving(batch=64, pts=512, ir_len=1 << 17, scan_blocks=470):
+    """Serving throughput: `batch` independent channels convolving against
+    their own 2^17-tap IRs. Returns aggregate audio-seconds per wall second
+    (channels x per-channel RT factor)."""
+    import jax
+    import jax.numpy as jnp
+    from opencl_fft_tpu.models.convolver import batched_state, _vmapped, _vmapped_push
+    from opencl_fft_tpu.ops import pconv as P
+
+    cfg = P.PconvConfig.for_ir_length(ir_len, pts)
+    rng = np.random.default_rng(3)
+    irs = jnp.asarray(rng.standard_normal((batch, ir_len)) * 0.05, jnp.float32)
+    st0 = jax.jit(_vmapped_push(cfg))(batched_state(cfg, batch), irs)
+    base = jax.tree.map(np.asarray, st0)
+
+    def make_state():
+        return jax.tree.map(jnp.asarray, base)
+
+    step = _vmapped(P.pconv_step, cfg)
+
+    def stream(st, blocks):
+        return jax.lax.scan(lambda s, b: step(s, b), st, blocks)
+
+    blocks = jnp.asarray(rng.standard_normal((scan_blocks, batch, pts)) * 0.1,
+                         jnp.float32)
+    fn = jax.jit(stream, donate_argnums=(0,))
+    per_scan = _time_chained(fn, make_state, (blocks,))
+    per_block = per_scan / scan_blocks
+    return batch * (pts / SR) / per_block
+
+
 def bench_fft_sweep():
     """Batched FFT GFLOP/s (5 N log2 N convention), 2^10..2^20."""
     import jax
@@ -168,6 +199,10 @@ def main():
     rtf_d = bench_dconv()
     details["dconv_rt_factor_512tap"] = round(rtf_d, 1)
     print(f"dconv 512-tap: {rtf_d:.1f}x real time", file=sys.stderr)
+
+    agg = bench_batched_serving()
+    details["serving_64ch_audio_seconds_per_second"] = round(agg, 1)
+    print(f"serving 64ch 2^17-tap: {agg:.0f} aggregate audio-s/s", file=sys.stderr)
 
     details["fft_sweep"] = bench_fft_sweep()
 

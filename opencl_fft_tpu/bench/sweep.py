@@ -70,8 +70,10 @@ def rt_ratio(pts: int, ir_len: int, scan_blocks: int = 512, reps: int = 4,
         _sync(out)
         return time.time() - t0
 
-    t_short = run(2)
-    t_long = run(2 + reps)
+    # min over repeats masks relay jitter (state transfer per run can be
+    # 100+ MB for the largest IRs, and transfer time varies wildly)
+    t_short = min(run(1) for _ in range(3))
+    t_long = min(run(1 + reps) for _ in range(3))
     per_block = max(t_long - t_short, 1e-9) / (reps * scan_blocks)
     return (pts / SR) / per_block
 

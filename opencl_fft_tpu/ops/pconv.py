@@ -66,6 +66,9 @@ class PconvConfig:
     bin0_mode: str = "exact"
     impl: str = "auto"
     pallas: str = "auto"   # fused MAC kernel: "auto" | "on" | "off"
+    ring_dtype: str = "f32"  # spectral-ring storage: "f32" | "bf16"
+    # bf16 halves the ring bandwidth (the streaming bottleneck for long
+    # IRs) at ~1e-3 relative output error; products still accumulate in f32.
 
     def __post_init__(self):
         if not is_pow2(self.pts) or self.pts < 2:
@@ -76,10 +79,17 @@ class PconvConfig:
             raise ValueError(f"bin0_mode must be 'exact' or 'compat', got {self.bin0_mode}")
         if self.pallas not in ("auto", "on", "off"):
             raise ValueError(f"pallas must be 'auto'|'on'|'off', got {self.pallas}")
+        if self.ring_dtype not in ("f32", "bf16"):
+            raise ValueError(f"ring_dtype must be 'f32'|'bf16', got {self.ring_dtype}")
+
+    @property
+    def _ring_jdtype(self):
+        return jnp.bfloat16 if self.ring_dtype == "bf16" else jnp.float32
 
     def _use_pallas_mac(self) -> bool:
         from .pallas.mac import fits_vmem
-        if self.pallas == "off" or not fits_vmem(self.nparts, self.bins):
+        if (self.pallas == "off" or self.ring_dtype != "f32"
+                or not fits_vmem(self.nparts, self.bins)):
             return False
         # measured on v5e: XLA's fused dynamic_slice+reduce beats the pallas
         # kernel (~20 vs ~27 us/block at 2^17@512), so "auto" means XLA; the
@@ -128,7 +138,7 @@ def pconv_init(cfg: PconvConfig) -> PconvState:
     """Zero state; wp = 0, wp2 = nparts - 1 (cl_conv.cpp:144)."""
     def z(rows):
         # distinct buffers per field: donation requires unaliased arguments
-        return jnp.zeros((rows, cfg.bins), jnp.float32)
+        return jnp.zeros((rows, cfg.bins), cfg._ring_jdtype)
 
     return PconvState(
         spec_x_re=z(2 * cfg.nparts), spec_x_im=z(2 * cfg.nparts),
@@ -167,8 +177,8 @@ def push_ir(cfg: PconvConfig, state: PconvState, ir: Float) -> PconvState:
     hr, hi = _forward_partition(cfg, parts)          # (nparts, bins) batched
     slots = (state.wp2 - jnp.arange(cfg.nparts)) % cfg.nparts
     return state._replace(
-        spec_h_re=state.spec_h_re.at[slots].set(hr),
-        spec_h_im=state.spec_h_im.at[slots].set(hi),
+        spec_h_re=state.spec_h_re.at[slots].set(hr.astype(state.spec_h_re.dtype)),
+        spec_h_im=state.spec_h_im.at[slots].set(hi.astype(state.spec_h_im.dtype)),
         # wp2 decremented nparts times == unchanged (mod nparts)
     )
 
@@ -188,9 +198,11 @@ def _spectral_mac(cfg: PconvConfig, state: PconvState, rp: Float) -> Cplx:
             (state.spec_x_re, state.spec_x_im),
             (state.spec_h_re, state.spec_h_im), rp, b0_scale)
     # doubled ring: rows [rp, rp+nparts) are exactly frames (rp+q) % nparts
-    xr = jax.lax.dynamic_slice(state.spec_x_re, (rp, 0), (np_, cfg.bins))
-    xi = jax.lax.dynamic_slice(state.spec_x_im, (rp, 0), (np_, cfg.bins))
-    hr, hi = state.spec_h_re, state.spec_h_im
+    f32 = jnp.float32
+    xr = jax.lax.dynamic_slice(state.spec_x_re, (rp, 0), (np_, cfg.bins)).astype(f32)
+    xi = jax.lax.dynamic_slice(state.spec_x_im, (rp, 0), (np_, cfg.bins)).astype(f32)
+    hr = state.spec_h_re.astype(f32)
+    hi = state.spec_h_im.astype(f32)
     acc_r = jnp.sum(xr * hr - xi * hi, axis=0)
     acc_i = jnp.sum(xr * hi + xi * hr, axis=0)
     acc_r = acc_r.at[0].set(b0_scale * jnp.sum(xr[:, 0] * hr[:, 0]))
@@ -213,8 +225,9 @@ def _inverse_and_ola(cfg: PconvConfig, state: PconvState, acc: Cplx
 
 def _ring_write2(ring: Float, row: Float, wp: Float, nparts: int) -> Float:
     """Write one frame into the doubled ring: at wp and wp + nparts."""
-    ring = jax.lax.dynamic_update_slice(ring, row[None], (wp, 0))
-    return jax.lax.dynamic_update_slice(ring, row[None], (wp + nparts, 0))
+    row = row.astype(ring.dtype)[None]
+    ring = jax.lax.dynamic_update_slice(ring, row, (wp, 0))
+    return jax.lax.dynamic_update_slice(ring, row, (wp + nparts, 0))
 
 
 def pconv_step(cfg: PconvConfig, state: PconvState, block: Float
@@ -241,8 +254,10 @@ def pconv_step_tv(cfg: PconvConfig, state: PconvState, block_x: Float,
     fr, fi = _forward_partition(cfg, both)            # (2, bins)
     spec_x_re = _ring_write2(state.spec_x_re, fr[0], state.wp, cfg.nparts)
     spec_x_im = _ring_write2(state.spec_x_im, fi[0], state.wp, cfg.nparts)
-    spec_h_re = jax.lax.dynamic_update_slice(state.spec_h_re, fr[1][None], (state.wp2, 0))
-    spec_h_im = jax.lax.dynamic_update_slice(state.spec_h_im, fi[1][None], (state.wp2, 0))
+    spec_h_re = jax.lax.dynamic_update_slice(
+        state.spec_h_re, fr[1].astype(state.spec_h_re.dtype)[None], (state.wp2, 0))
+    spec_h_im = jax.lax.dynamic_update_slice(
+        state.spec_h_im, fi[1].astype(state.spec_h_im.dtype)[None], (state.wp2, 0))
     wp = (state.wp + 1) % cfg.nparts                  # cl_conv.cpp:516
     wp2 = (state.wp2 - 1) % cfg.nparts                # cl_conv.cpp:519
     state = state._replace(

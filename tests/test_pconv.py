@@ -206,3 +206,18 @@ def test_oneshot_equals_streaming():
     a = np.asarray(convolve_oneshot(x, h))
     b = np.asarray(pconv.convolve(x, h, 64))
     np.testing.assert_allclose(a, b, atol=5e-5 * np.max(np.abs(a)), rtol=0)
+
+
+def test_bf16_ring_mode():
+    """ring_dtype='bf16' halves ring bandwidth at ~1e-3 relative error."""
+    x = RNG.standard_normal(4096).astype(np.float32)
+    h = RNG.standard_normal(1024).astype(np.float32)
+    ref = sps.fftconvolve(x, h)
+    cfg = PconvConfig.for_ir_length(1024, 128, ring_dtype="bf16")
+    st = push_ir(cfg, pconv_init(cfg), jnp.asarray(h))
+    _, out = pconv_stream(cfg, st, jnp.asarray(x.reshape(-1, 128)))
+    got = np.asarray(out).reshape(-1)
+    err = np.max(np.abs(got - ref[: got.size])) / np.max(np.abs(ref))
+    assert err < 5e-3
+    with pytest.raises(ValueError):
+        PconvConfig(pts=16, nparts=2, ring_dtype="fp4")
