@@ -72,9 +72,14 @@ def rt_ratio(pts: int, ir_len: int, scan_blocks: int = 512, reps: int = 4,
 
     # min over repeats masks relay jitter (state transfer per run can be
     # 100+ MB for the largest IRs, and transfer time varies wildly)
-    t_short = min(run(1) for _ in range(3))
-    t_long = min(run(1 + reps) for _ in range(3))
-    per_block = max(t_long - t_short, 1e-9) / (reps * scan_blocks)
+    for _ in range(3):                         # retry nonsensical deltas
+        t_short = min(run(1) for _ in range(3))
+        t_long = min(run(1 + reps) for _ in range(3))
+        delta = t_long - t_short
+        # sanity: a block can't be faster than 0.2 us (bandwidth floor)
+        if delta > 0.2e-6 * reps * scan_blocks:
+            break
+    per_block = max(delta, 1e-9) / (reps * scan_blocks)
     return (pts / SR) / per_block
 
 

@@ -151,12 +151,14 @@ def dconv_step_tv(cfg: DconvConfig, state: DconvState, block_x: Float,
     return dconv_step(cfg, state._replace(coefs=coefs), block_x)
 
 
-def dconv_stream(cfg: DconvConfig, state: DconvState, blocks: Float
-                 ) -> Tuple[DconvState, Float]:
-    """Run many LTI blocks through a lax.scan. blocks: (nblocks, vsize)."""
+def dconv_stream(cfg: DconvConfig, state: DconvState, blocks: Float,
+                 unroll: int = 8) -> Tuple[DconvState, Float]:
+    """Run many LTI blocks through a lax.scan. blocks: (nblocks, vsize).
+
+    unroll amortizes the backend's per-iteration loop overhead."""
     def body(st, blk):
         return dconv_step(cfg, st, blk)
-    return jax.lax.scan(body, state, blocks)
+    return jax.lax.scan(body, state, blocks, unroll=unroll)
 
 
 def convolve_direct(signal: Float, ir: Float, vsize: int = 64) -> Float:

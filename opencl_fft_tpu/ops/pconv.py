@@ -274,21 +274,24 @@ def pconv_step_tv(cfg: PconvConfig, state: PconvState, block_x: Float,
 # benchmarks and the models layer.
 # ---------------------------------------------------------------------------
 
-def pconv_stream(cfg: PconvConfig, state: PconvState, blocks: Float
-                 ) -> Tuple[PconvState, Float]:
-    """Run many LTI blocks through a lax.scan. blocks: (nblocks, pts)."""
+def pconv_stream(cfg: PconvConfig, state: PconvState, blocks: Float,
+                 unroll: int = 8) -> Tuple[PconvState, Float]:
+    """Run many LTI blocks through a lax.scan. blocks: (nblocks, pts).
+
+    unroll amortizes this backend's ~15 us loop-iteration overhead over
+    several blocks (the per-block math itself is ~5 us at 2^17 taps)."""
     def body(st, blk):
         return pconv_step(cfg, st, blk)
-    return jax.lax.scan(body, state, blocks)
+    return jax.lax.scan(body, state, blocks, unroll=unroll)
 
 
 def pconv_stream_tv(cfg: PconvConfig, state: PconvState, blocks_x: Float,
-                    blocks_h: Float) -> Tuple[PconvState, Float]:
+                    blocks_h: Float, unroll: int = 8) -> Tuple[PconvState, Float]:
     """Run many TV blocks through a lax.scan."""
     def body(st, blks):
         return pconv_step_tv(cfg, st, blks[0], blks[1])
     stacked = jnp.stack([blocks_x, blocks_h], axis=1)  # (nblocks, 2, pts)
-    return jax.lax.scan(body, state, stacked)
+    return jax.lax.scan(body, state, stacked, unroll=unroll)
 
 
 def convolve_oneshot(signal: Float, ir: Float, impl: str = "auto") -> Float:
