@@ -85,6 +85,19 @@ class Convolver:
         self.state, out = self._step(self.state, blocks)
         return out
 
+    def stream(self, blocks: Float, unroll: int = 8) -> Float:
+        """Offline rendering: scan over (nblocks, batch, pts) on device."""
+        step = _vmapped(_p.pconv_step, self.cfg)
+
+        @functools.partial(jax.jit, static_argnums=2, donate_argnums=0)
+        def run(state, blocks, unroll):
+            return jax.lax.scan(lambda s, b: step(s, b), state, blocks,
+                                unroll=unroll)
+
+        self.state, out = run(self.state, jnp.asarray(blocks, jnp.float32),
+                              unroll)
+        return out
+
 
 def _vmapped_push(cfg):
     def wrapped(state, irs):
@@ -116,6 +129,20 @@ class TVConvolver:
     def step(self, blocks_x: Float, blocks_h: Float) -> Float:
         """(batch, pts) x 2 -> (batch, pts)."""
         self.state, out = self._step(self.state, blocks_x, blocks_h)
+        return out
+
+    def stream(self, blocks_x: Float, blocks_h: Float, unroll: int = 8) -> Float:
+        """Offline rendering: scan over (nblocks, batch, pts) pairs."""
+        step = _vmapped(_p.pconv_step_tv, self.cfg)
+
+        @functools.partial(jax.jit, static_argnums=2, donate_argnums=0)
+        def run(state, stacked, unroll):
+            return jax.lax.scan(lambda s, b: step(s, b[0], b[1]), state,
+                                stacked, unroll=unroll)
+
+        stacked = jnp.stack([jnp.asarray(blocks_x, jnp.float32),
+                             jnp.asarray(blocks_h, jnp.float32)], axis=1)
+        self.state, out = run(self.state, stacked, unroll)
         return out
 
     def step_fn(self):

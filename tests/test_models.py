@@ -47,3 +47,34 @@ def test_batched_fft_model():
     ref = np.fft.fft(x)
     got = np.asarray(re) + 1j * np.asarray(im)
     np.testing.assert_allclose(got, ref, atol=2e-5 * np.max(np.abs(ref)), rtol=0)
+
+
+def test_convolver_stream_matches_steps():
+    pts, nparts, batch = 16, 2, 2
+    cfg = P.PconvConfig.for_ir_length(pts * nparts, pts)
+    irs = RNG.standard_normal((batch, cfg.cvs)).astype(np.float32)
+    blocks = RNG.standard_normal((6, batch, pts)).astype(np.float32)
+
+    c1 = Convolver(cfg, batch)
+    c1.push_ir(irs)
+    step_outs = np.stack([np.asarray(c1.step(b)) for b in blocks])
+
+    c2 = Convolver(cfg, batch)
+    c2.push_ir(irs)
+    stream_outs = np.asarray(c2.stream(blocks))
+    np.testing.assert_allclose(stream_outs, step_outs,
+                               atol=2e-5 * np.max(np.abs(step_outs)), rtol=0)
+
+
+def test_tvconvolver_stream_matches_steps():
+    pts, nparts, batch = 16, 2, 2
+    cfg = P.PconvConfig.for_ir_length(pts * nparts, pts)
+    bx = RNG.standard_normal((6, batch, pts)).astype(np.float32)
+    bh = RNG.standard_normal((6, batch, pts)).astype(np.float32)
+
+    t1 = TVConvolver(cfg, batch)
+    step_outs = np.stack([np.asarray(t1.step(bx[i], bh[i])) for i in range(6)])
+    t2 = TVConvolver(cfg, batch)
+    stream_outs = np.asarray(t2.stream(bx, bh))
+    np.testing.assert_allclose(stream_outs, step_outs,
+                               atol=2e-5 * np.max(np.abs(step_outs)), rtol=0)
