@@ -90,6 +90,12 @@ def run_sweep(parts_list, ir_list, tv=True, out_prefix="sweep"):
             if L < pts:
                 continue
             r = rt_ratio(pts, L, tv=tv)
+            if r > 1e5:                      # implausible: timing glitch
+                r = rt_ratio(pts, L, tv=tv)  # one clean retry
+            if r > 1e5:
+                print(f"  M={pts} L=2^{int(np.log2(L))}: unmeasurable "
+                      f"(relay glitch)", file=sys.stderr, flush=True)
+                continue
             results[f"M={pts},L=2^{int(np.log2(L))}"] = round(r, 1)
             print(f"  M={pts:6d} L=2^{int(np.log2(L)):2d}: {r:10.1f}x realtime",
                   file=sys.stderr, flush=True)

@@ -20,8 +20,10 @@ kernels, and split planes keep 128-lane-friendly layouts. Three paths:
 ``xla``       ``jnp.fft`` builtin — host/CPU comparison only (the axon TPU
               backend does not implement the FFT op).
 
-All paths are batched over leading axes and jit-compatible (static shapes,
-no data-dependent control flow).
+Non-power-of-two sizes run through a Bluestein chirp-z built on the ``mm``
+core (beyond parity — the reference rounds sizes up instead). All paths are
+batched over leading axes and jit-compatible (static shapes, no
+data-dependent control flow).
 """
 
 from __future__ import annotations
