@@ -269,6 +269,70 @@ def pconv_step_tv(cfg: PconvConfig, state: PconvState, block_x: Float,
     return state._replace(tail=tail), out
 
 
+def pconv_chunk(cfg: PconvConfig, state: PconvState, blocks: Float
+                ) -> Tuple[PconvState, Float]:
+    """Process K consecutive LTI blocks in one fused call (K <= nparts).
+
+    Bit-equivalent to K sequential pconv_step calls but with one batched
+    forward/inverse transform pair and a vectorized overlap-add — the
+    middle ground between per-block streaming (pts-sample latency) and
+    convolve_oneshot (whole-signal latency). Latency becomes K blocks.
+
+    Derivation: the sequential MAC (cl_conv_kernels.h:102-118 pairing)
+    reduces to out_t = sum_j H[j] (*) S_{t-(nparts-1)+j}, i.e. a sliding
+    complex dot of the stored coefficient frames against the frame
+    timeline; a K-chunk needs the nparts-1 previous frames (from the ring)
+    plus the K new ones.
+    """
+    blocks = jnp.asarray(blocks, jnp.float32)
+    k = blocks.shape[0]
+    np_ = cfg.nparts
+    if k < 1 or k > np_:
+        raise ValueError(f"chunk size must be in [1, nparts={np_}], got {k}")
+    f32 = jnp.float32
+
+    fr, fi = _forward_partition(cfg, blocks)           # (K, bins)
+
+    # timeline C: nparts-1 most recent old frames (ascending time) + new.
+    # Old frame t0-1-m lives at ring slot (wp-1-m) % np; ascending time
+    # order is slots (wp+1+i) % np, i = 0..np-2 — one contiguous window of
+    # the doubled ring starting at row wp+1.
+    def timeline(plane2, new):
+        old = jax.lax.dynamic_slice(plane2, (state.wp + 1, 0),
+                                    (np_ - 1, cfg.bins)).astype(f32)
+        return jnp.concatenate([old, new], axis=0)     # (np-1+K, bins)
+
+    cr = timeline(state.spec_x_re, fr)
+    ci = timeline(state.spec_x_im, fi)
+    hr = state.spec_h_re.astype(f32)
+    hi = state.spec_h_im.astype(f32)
+    b0 = 2.0 if cfg.bin0_mode == "exact" else 1.0
+
+    accs_r, accs_i = [], []
+    for kk in range(k):                                 # K static MACs
+        xr = jax.lax.dynamic_slice(cr, (kk, 0), (np_, cfg.bins))
+        xi = jax.lax.dynamic_slice(ci, (kk, 0), (np_, cfg.bins))
+        ar = jnp.sum(xr * hr - xi * hi, axis=0)
+        ai = jnp.sum(xr * hi + xi * hr, axis=0)
+        ar = ar.at[0].set(b0 * jnp.sum(xr[:, 0] * hr[:, 0]))
+        ai = ai.at[0].set(b0 * jnp.sum(xi[:, 0] * hi[:, 0]))
+        accs_r.append(ar)
+        accs_i.append(ai)
+
+    y = irfft_split((jnp.stack(accs_r), jnp.stack(accs_i)), cfg.impl)  # (K, 2pts)
+    tails = jnp.concatenate([state.tail[None], y[:-1, cfg.pts:]], axis=0)
+    outs = (y[:, : cfg.pts] + tails) / cfg.pts
+
+    # ring update: frames k land at slots (wp+k) % np (doubled write)
+    sxr, sxi, wp = state.spec_x_re, state.spec_x_im, state.wp
+    for kk in range(k):
+        sxr = _ring_write2(sxr, fr[kk], wp, np_)
+        sxi = _ring_write2(sxi, fi[kk], wp, np_)
+        wp = (wp + 1) % np_
+    return state._replace(spec_x_re=sxr, spec_x_im=sxi, wp=wp,
+                          tail=y[-1, cfg.pts:]), outs
+
+
 # ---------------------------------------------------------------------------
 # Batch conveniences (scan over blocks) — the "offline" view used by tests,
 # benchmarks and the models layer.

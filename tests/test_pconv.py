@@ -221,3 +221,33 @@ def test_bf16_ring_mode():
     assert err < 5e-3
     with pytest.raises(ValueError):
         PconvConfig(pts=16, nparts=2, ring_dtype="fp4")
+
+
+@pytest.mark.parametrize("k", [1, 3, 8])
+def test_chunk_bitwise_equals_sequential(k):
+    """pconv_chunk(K blocks) must reproduce K sequential steps exactly."""
+    from opencl_fft_tpu.ops.pconv import pconv_chunk
+    pts, nparts = 32, 8
+    cfg = PconvConfig.for_ir_length(pts * nparts, pts)
+    ir = RNG.standard_normal(cfg.cvs).astype(np.float32)
+    blocks = RNG.standard_normal((24, pts)).astype(np.float32)
+    st = push_ir(cfg, pconv_init(cfg), jnp.asarray(ir))
+    seq = []
+    for b in blocks:
+        st, o = pconv_step(cfg, st, jnp.asarray(b))
+        seq.append(np.asarray(o))
+    seq = np.stack(seq)
+    st2 = push_ir(cfg, pconv_init(cfg), jnp.asarray(ir))
+    outs = []
+    for i in range(0, 24, k):
+        st2, o = pconv_chunk(cfg, st2, jnp.asarray(blocks[i: i + k]))
+        outs.append(np.asarray(o))
+    np.testing.assert_array_equal(np.concatenate(outs), seq)
+
+
+def test_chunk_size_validation():
+    from opencl_fft_tpu.ops.pconv import pconv_chunk
+    cfg = PconvConfig.for_ir_length(64, 16)   # nparts = 4
+    st = pconv_init(cfg)
+    with pytest.raises(ValueError):
+        pconv_chunk(cfg, st, np.zeros((5, 16), np.float32))
