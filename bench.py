@@ -111,6 +111,33 @@ def bench_dconv(irsize=512, vsize=512, scan_blocks=1880):
     return (vsize / SR) / per_block
 
 
+def bench_pconv_chunk(pts=512, ir_len=1 << 17, K=8, scan_blocks=1880,
+                      ring_dtype="f32"):
+    """Chunked streaming (K blocks per fused call, K-block latency)."""
+    import jax
+    import jax.numpy as jnp
+    from opencl_fft_tpu.ops import pconv as P
+
+    cfg = P.PconvConfig.for_ir_length(ir_len, pts, ring_dtype=ring_dtype)
+    rng = np.random.default_rng(0)
+    ir = jnp.asarray(rng.standard_normal(ir_len), jnp.float32)
+    base = jax.tree.map(np.asarray, P.push_ir(cfg, P.pconv_init(cfg), ir))
+
+    def make_state():
+        return jax.tree.map(jnp.asarray, base)
+
+    blocks = jnp.asarray(
+        rng.standard_normal((scan_blocks // K, K, pts)) * 0.1, jnp.float32)
+
+    def chunked(st, chunks):
+        return jax.lax.scan(lambda s, c: P.pconv_chunk(cfg, s, c), st, chunks)
+
+    fn = jax.jit(chunked, donate_argnums=(0,))
+    per_scan = _time_chained(fn, make_state, (blocks,))
+    per_block = per_scan / (blocks.shape[0] * K)
+    return (pts / SR) / per_block
+
+
 def bench_batched_serving(batch=64, pts=512, ir_len=1 << 17, scan_blocks=470):
     """Serving throughput: `batch` independent channels convolving against
     their own 2^17-tap IRs. Returns aggregate audio-seconds per wall second
@@ -203,6 +230,14 @@ def main():
     agg = bench_batched_serving()
     details["serving_64ch_audio_seconds_per_second"] = round(agg, 1)
     print(f"serving 64ch 2^17-tap: {agg:.0f} aggregate audio-s/s", file=sys.stderr)
+
+    rtf_c = bench_pconv_chunk()
+    details["pconv_chunk8_rt_factor"] = round(rtf_c, 1)
+    print(f"pconv chunked K=8: {rtf_c:.1f}x real time", file=sys.stderr)
+
+    rtf_cb = bench_pconv_chunk(ring_dtype="bf16")
+    details["pconv_chunk8_bf16_rt_factor"] = round(rtf_cb, 1)
+    print(f"pconv chunked K=8 bf16: {rtf_cb:.1f}x real time", file=sys.stderr)
 
     details["fft_sweep"] = bench_fft_sweep()
 
