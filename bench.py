@@ -191,17 +191,20 @@ def bench_fft_sweep():
                 return r * s, i_ * s
             return jax.lax.fori_loop(0, iters, body, x)
 
-        iters = 80 if logn <= 14 else 30
+        iters = 200 if logn <= 14 else 50
         _sync(run((re, im), 1))
         _sync(run((re, im), iters))
 
-        def best(k, tries=3):
+        def best(k, tries=4):
             ts = []
             for _ in range(tries):
                 t0 = time.time(); _sync(run((re, im), k)); ts.append(time.time() - t0)
             return min(ts)                     # min masks relay jitter
 
         dt = (best(iters) - best(1)) / (iters - 1)
+        if dt <= 0:                            # jitter swamped the delta
+            dt = (best(2 * iters) - best(1)) / (2 * iters - 1)
+        dt = max(dt, 1e-9)
         gflops = 5 * n * logn * batch / dt / 1e9
         results[f"2^{logn}"] = {"batch": batch, "us": round(dt * 1e6, 1),
                                 "gflops": round(gflops, 1)}
