@@ -23,7 +23,8 @@ from .ops.fft import cfft, fft, ifft, fft_split, cfft_split
 from .ops.rfft import rfft, irfft, rfft_split, irfft_split
 from .ops.pconv import (PconvConfig, PconvState, pconv_init, pconv_step,
                         pconv_step_tv, pconv_stream, pconv_stream_tv,
-                        push_ir, convolve, convolve_oneshot, pconv_chunk)
+                        push_ir, convolve, convolve_oneshot, pconv_chunk,
+                        pconv_chunk_tv)
 from .ops.stft import stft, istft, spectrogram
 from .ops.dconv import (DconvConfig, DconvState, dconv_init, dconv_step,
                         dconv_step_tv, dconv_stream, convolve_direct)
@@ -40,7 +41,8 @@ __all__ = [
     "rfft", "irfft", "rfft_split", "irfft_split",
     "PconvConfig", "PconvState", "pconv_init", "pconv_step", "pconv_step_tv",
     "pconv_stream", "pconv_stream_tv", "push_ir", "convolve",
-    "convolve_oneshot", "pconv_chunk", "stft", "istft", "spectrogram",
+    "convolve_oneshot", "pconv_chunk", "pconv_chunk_tv", "stft", "istft",
+    "spectrogram",
     "DconvConfig", "DconvState", "dconv_init", "dconv_step", "dconv_step_tv",
     "dconv_stream", "convolve_direct",
     "ClfftProcessor", "ClrfftProcessor", "ClconvProcessor", "CltvconvProcessor",

@@ -333,6 +333,79 @@ def pconv_chunk(cfg: PconvConfig, state: PconvState, blocks: Float
                           tail=y[-1, cfg.pts:]), outs
 
 
+def pconv_chunk_tv(cfg: PconvConfig, state: PconvState, blocks_x: Float,
+                   blocks_h: Float) -> Tuple[PconvState, Float]:
+    """Process K consecutive TIME-VARYING blocks in one fused call.
+
+    Bit-equivalent to K sequential pconv_step_tv calls. The input-ring
+    timeline works exactly as in pconv_chunk; the coefficient ring rotates
+    the other way (wp2--, cl_conv.cpp:519), so for block k of the chunk,
+    slot q holds the chunk's own h-frame d = (wp2 - q) mod nparts when
+    d <= k, and the pre-chunk ring content otherwise.
+    """
+    blocks_x = jnp.asarray(blocks_x, jnp.float32)
+    blocks_h = jnp.asarray(blocks_h, jnp.float32)
+    k = blocks_x.shape[0]
+    np_ = cfg.nparts
+    if k < 1 or k > np_:
+        raise ValueError(f"chunk size must be in [1, nparts={np_}], got {k}")
+    if blocks_h.shape != blocks_x.shape:
+        raise ValueError("operand block arrays must have identical shapes")
+    f32 = jnp.float32
+
+    both = jnp.stack([blocks_x, blocks_h], axis=1)       # (K, 2, pts)
+    fr, fi = _forward_partition(cfg, both)               # (K, 2, bins)
+    fxr, fxi = fr[:, 0], fi[:, 0]
+    fhr, fhi = fr[:, 1], fi[:, 1]
+
+    def timeline(plane2, new):
+        old = jax.lax.dynamic_slice(plane2, (state.wp + 1, 0),
+                                    (np_ - 1, cfg.bins)).astype(f32)
+        return jnp.concatenate([old, new], axis=0)
+
+    cr = timeline(state.spec_x_re, fxr)
+    ci = timeline(state.spec_x_im, fxi)
+
+    # coefficient-frame selection: slot q's chunk-local write time
+    d = (state.wp2 - jnp.arange(np_)) % np_              # (np,)
+    dcl = jnp.clip(d, 0, k - 1)
+    hnew_r = jnp.take(fhr, dcl, axis=0)                  # (np, bins)
+    hnew_i = jnp.take(fhi, dcl, axis=0)
+    hold_r = state.spec_h_re.astype(f32)
+    hold_i = state.spec_h_im.astype(f32)
+    b0 = 2.0 if cfg.bin0_mode == "exact" else 1.0
+
+    accs_r, accs_i = [], []
+    for kk in range(k):
+        sel = (d <= kk)[:, None]
+        hr = jnp.where(sel, hnew_r, hold_r)
+        hi = jnp.where(sel, hnew_i, hold_i)
+        xr = jax.lax.dynamic_slice(cr, (kk, 0), (np_, cfg.bins))
+        xi = jax.lax.dynamic_slice(ci, (kk, 0), (np_, cfg.bins))
+        ar = jnp.sum(xr * hr - xi * hi, axis=0)
+        ai = jnp.sum(xr * hi + xi * hr, axis=0)
+        ar = ar.at[0].set(b0 * jnp.sum(xr[:, 0] * hr[:, 0]))
+        ai = ai.at[0].set(b0 * jnp.sum(xi[:, 0] * hi[:, 0]))
+        accs_r.append(ar)
+        accs_i.append(ai)
+
+    y = irfft_split((jnp.stack(accs_r), jnp.stack(accs_i)), cfg.impl)
+    tails = jnp.concatenate([state.tail[None], y[:-1, cfg.pts:]], axis=0)
+    outs = (y[:, : cfg.pts] + tails) / cfg.pts
+
+    sxr, sxi, wp = state.spec_x_re, state.spec_x_im, state.wp
+    for kk in range(k):
+        sxr = _ring_write2(sxr, fxr[kk], wp, np_)
+        sxi = _ring_write2(sxi, fxi[kk], wp, np_)
+        wp = (wp + 1) % np_
+    sel = (d <= k - 1)[:, None]
+    shr = jnp.where(sel, hnew_r.astype(state.spec_h_re.dtype), state.spec_h_re)
+    shi = jnp.where(sel, hnew_i.astype(state.spec_h_im.dtype), state.spec_h_im)
+    return state._replace(
+        spec_x_re=sxr, spec_x_im=sxi, spec_h_re=shr, spec_h_im=shi,
+        wp=wp, wp2=(state.wp2 - k) % np_, tail=y[-1, cfg.pts:]), outs
+
+
 # ---------------------------------------------------------------------------
 # Batch conveniences (scan over blocks) — the "offline" view used by tests,
 # benchmarks and the models layer.

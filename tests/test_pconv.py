@@ -251,3 +251,26 @@ def test_chunk_size_validation():
     st = pconv_init(cfg)
     with pytest.raises(ValueError):
         pconv_chunk(cfg, st, np.zeros((5, 16), np.float32))
+
+
+@pytest.mark.parametrize("k", [1, 3, 8])
+def test_chunk_tv_bitwise_equals_sequential(k):
+    """pconv_chunk_tv must reproduce K sequential TV steps exactly,
+    including the opposing ring rotations (wp++ / wp2--)."""
+    from opencl_fft_tpu.ops.pconv import pconv_chunk_tv
+    pts, nparts = 32, 8
+    cfg = PconvConfig.for_ir_length(pts * nparts, pts)
+    bx = RNG.standard_normal((24, pts)).astype(np.float32)
+    bh = RNG.standard_normal((24, pts)).astype(np.float32)
+    st = pconv_init(cfg)
+    seq = []
+    for i in range(24):
+        st, o = pconv_step_tv(cfg, st, jnp.asarray(bx[i]), jnp.asarray(bh[i]))
+        seq.append(np.asarray(o))
+    st2 = pconv_init(cfg)
+    outs = []
+    for i in range(0, 24, k):
+        st2, o = pconv_chunk_tv(cfg, st2, jnp.asarray(bx[i: i + k]),
+                                jnp.asarray(bh[i: i + k]))
+        outs.append(np.asarray(o))
+    np.testing.assert_array_equal(np.concatenate(outs), np.stack(seq))
