@@ -12,10 +12,13 @@ Run:  python examples/tvconv_demo.py [out.wav]
 
 from __future__ import annotations
 
+import os
 import sys
 import wave
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from opencl_fft_tpu.stream import CltvconvProcessor
 
