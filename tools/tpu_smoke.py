@@ -110,6 +110,38 @@ def main():
                     (np.max(np.abs(exp)) + 1e-9))
     check("tvconv vs reference model", worst, 5e-4)
 
+    # chunked modes bit-match sequential streaming on device
+    cfg2 = P.PconvConfig.for_ir_length(64 * 8, 64)
+    irc = rng.standard_normal(64 * 8).astype(np.float32)
+    bx = rng.standard_normal((16, 64)).astype(np.float32)
+    bh = rng.standard_normal((16, 64)).astype(np.float32)
+    st_a = P.push_ir(cfg2, P.pconv_init(cfg2), jnp.asarray(irc))
+    seq = []
+    for b in bx:
+        st_a, o = P.pconv_step(cfg2, st_a, jnp.asarray(b))
+        seq.append(np.asarray(o))
+    st_b = P.push_ir(cfg2, P.pconv_init(cfg2), jnp.asarray(irc))
+    ch = []
+    for i in range(0, 16, 8):
+        st_b, o = P.pconv_chunk(cfg2, st_b, jnp.asarray(bx[i:i + 8]))
+        ch.append(np.asarray(o))
+    d = np.max(np.abs(np.concatenate(ch) - np.stack(seq)))
+    check("pconv_chunk == sequential", d / (np.max(np.abs(seq)) + 1e-9), 1e-6)
+
+    st_c = P.pconv_init(cfg2)
+    seq_tv = []
+    for i in range(16):
+        st_c, o = P.pconv_step_tv(cfg2, st_c, jnp.asarray(bx[i]), jnp.asarray(bh[i]))
+        seq_tv.append(np.asarray(o))
+    st_d = P.pconv_init(cfg2)
+    ch_tv = []
+    for i in range(0, 16, 8):
+        st_d, o = P.pconv_chunk_tv(cfg2, st_d, jnp.asarray(bx[i:i + 8]),
+                                   jnp.asarray(bh[i:i + 8]))
+        ch_tv.append(np.asarray(o))
+    d = np.max(np.abs(np.concatenate(ch_tv) - np.stack(seq_tv)))
+    check("pconv_chunk_tv == sequential", d / (np.max(np.abs(seq_tv)) + 1e-9), 1e-6)
+
     print(f"\n{'ALL PASS' if not FAILED else 'FAILURES: ' + ', '.join(FAILED)}")
     sys.exit(1 if FAILED else 0)
 
