@@ -85,8 +85,31 @@ class Convolver:
         self.state, out = self._step(self.state, blocks)
         return out
 
-    def stream(self, blocks: Float, unroll: int = 8) -> Float:
-        """Offline rendering: scan over (nblocks, batch, pts) on device."""
+    def stream(self, blocks: Float, unroll: int = 8, chunk: int = 1) -> Float:
+        """Offline rendering: scan over (nblocks, batch, pts) on device.
+
+        chunk > 1 groups that many blocks per fused pconv_chunk call
+        (bit-equal to per-block streaming; requires nblocks % chunk == 0
+        and chunk <= nparts)."""
+        blocks = jnp.asarray(blocks, jnp.float32)
+        if chunk > 1:
+            n, b, pts = blocks.shape
+            if n % chunk:
+                raise ValueError(f"nblocks {n} must be a multiple of chunk {chunk}")
+            step = _vmapped(_p.pconv_chunk, self.cfg)
+            # per-channel chunk arg is (chunk, pts): move batch to front
+            chunks = blocks.reshape(n // chunk, chunk, b, pts).swapaxes(1, 2)
+
+            @functools.partial(jax.jit, static_argnums=2, donate_argnums=0)
+            def run(state, chunks, unroll):
+                st, outs = jax.lax.scan(lambda s, c: step(s, c), state, chunks,
+                                        unroll=unroll)
+                return st, outs                      # (n/chunk, b, chunk, pts)
+
+            self.state, out = run(self.state, chunks, max(1, unroll // chunk))
+            out = out.swapaxes(1, 2).reshape(n, b, pts)
+            return out
+
         step = _vmapped(_p.pconv_step, self.cfg)
 
         @functools.partial(jax.jit, static_argnums=2, donate_argnums=0)
@@ -94,8 +117,7 @@ class Convolver:
             return jax.lax.scan(lambda s, b: step(s, b), state, blocks,
                                 unroll=unroll)
 
-        self.state, out = run(self.state, jnp.asarray(blocks, jnp.float32),
-                              unroll)
+        self.state, out = run(self.state, blocks, unroll)
         return out
 
 

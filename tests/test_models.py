@@ -78,3 +78,23 @@ def test_tvconvolver_stream_matches_steps():
     stream_outs = np.asarray(t2.stream(bx, bh))
     np.testing.assert_allclose(stream_outs, step_outs,
                                atol=2e-5 * np.max(np.abs(step_outs)), rtol=0)
+
+
+def test_convolver_stream_chunked_matches_per_block():
+    pts, nparts, batch = 16, 4, 2
+    cfg = P.PconvConfig.for_ir_length(pts * nparts, pts)
+    irs = RNG.standard_normal((batch, cfg.cvs)).astype(np.float32)
+    blocks = RNG.standard_normal((8, batch, pts)).astype(np.float32)
+    c1 = Convolver(cfg, batch)
+    c1.push_ir(irs)
+    a = np.asarray(c1.stream(blocks))
+    c2 = Convolver(cfg, batch)
+    c2.push_ir(irs)
+    b = np.asarray(c2.stream(blocks, chunk=4))
+    # same math; vmapped-scan fusion differs -> f32 noise only
+    np.testing.assert_allclose(b, a, atol=2e-5 * np.max(np.abs(a)), rtol=0)
+    c3 = Convolver(cfg, batch)
+    c3.push_ir(irs)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        c3.stream(blocks[:7], chunk=4)     # 7 not a multiple of 4
