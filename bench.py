@@ -38,11 +38,22 @@ def _sync(x):
     return float(jnp.sum(jax.tree.leaves(x)[0][..., :1]))
 
 
-def _time_chained(fn, make_state, args, reps=4, warm=1):
-    """Seconds per fn() call: chain state through repeated async dispatches,
-    sync once, subtract a short chain to cancel dispatch+sync overhead."""
-    import jax
+class Unmeasurable(RuntimeError):
+    """Timing delta fell below the physical floor after retries: relay
+    jitter swamped the measurement. Callers OMIT the metric (loudly)
+    rather than publish a garbage number."""
 
+
+def _time_chained(fn, make_state, args, reps=4, warm=1, floor_s=0.0, tries=3):
+    """Seconds per fn() call: chain state through repeated async dispatches,
+    sync once, subtract a short chain to cancel dispatch+sync overhead.
+
+    floor_s is the minimum physically plausible seconds per call (e.g. the
+    HBM-bandwidth bound on the bytes the call must touch). Deltas at or
+    below the floor are rejected and retried with a longer chain; if the
+    measurement never clears the floor, raises Unmeasurable instead of
+    publishing a clamped value (the round-1 failure mode: a noise-poisoned
+    non-positive delta clamped to 1 ns shipped as 1.28e12 'results')."""
     st, out = fn(make_state(), *args)
     _sync(out)                                   # compile + warm
 
@@ -55,9 +66,27 @@ def _time_chained(fn, make_state, args, reps=4, warm=1):
         _sync(out)
         return time.time() - t0
 
-    t_short = run(warm)
-    t_long = run(warm + reps)
-    return max(t_long - t_short, 1e-9) / reps
+    floor = max(floor_s, 1e-7)
+    dt = -1.0
+    for _ in range(tries):
+        t_short = min(run(warm) for _ in range(3))
+        t_long = min(run(warm + reps) for _ in range(3))
+        dt = (t_long - t_short) / reps
+        if dt > floor:
+            return dt
+        reps *= 2                                # longer chain, retry
+    raise Unmeasurable(
+        f"timing delta {dt:.3e}s/call at or below physical floor "
+        f"{floor:.3e}s after {tries} tries")
+
+
+def _mac_floor_s(nparts, bins, blocks, batch=1, bw=3e12):
+    """Lower bound on seconds per call for a pconv-style streamed scan:
+    the spectral MAC must read 4 ring planes (x/h, re/im) per block. bw is
+    deliberately ~5x the measured ~600 GB/s HBM so the floor only rejects
+    physically impossible numbers, never merely fast ones."""
+    bytes_per_block = 4 * nparts * bins * 4 * batch
+    return max(blocks * bytes_per_block / bw, 0.2e-6 * blocks)
 
 
 def bench_pconv_rt(pts=512, ir_len=1 << 17, tv=False, scan_blocks=1880):
@@ -83,7 +112,9 @@ def bench_pconv_rt(pts=512, ir_len=1 << 17, tv=False, scan_blocks=1880):
         fn = jax.jit(partial(P.pconv_stream, cfg), donate_argnums=(0,))
         args = (blocks,)
 
-    per_scan = _time_chained(fn, make_state, args)
+    per_scan = _time_chained(
+        fn, make_state, args,
+        floor_s=_mac_floor_s(cfg.nparts, cfg.bins, scan_blocks))
     per_block = per_scan / scan_blocks
     return (pts / SR) / per_block, per_block
 
@@ -106,7 +137,8 @@ def bench_dconv(irsize=512, vsize=512, scan_blocks=1880):
     blocks = jnp.asarray(rng.standard_normal((scan_blocks, vsize)) * 0.1,
                          jnp.float32)
     fn = jax.jit(partial(D.dconv_stream, cfg), donate_argnums=(0,))
-    per_scan = _time_chained(fn, make_state, (blocks,))
+    per_scan = _time_chained(fn, make_state, (blocks,),
+                             floor_s=0.2e-6 * scan_blocks)
     per_block = per_scan / scan_blocks
     return (vsize / SR) / per_block
 
@@ -133,8 +165,12 @@ def bench_pconv_chunk(pts=512, ir_len=1 << 17, K=8, scan_blocks=1880,
         return jax.lax.scan(lambda s, c: P.pconv_chunk(cfg, s, c), st, chunks)
 
     fn = jax.jit(chunked, donate_argnums=(0,))
-    per_scan = _time_chained(fn, make_state, (blocks,))
-    per_block = per_scan / (blocks.shape[0] * K)
+    nblocks = blocks.shape[0] * K
+    ring_bytes = 2 if ring_dtype == "bf16" else 4
+    floor = max(nblocks * 4 * cfg.nparts * cfg.bins * ring_bytes / 3e12,
+                0.2e-6 * nblocks)
+    per_scan = _time_chained(fn, make_state, (blocks,), floor_s=floor)
+    per_block = per_scan / nblocks
     return (pts / SR) / per_block
 
 
@@ -164,7 +200,9 @@ def bench_batched_serving(batch=64, pts=512, ir_len=1 << 17, scan_blocks=470):
     blocks = jnp.asarray(rng.standard_normal((scan_blocks, batch, pts)) * 0.1,
                          jnp.float32)
     fn = jax.jit(stream, donate_argnums=(0,))
-    per_scan = _time_chained(fn, make_state, (blocks,))
+    per_scan = _time_chained(
+        fn, make_state, (blocks,),
+        floor_s=_mac_floor_s(cfg.nparts, cfg.bins, scan_blocks, batch=batch))
     per_block = per_scan / scan_blocks
     return batch * (pts / SR) / per_block
 
@@ -201,10 +239,17 @@ def bench_fft_sweep():
                 t0 = time.time(); _sync(run((re, im), k)); ts.append(time.time() - t0)
             return min(ts)                     # min masks relay jitter
 
+        # physical floor: each iteration moves >= 2x the 64MB split-complex
+        # working set through HBM (generous 3 TB/s => only impossible
+        # numbers are rejected)
+        floor = batch * n * 8 * 2 / 3e12
         dt = (best(iters) - best(1)) / (iters - 1)
-        if dt <= 0:                            # jitter swamped the delta
+        if dt <= floor:                        # jitter swamped the delta
             dt = (best(2 * iters) - best(1)) / (2 * iters - 1)
-        dt = max(dt, 1e-9)
+        if dt <= floor:
+            print(f"  fft 2^{logn}: unmeasurable (relay glitch), omitted",
+                  file=sys.stderr)
+            continue
         gflops = 5 * n * logn * batch / dt / 1e9
         results[f"2^{logn}"] = {"batch": batch, "us": round(dt * 1e6, 1),
                                 "gflops": round(gflops, 1)}
@@ -213,39 +258,54 @@ def bench_fft_sweep():
     return results
 
 
+def _measure(details, key, fn, fmt):
+    """Record one secondary metric; omit LOUDLY if unmeasurable."""
+    try:
+        val = fn()
+    except Unmeasurable as e:
+        print(f"OMITTED {key}: {e}", file=sys.stderr)
+        return None
+    details[key] = round(val, 1)
+    print(fmt.format(val), file=sys.stderr)
+    return val
+
+
 def main():
     details = {}
 
-    # two full estimates; keep the faster (min-time) one — relay throughput
-    # drifts 2-3x between measurement windows
-    rtf, per_block = bench_pconv_rt()
-    rtf2, per_block2 = bench_pconv_rt()
-    if rtf2 > rtf:
-        rtf, per_block = rtf2, per_block2
+    # multiple full estimates; keep the faster (min-time) one — relay
+    # throughput drifts 2-3x between measurement windows
+    rtf = per_block = None
+    for attempt in range(3):
+        try:
+            r, pb = bench_pconv_rt()
+        except Unmeasurable as e:
+            print(f"headline attempt {attempt}: {e}", file=sys.stderr)
+            continue
+        if rtf is None or r > rtf:
+            rtf, per_block = r, pb
+        if attempt >= 1 and rtf is not None:
+            break
+    if rtf is None:
+        raise SystemExit("headline metric unmeasurable after 3 attempts")
     details["pconv_rt_factor_2^17_512"] = round(rtf, 1)
     details["pconv_us_per_block"] = round(per_block * 1e6, 1)
     print(f"pconv 2^17-tap @512: {rtf:.1f}x real time "
           f"({per_block*1e6:.0f} us/block)", file=sys.stderr)
 
-    rtf_tv, _ = bench_pconv_rt(tv=True)
-    details["tvconv_rt_factor_2^17_512"] = round(rtf_tv, 1)
-    print(f"tvconv 2^17-tap @512: {rtf_tv:.1f}x real time", file=sys.stderr)
-
-    rtf_d = bench_dconv()
-    details["dconv_rt_factor_512tap"] = round(rtf_d, 1)
-    print(f"dconv 512-tap: {rtf_d:.1f}x real time", file=sys.stderr)
-
-    agg = bench_batched_serving()
-    details["serving_64ch_audio_seconds_per_second"] = round(agg, 1)
-    print(f"serving 64ch 2^17-tap: {agg:.0f} aggregate audio-s/s", file=sys.stderr)
-
-    rtf_c = bench_pconv_chunk()
-    details["pconv_chunk8_rt_factor"] = round(rtf_c, 1)
-    print(f"pconv chunked K=8: {rtf_c:.1f}x real time", file=sys.stderr)
-
-    rtf_cb = bench_pconv_chunk(ring_dtype="bf16")
-    details["pconv_chunk8_bf16_rt_factor"] = round(rtf_cb, 1)
-    print(f"pconv chunked K=8 bf16: {rtf_cb:.1f}x real time", file=sys.stderr)
+    _measure(details, "tvconv_rt_factor_2^17_512",
+             lambda: bench_pconv_rt(tv=True)[0],
+             "tvconv 2^17-tap @512: {:.1f}x real time")
+    _measure(details, "dconv_rt_factor_512tap", bench_dconv,
+             "dconv 512-tap: {:.1f}x real time")
+    _measure(details, "serving_64ch_audio_seconds_per_second",
+             bench_batched_serving,
+             "serving 64ch 2^17-tap: {:.0f} aggregate audio-s/s")
+    _measure(details, "pconv_chunk8_rt_factor", bench_pconv_chunk,
+             "pconv chunked K=8: {:.1f}x real time")
+    _measure(details, "pconv_chunk8_bf16_rt_factor",
+             lambda: bench_pconv_chunk(ring_dtype="bf16"),
+             "pconv chunked K=8 bf16: {:.1f}x real time")
 
     details["fft_sweep"] = bench_fft_sweep()
 

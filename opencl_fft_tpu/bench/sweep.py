@@ -83,22 +83,50 @@ def rt_ratio(pts: int, ir_len: int, scan_blocks: int = 512, reps: int = 4,
     return (pts / SR) / per_block
 
 
-def run_sweep(parts_list, ir_list, tv=True, out_prefix="sweep"):
+def run_sweep(parts_list, ir_list, tv=True, out_prefix="sweep",
+              row_repeats=2):
+    """Measure the grid. Each M-row is swept row_repeats times end-to-end
+    (interleaving over the relay's ~10-minute drift timescale) keeping the
+    max RT ratio per point (= min elapsed time, the standard jitter mask),
+    then checked for monotonicity: RT ratio must be non-increasing in L
+    (longer IR, strictly more work per block). Violations are re-measured;
+    survivors are reported to stderr rather than silently shipped."""
     results = {}
     for pts in parts_list:
-        for L in ir_list:
-            if L < pts:
-                continue
-            r = rt_ratio(pts, L, tv=tv)
-            if r > 1e5:                      # implausible: timing glitch
-                r = rt_ratio(pts, L, tv=tv)  # one clean retry
-            if r > 1e5:
+        Ls = [L for L in ir_list if L >= pts]
+        row = {}
+        for _ in range(row_repeats):
+            for L in Ls:
+                r = rt_ratio(pts, L, tv=tv)
+                if r > 1e5:                  # implausible: timing glitch
+                    continue                 # other repeats cover the point
+                row[L] = max(row.get(L, 0.0), r)
+        # monotonicity repair: a low outlier at smaller L means that
+        # measurement window was drift-inflated — re-measure, keep max
+        for _ in range(2):
+            bad = [Ls[i] for i in range(len(Ls) - 1)
+                   if Ls[i] in row and Ls[i + 1] in row
+                   and row[Ls[i + 1]] > row[Ls[i]] * 1.15]
+            if not bad:
+                break
+            for L in bad:
+                r = rt_ratio(pts, L, tv=tv)
+                if r <= 1e5:
+                    row[L] = max(row[L], r)
+        for i in range(len(Ls) - 1):
+            if (Ls[i] in row and Ls[i + 1] in row
+                    and row[Ls[i + 1]] > row[Ls[i]] * 1.15):
+                print(f"  WARNING: M={pts} row non-monotone at "
+                      f"L=2^{int(np.log2(Ls[i]))} after re-measures",
+                      file=sys.stderr, flush=True)
+        for L in Ls:
+            if L not in row:
                 print(f"  M={pts} L=2^{int(np.log2(L))}: unmeasurable "
                       f"(relay glitch)", file=sys.stderr, flush=True)
                 continue
-            results[f"M={pts},L=2^{int(np.log2(L))}"] = round(r, 1)
-            print(f"  M={pts:6d} L=2^{int(np.log2(L)):2d}: {r:10.1f}x realtime",
-                  file=sys.stderr, flush=True)
+            results[f"M={pts},L=2^{int(np.log2(L))}"] = round(row[L], 1)
+            print(f"  M={pts:6d} L=2^{int(np.log2(L)):2d}: "
+                  f"{row[L]:10.1f}x realtime", file=sys.stderr, flush=True)
 
     with open(f"{out_prefix}.json", "w") as f:
         json.dump(results, f, indent=2)
