@@ -33,7 +33,9 @@ def batched_state(cfg: _p.PconvConfig, batch: int) -> _p.PconvState:
     the ring pointers, which are shared across channels (all channels
     advance in lockstep)."""
     def z(rows):
-        return jnp.zeros((batch, rows, cfg.bins), jnp.float32)
+        # ring planes honor cfg.ring_dtype (tail stays f32), matching
+        # pconv_init — a bf16 config must actually get bf16 rings here
+        return jnp.zeros((batch, rows, cfg.bins), cfg._ring_jdtype)
 
     return _p.PconvState(
         spec_x_re=z(2 * cfg.nparts), spec_x_im=z(2 * cfg.nparts),

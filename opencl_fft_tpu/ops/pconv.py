@@ -69,6 +69,8 @@ class PconvConfig:
     ring_dtype: str = "f32"  # spectral-ring storage: "f32" | "bf16"
     # bf16 halves the ring bandwidth (the streaming bottleneck for long
     # IRs) at ~1e-3 relative output error; products still accumulate in f32.
+    dtype: str = "f32"     # compute width: "f32" | "f64" (USE_DOUBLE parity,
+    # macos-build.sh:5). f64 is CPU-only (needs jax_enable_x64).
 
     def __post_init__(self):
         if not is_pow2(self.pts) or self.pts < 2:
@@ -81,14 +83,25 @@ class PconvConfig:
             raise ValueError(f"pallas must be 'auto'|'on'|'off', got {self.pallas}")
         if self.ring_dtype not in ("f32", "bf16"):
             raise ValueError(f"ring_dtype must be 'f32'|'bf16', got {self.ring_dtype}")
+        if self.dtype not in ("f32", "f64"):
+            raise ValueError(f"dtype must be 'f32'|'f64', got {self.dtype}")
+        if self.dtype == "f64" and self.ring_dtype != "f32":
+            raise ValueError("f64 compute cannot use a reduced-width ring")
+
+    @property
+    def _jdtype(self):
+        return jnp.float64 if self.dtype == "f64" else jnp.float32
 
     @property
     def _ring_jdtype(self):
-        return jnp.bfloat16 if self.ring_dtype == "bf16" else jnp.float32
+        if self.ring_dtype == "bf16":
+            return jnp.bfloat16
+        return self._jdtype
 
     def _use_pallas_mac(self) -> bool:
         from .pallas.mac import fits_vmem
         if (self.pallas == "off" or self.ring_dtype != "f32"
+                or self.dtype != "f32"
                 or not fits_vmem(self.nparts, self.bins)):
             return False
         # measured on v5e: XLA's fused dynamic_slice+reduce beats the pallas
@@ -143,7 +156,7 @@ def pconv_init(cfg: PconvConfig) -> PconvState:
     return PconvState(
         spec_x_re=z(2 * cfg.nparts), spec_x_im=z(2 * cfg.nparts),
         spec_h_re=z(cfg.nparts), spec_h_im=z(cfg.nparts),
-        tail=jnp.zeros((cfg.pts,), jnp.float32),
+        tail=jnp.zeros((cfg.pts,), cfg._jdtype),
         wp=jnp.asarray(0, jnp.int32),
         wp2=jnp.asarray(cfg.nparts - 1, jnp.int32),
     )
@@ -156,8 +169,8 @@ def _forward_partition(cfg: PconvConfig, block: Float) -> Cplx:
     buffer as it reads (cl_conv_kernels.h:51), so the second half of every
     2*pts-point frame is zero. Here the pad is explicit.
     """
-    pad = jnp.zeros(block.shape[:-1] + (cfg.pts,), jnp.float32)
-    frame = jnp.concatenate([jnp.asarray(block, jnp.float32), pad], axis=-1)
+    pad = jnp.zeros(block.shape[:-1] + (cfg.pts,), cfg._jdtype)
+    frame = jnp.concatenate([jnp.asarray(block, cfg._jdtype), pad], axis=-1)
     return rfft_split(frame, cfg.impl, unnormalized=True)
 
 
@@ -170,7 +183,7 @@ def push_ir(cfg: PconvConfig, state: PconvState, ir: Float) -> PconvState:
     the ordering that lets the MAC walk input frames forward
     (cl_conv_kernels.h:104-113).
     """
-    ir = jnp.asarray(ir, jnp.float32)
+    ir = jnp.asarray(ir, cfg._jdtype)
     if ir.shape != (cfg.cvs,):
         raise ValueError(f"IR must have shape ({cfg.cvs},), got {ir.shape}")
     parts = ir.reshape(cfg.nparts, cfg.pts)
@@ -198,9 +211,10 @@ def _spectral_mac(cfg: PconvConfig, state: PconvState, rp: Float) -> Cplx:
             (state.spec_x_re, state.spec_x_im),
             (state.spec_h_re, state.spec_h_im), rp, b0_scale)
     # doubled ring: rows [rp, rp+nparts) are exactly frames (rp+q) % nparts
-    f32 = jnp.float32
-    xr = jax.lax.dynamic_slice(state.spec_x_re, (rp, 0), (np_, cfg.bins)).astype(f32)
-    xi = jax.lax.dynamic_slice(state.spec_x_im, (rp, 0), (np_, cfg.bins)).astype(f32)
+    f32 = cfg._jdtype
+    z = jnp.asarray(0, rp.dtype)
+    xr = jax.lax.dynamic_slice(state.spec_x_re, (rp, z), (np_, cfg.bins)).astype(f32)
+    xi = jax.lax.dynamic_slice(state.spec_x_im, (rp, z), (np_, cfg.bins)).astype(f32)
     hr = state.spec_h_re.astype(f32)
     hi = state.spec_h_im.astype(f32)
     acc_r = jnp.sum(xr * hr - xi * hi, axis=0)
@@ -226,8 +240,9 @@ def _inverse_and_ola(cfg: PconvConfig, state: PconvState, acc: Cplx
 def _ring_write2(ring: Float, row: Float, wp: Float, nparts: int) -> Float:
     """Write one frame into the doubled ring: at wp and wp + nparts."""
     row = row.astype(ring.dtype)[None]
-    ring = jax.lax.dynamic_update_slice(ring, row, (wp, 0))
-    return jax.lax.dynamic_update_slice(ring, row, (wp + nparts, 0))
+    z = jnp.asarray(0, wp.dtype)      # match wp's int width (x64 mode)
+    ring = jax.lax.dynamic_update_slice(ring, row, (wp, z))
+    return jax.lax.dynamic_update_slice(ring, row, (wp + nparts, z))
 
 
 def pconv_step(cfg: PconvConfig, state: PconvState, block: Float
@@ -249,15 +264,16 @@ def pconv_step_tv(cfg: PconvConfig, state: PconvState, block_x: Float,
     """One time-varying block: Clpconv::convolution(out, in1, in2) parity
     (cl_conv.cpp:460-548). The reference's dual command queues become one
     batched forward transform (leading dim 2)."""
-    both = jnp.stack([jnp.asarray(block_x, jnp.float32),
-                      jnp.asarray(block_h, jnp.float32)])
+    both = jnp.stack([jnp.asarray(block_x, cfg._jdtype),
+                      jnp.asarray(block_h, cfg._jdtype)])
     fr, fi = _forward_partition(cfg, both)            # (2, bins)
     spec_x_re = _ring_write2(state.spec_x_re, fr[0], state.wp, cfg.nparts)
     spec_x_im = _ring_write2(state.spec_x_im, fi[0], state.wp, cfg.nparts)
+    z0 = jnp.asarray(0, state.wp2.dtype)
     spec_h_re = jax.lax.dynamic_update_slice(
-        state.spec_h_re, fr[1].astype(state.spec_h_re.dtype)[None], (state.wp2, 0))
+        state.spec_h_re, fr[1].astype(state.spec_h_re.dtype)[None], (state.wp2, z0))
     spec_h_im = jax.lax.dynamic_update_slice(
-        state.spec_h_im, fi[1].astype(state.spec_h_im.dtype)[None], (state.wp2, 0))
+        state.spec_h_im, fi[1].astype(state.spec_h_im.dtype)[None], (state.wp2, z0))
     wp = (state.wp + 1) % cfg.nparts                  # cl_conv.cpp:516
     wp2 = (state.wp2 - 1) % cfg.nparts                # cl_conv.cpp:519
     state = state._replace(
@@ -284,22 +300,28 @@ def pconv_chunk(cfg: PconvConfig, state: PconvState, blocks: Float
     timeline; a K-chunk needs the nparts-1 previous frames (from the ring)
     plus the K new ones.
     """
-    blocks = jnp.asarray(blocks, jnp.float32)
+    blocks = jnp.asarray(blocks, cfg._jdtype)
     k = blocks.shape[0]
     np_ = cfg.nparts
     if k < 1 or k > np_:
         raise ValueError(f"chunk size must be in [1, nparts={np_}], got {k}")
-    f32 = jnp.float32
+    f32 = cfg._jdtype
 
     fr, fi = _forward_partition(cfg, blocks)           # (K, bins)
+    # round fresh frames through the ring dtype FIRST: sequential steps
+    # read them back quantized from the ring, so the chunk MAC must see
+    # the same values for bit-equivalence (no-op for f32 rings)
+    fr = fr.astype(cfg._ring_jdtype).astype(f32)
+    fi = fi.astype(cfg._ring_jdtype).astype(f32)
 
     # timeline C: nparts-1 most recent old frames (ascending time) + new.
     # Old frame t0-1-m lives at ring slot (wp-1-m) % np; ascending time
     # order is slots (wp+1+i) % np, i = 0..np-2 — one contiguous window of
     # the doubled ring starting at row wp+1.
     def timeline(plane2, new):
-        old = jax.lax.dynamic_slice(plane2, (state.wp + 1, 0),
-                                    (np_ - 1, cfg.bins)).astype(f32)
+        old = jax.lax.dynamic_slice(
+            plane2, (state.wp + 1, jnp.asarray(0, state.wp.dtype)),
+            (np_ - 1, cfg.bins)).astype(f32)
         return jnp.concatenate([old, new], axis=0)     # (np-1+K, bins)
 
     cr = timeline(state.spec_x_re, fr)
@@ -308,28 +330,34 @@ def pconv_chunk(cfg: PconvConfig, state: PconvState, blocks: Float
     hi = state.spec_h_im.astype(f32)
     b0 = 2.0 if cfg.bin0_mode == "exact" else 1.0
 
-    accs_r, accs_i = [], []
-    for kk in range(k):                                 # K static MACs
-        xr = jax.lax.dynamic_slice(cr, (kk, 0), (np_, cfg.bins))
-        xi = jax.lax.dynamic_slice(ci, (kk, 0), (np_, cfg.bins))
-        ar = jnp.sum(xr * hr - xi * hi, axis=0)
-        ai = jnp.sum(xr * hi + xi * hr, axis=0)
-        ar = ar.at[0].set(b0 * jnp.sum(xr[:, 0] * hr[:, 0]))
-        ai = ai.at[0].set(b0 * jnp.sum(xi[:, 0] * hi[:, 0]))
-        accs_r.append(ar)
-        accs_i.append(ai)
+    # one batched sliding-window MAC: windows[k, q] = timeline[k + q],
+    # acc[k] = sum_q windows[k, q] (*) h[q] — replaces the K-iteration
+    # Python loop (K separate MAC+reduce chains) with a single gather +
+    # broadcast-multiply + reduce. Same multiply-then-sum structure, so
+    # outputs stay bit-equal to sequential steps.
+    widx = jnp.arange(k)[:, None] + jnp.arange(np_)[None, :]   # (K, np)
+    wr = jnp.take(cr, widx, axis=0)                            # (K, np, bins)
+    wi = jnp.take(ci, widx, axis=0)
+    accs_r = jnp.sum(wr * hr[None] - wi * hi[None], axis=1)    # (K, bins)
+    accs_i = jnp.sum(wr * hi[None] + wi * hr[None], axis=1)
+    accs_r = accs_r.at[:, 0].set(
+        b0 * jnp.sum(wr[:, :, 0] * hr[None, :, 0], axis=1))
+    accs_i = accs_i.at[:, 0].set(
+        b0 * jnp.sum(wi[:, :, 0] * hi[None, :, 0], axis=1))
 
-    y = irfft_split((jnp.stack(accs_r), jnp.stack(accs_i)), cfg.impl)  # (K, 2pts)
+    y = irfft_split((accs_r, accs_i), cfg.impl)                # (K, 2pts)
     tails = jnp.concatenate([state.tail[None], y[:-1, cfg.pts:]], axis=0)
     outs = (y[:, : cfg.pts] + tails) / cfg.pts
 
-    # ring update: frames k land at slots (wp+k) % np (doubled write)
-    sxr, sxi, wp = state.spec_x_re, state.spec_x_im, state.wp
-    for kk in range(k):
-        sxr = _ring_write2(sxr, fr[kk], wp, np_)
-        sxi = _ring_write2(sxi, fi[kk], wp, np_)
-        wp = (wp + 1) % np_
-    return state._replace(spec_x_re=sxr, spec_x_im=sxi, wp=wp,
+    # ring update: frame kk lands at slot (wp+kk) % np (doubled write);
+    # slots within a chunk are distinct (K <= nparts), one batched scatter
+    slots = (state.wp + jnp.arange(k)) % np_
+    frq = fr.astype(state.spec_x_re.dtype)
+    fiq = fi.astype(state.spec_x_im.dtype)
+    sxr = state.spec_x_re.at[slots].set(frq).at[slots + np_].set(frq)
+    sxi = state.spec_x_im.at[slots].set(fiq).at[slots + np_].set(fiq)
+    return state._replace(spec_x_re=sxr, spec_x_im=sxi,
+                          wp=(state.wp + k) % np_,
                           tail=y[-1, cfg.pts:]), outs
 
 
@@ -343,24 +371,28 @@ def pconv_chunk_tv(cfg: PconvConfig, state: PconvState, blocks_x: Float,
     slot q holds the chunk's own h-frame d = (wp2 - q) mod nparts when
     d <= k, and the pre-chunk ring content otherwise.
     """
-    blocks_x = jnp.asarray(blocks_x, jnp.float32)
-    blocks_h = jnp.asarray(blocks_h, jnp.float32)
+    blocks_x = jnp.asarray(blocks_x, cfg._jdtype)
+    blocks_h = jnp.asarray(blocks_h, cfg._jdtype)
     k = blocks_x.shape[0]
     np_ = cfg.nparts
     if k < 1 or k > np_:
         raise ValueError(f"chunk size must be in [1, nparts={np_}], got {k}")
     if blocks_h.shape != blocks_x.shape:
         raise ValueError("operand block arrays must have identical shapes")
-    f32 = jnp.float32
+    f32 = cfg._jdtype
 
     both = jnp.stack([blocks_x, blocks_h], axis=1)       # (K, 2, pts)
     fr, fi = _forward_partition(cfg, both)               # (K, 2, bins)
+    # ring-dtype quantization first — see pconv_chunk
+    fr = fr.astype(cfg._ring_jdtype).astype(f32)
+    fi = fi.astype(cfg._ring_jdtype).astype(f32)
     fxr, fxi = fr[:, 0], fi[:, 0]
     fhr, fhi = fr[:, 1], fi[:, 1]
 
     def timeline(plane2, new):
-        old = jax.lax.dynamic_slice(plane2, (state.wp + 1, 0),
-                                    (np_ - 1, cfg.bins)).astype(f32)
+        old = jax.lax.dynamic_slice(
+            plane2, (state.wp + 1, jnp.asarray(0, state.wp.dtype)),
+            (np_ - 1, cfg.bins)).astype(f32)
         return jnp.concatenate([old, new], axis=0)
 
     cr = timeline(state.spec_x_re, fxr)
@@ -375,35 +407,39 @@ def pconv_chunk_tv(cfg: PconvConfig, state: PconvState, blocks_x: Float,
     hold_i = state.spec_h_im.astype(f32)
     b0 = 2.0 if cfg.bin0_mode == "exact" else 1.0
 
-    accs_r, accs_i = [], []
-    for kk in range(k):
-        sel = (d <= kk)[:, None]
-        hr = jnp.where(sel, hnew_r, hold_r)
-        hi = jnp.where(sel, hnew_i, hold_i)
-        xr = jax.lax.dynamic_slice(cr, (kk, 0), (np_, cfg.bins))
-        xi = jax.lax.dynamic_slice(ci, (kk, 0), (np_, cfg.bins))
-        ar = jnp.sum(xr * hr - xi * hi, axis=0)
-        ai = jnp.sum(xr * hi + xi * hr, axis=0)
-        ar = ar.at[0].set(b0 * jnp.sum(xr[:, 0] * hr[:, 0]))
-        ai = ai.at[0].set(b0 * jnp.sum(xi[:, 0] * hi[:, 0]))
-        accs_r.append(ar)
-        accs_i.append(ai)
+    # batched sliding-window MAC with a per-k coefficient selection mask:
+    # at chunk-local time k, slot q holds the chunk's own h-frame when its
+    # write time d[q] <= k, else the pre-chunk ring content. One gather +
+    # masked select + reduce replaces the K-iteration Python loop.
+    widx = jnp.arange(k)[:, None] + jnp.arange(np_)[None, :]     # (K, np)
+    wr = jnp.take(cr, widx, axis=0)                              # (K, np, bins)
+    wi = jnp.take(ci, widx, axis=0)
+    sel = (d[None, :] <= jnp.arange(k)[:, None])[:, :, None]     # (K, np, 1)
+    hrk = jnp.where(sel, hnew_r[None], hold_r[None])             # (K, np, bins)
+    hik = jnp.where(sel, hnew_i[None], hold_i[None])
+    accs_r = jnp.sum(wr * hrk - wi * hik, axis=1)                # (K, bins)
+    accs_i = jnp.sum(wr * hik + wi * hrk, axis=1)
+    accs_r = accs_r.at[:, 0].set(
+        b0 * jnp.sum(wr[:, :, 0] * hrk[:, :, 0], axis=1))
+    accs_i = accs_i.at[:, 0].set(
+        b0 * jnp.sum(wi[:, :, 0] * hik[:, :, 0], axis=1))
 
-    y = irfft_split((jnp.stack(accs_r), jnp.stack(accs_i)), cfg.impl)
+    y = irfft_split((accs_r, accs_i), cfg.impl)
     tails = jnp.concatenate([state.tail[None], y[:-1, cfg.pts:]], axis=0)
     outs = (y[:, : cfg.pts] + tails) / cfg.pts
 
-    sxr, sxi, wp = state.spec_x_re, state.spec_x_im, state.wp
-    for kk in range(k):
-        sxr = _ring_write2(sxr, fxr[kk], wp, np_)
-        sxi = _ring_write2(sxi, fxi[kk], wp, np_)
-        wp = (wp + 1) % np_
+    slots = (state.wp + jnp.arange(k)) % np_
+    fxq = fxr.astype(state.spec_x_re.dtype)
+    fyq = fxi.astype(state.spec_x_im.dtype)
+    sxr = state.spec_x_re.at[slots].set(fxq).at[slots + np_].set(fxq)
+    sxi = state.spec_x_im.at[slots].set(fyq).at[slots + np_].set(fyq)
     sel = (d <= k - 1)[:, None]
     shr = jnp.where(sel, hnew_r.astype(state.spec_h_re.dtype), state.spec_h_re)
     shi = jnp.where(sel, hnew_i.astype(state.spec_h_im.dtype), state.spec_h_im)
     return state._replace(
         spec_x_re=sxr, spec_x_im=sxi, spec_h_re=shr, spec_h_im=shi,
-        wp=wp, wp2=(state.wp2 - k) % np_, tail=y[-1, cfg.pts:]), outs
+        wp=(state.wp + k) % np_, wp2=(state.wp2 - k) % np_,
+        tail=y[-1, cfg.pts:]), outs
 
 
 # ---------------------------------------------------------------------------

@@ -41,11 +41,12 @@ Float = jax.Array
 
 
 @functools.lru_cache(maxsize=None)
-def _half_twiddle_np(m: int, sign: int) -> Tuple[np.ndarray, np.ndarray]:
+def _half_twiddle_np(m: int, sign: int, npdt=np.float32
+                     ) -> Tuple[np.ndarray, np.ndarray]:
     """w2[i] = exp(sign * i*pi * idx / m), split — cl_fft.cpp:233-238 recipe."""
     i = np.arange(m, dtype=np.float64)
     w = np.exp(sign * 1j * np.pi * i / m)
-    return w.real.astype(np.float32), w.imag.astype(np.float32)
+    return w.real.astype(npdt), w.imag.astype(npdt)
 
 
 def _flip(a: Float) -> Float:
@@ -65,7 +66,7 @@ def pack_forward(c: Cplx) -> Cplx:
     """
     re, im = c
     m = re.shape[-1]
-    wr, wi = _half_twiddle_np(m, -1)
+    wr, wi = _half_twiddle_np(m, -1, np.dtype(re.dtype))
     wr, wi = jnp.asarray(wr), jnp.asarray(wi)
     fr, fi = _flip(re), _flip(im)          # cjs = (fr, -fi)
     er = 0.5 * (re + fr)
@@ -95,7 +96,7 @@ def unpack_inverse(c: Cplx) -> Cplx:
     """
     re, im = c
     m = re.shape[-1]
-    wr, wi = _half_twiddle_np(m, +1)
+    wr, wi = _half_twiddle_np(m, +1, np.dtype(re.dtype))
     wr, wi = jnp.asarray(wr), jnp.asarray(wi)
     fr, fi = _flip(re), _flip(im)
     er = 0.5 * (re + fr)
@@ -119,10 +120,12 @@ def deinterleave(r: Float) -> Cplx:
     """(..., N) reals -> split pair z[n] = r[2n] + i*r[2n+1].
 
     The 'reinterpret real buffer as complex' step of the reference
-    (cl_fft.cpp:270, cl_conv.cpp:404-407).
+    (cl_fft.cpp:270, cl_conv.cpp:404-407). f64 input keeps f64 planes.
     """
     n = r.shape[-1]
-    r = jnp.asarray(r, jnp.float32).reshape(r.shape[:-1] + (n // 2, 2))
+    r = jnp.asarray(r)
+    dt = jnp.float64 if r.dtype == jnp.float64 else jnp.float32
+    r = r.astype(dt).reshape(r.shape[:-1] + (n // 2, 2))
     return r[..., 0], r[..., 1]
 
 
@@ -142,8 +145,14 @@ def rfft_split(r: Float, impl: str = "auto", unnormalized: bool = False) -> Cplx
     unnormalized=True for the partitioned-convolution convention.
     """
     n = r.shape[-1]
-    if n < 4 or n % 2:
-        raise ValueError(f"real FFT size must be an even power of two >= 4, got {n}")
+    if n < 4 or n % 4:
+        # the packed convention needs an even number of complex bins
+        # (M = n/2): bin M/2 is the self-conjugate bin the kernels leave
+        # untouched (cl_fft.cpp:178-205). Odd M has no such bin, so sizes
+        # with n % 4 != 0 would silently produce wrong spectra.
+        raise ValueError(
+            f"real FFT size must be a multiple of 4 (even complex bin "
+            f"count) and >= 4, got {n}")
     z = deinterleave(r)
     cr, ci = fft_split(z, -1, impl)
     if not unnormalized:

@@ -38,14 +38,27 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    try:
+        return os.path.getmtime(_SRC) > os.path.getmtime(_SO)
+    except OSError:
+        return True
+
+
 def load() -> Optional[ctypes.CDLL]:
-    """Load (building if needed) the native runtime; None if unavailable."""
+    """Load (building if needed) the native runtime; None if unavailable.
+
+    Rebuilds whenever the C++ source is newer than the shared object, so
+    source edits (or a binary from another machine/ABI) are never silently
+    shadowed by a stale .so; the numpy fallback covers toolchain-less hosts.
+    """
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO) and not _build():
-        return None
+    if (not os.path.exists(_SO) or _stale()) and not _build():
+        if not os.path.exists(_SO):
+            return None
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:

@@ -98,3 +98,19 @@ def test_convolver_stream_chunked_matches_per_block():
     import pytest as _pt
     with _pt.raises(ValueError):
         c3.stream(blocks[:7], chunk=4)     # 7 not a multiple of 4
+
+
+def test_batched_state_honors_ring_dtype():
+    """A Convolver built with ring_dtype='bf16' must actually allocate bf16
+    ring planes (tail stays f32) — ADVICE r1: batched_state used to
+    hard-code f32, silently ignoring the configured trade-off."""
+    import jax.numpy as jnp
+    from opencl_fft_tpu.models.convolver import batched_state
+
+    cfg = P.PconvConfig.for_ir_length(64, 16, ring_dtype="bf16")
+    st = batched_state(cfg, 3)
+    assert st.spec_x_re.dtype == jnp.bfloat16
+    assert st.spec_h_im.dtype == jnp.bfloat16
+    assert st.tail.dtype == jnp.float32
+    cfg32 = P.PconvConfig.for_ir_length(64, 16)
+    assert batched_state(cfg32, 3).spec_x_re.dtype == jnp.float32

@@ -223,12 +223,15 @@ def test_bf16_ring_mode():
         PconvConfig(pts=16, nparts=2, ring_dtype="fp4")
 
 
-@pytest.mark.parametrize("k", [1, 3, 8])
-def test_chunk_bitwise_equals_sequential(k):
-    """pconv_chunk(K blocks) must reproduce K sequential steps exactly."""
+@pytest.mark.parametrize("k,ring", [(1, "f32"), (3, "f32"), (8, "f32"),
+                                    (3, "bf16"), (8, "bf16")])
+def test_chunk_bitwise_equals_sequential(k, ring):
+    """pconv_chunk(K blocks) must reproduce K sequential steps exactly —
+    including bf16 rings, where the chunk MAC must consume fresh frames
+    ring-quantized exactly as sequential steps read them back (ADVICE r1)."""
     from opencl_fft_tpu.ops.pconv import pconv_chunk
     pts, nparts = 32, 8
-    cfg = PconvConfig.for_ir_length(pts * nparts, pts)
+    cfg = PconvConfig.for_ir_length(pts * nparts, pts, ring_dtype=ring)
     ir = RNG.standard_normal(cfg.cvs).astype(np.float32)
     blocks = RNG.standard_normal((24, pts)).astype(np.float32)
     st = push_ir(cfg, pconv_init(cfg), jnp.asarray(ir))
@@ -253,13 +256,14 @@ def test_chunk_size_validation():
         pconv_chunk(cfg, st, np.zeros((5, 16), np.float32))
 
 
-@pytest.mark.parametrize("k", [1, 3, 8])
-def test_chunk_tv_bitwise_equals_sequential(k):
+@pytest.mark.parametrize("k,ring", [(1, "f32"), (3, "f32"), (8, "f32"),
+                                    (3, "bf16"), (8, "bf16")])
+def test_chunk_tv_bitwise_equals_sequential(k, ring):
     """pconv_chunk_tv must reproduce K sequential TV steps exactly,
-    including the opposing ring rotations (wp++ / wp2--)."""
+    including the opposing ring rotations (wp++ / wp2--) and bf16 rings."""
     from opencl_fft_tpu.ops.pconv import pconv_chunk_tv
     pts, nparts = 32, 8
-    cfg = PconvConfig.for_ir_length(pts * nparts, pts)
+    cfg = PconvConfig.for_ir_length(pts * nparts, pts, ring_dtype=ring)
     bx = RNG.standard_normal((24, pts)).astype(np.float32)
     bh = RNG.standard_normal((24, pts)).astype(np.float32)
     st = pconv_init(cfg)

@@ -95,3 +95,25 @@ def test_interleave_roundtrip():
 def test_odd_or_tiny_sizes_raise():
     with pytest.raises(ValueError):
         rfft.rfft(np.zeros(2, np.float32))
+
+
+@pytest.mark.parametrize("n", [6, 10, 18, 22])
+def test_odd_half_length_raises(n):
+    """Even sizes with an odd complex-bin count (n % 4 == 2) have no
+    self-conjugate bin M/2, so the packed convention silently breaks —
+    they must be rejected, not accepted (ADVICE r1, medium)."""
+    with pytest.raises(ValueError):
+        rfft.rfft(np.zeros(n, np.float32))
+
+
+@pytest.mark.parametrize("n", [12, 24, 48, 96])
+def test_nonpow2_multiple_of_4_roundtrips(n):
+    """Beyond-parity sizes (Bluestein core) still satisfy the packed
+    convention as long as M = n/2 is even."""
+    r = RNG.standard_normal((2, n)).astype(np.float32)
+    back = np.asarray(rfft.irfft(rfft.rfft(r)))
+    np.testing.assert_allclose(back, r, atol=1e-4 * np.max(np.abs(r)), rtol=0)
+    m = n // 2
+    std = np.asarray(rfft.packed_to_standard(np.asarray(rfft.rfft(r)) * m))
+    np.testing.assert_allclose(std, np.fft.rfft(r),
+                               atol=1e-4 * n, rtol=0)

@@ -101,3 +101,27 @@ def test_accumulator_latency_contract():
     out = acc.feed(blocks, lambda b: b[0])
     np.testing.assert_array_equal(out[:8], np.zeros(8))
     np.testing.assert_array_equal(out[8:], blocks[0, :8])
+
+
+def test_stale_so_rebuilds(tmp_path, monkeypatch):
+    """Edits to stream_rt.cpp must not be shadowed by a stale .so
+    (ADVICE r1): load() rebuilds when the source is newer."""
+    import os
+    import shutil
+    import time as _time
+
+    src = tmp_path / "stream_rt.cpp"
+    so = tmp_path / "libstream_rt.so"
+    shutil.copy(runtime._SRC, src)
+    monkeypatch.setattr(runtime, "_SRC", str(src))
+    monkeypatch.setattr(runtime, "_SO", str(so))
+    monkeypatch.setattr(runtime, "_lib", None)
+    monkeypatch.setattr(runtime, "_tried", False)
+    assert runtime.load() is not None          # builds fresh
+    first_mtime = os.path.getmtime(so)
+    monkeypatch.setattr(runtime, "_lib", None)
+    monkeypatch.setattr(runtime, "_tried", False)
+    _time.sleep(0.05)
+    os.utime(src)                              # "edit" the source
+    assert runtime.load() is not None
+    assert os.path.getmtime(so) > first_mtime  # rebuilt, not shadowed
