@@ -49,14 +49,23 @@ def cscale(a: Cplx, s) -> Cplx:
 
 
 def from_complex(x) -> Cplx:
-    """Complex array (host or device) -> split pair."""
+    """Complex array (host or device) -> split pair.
+
+    complex128/float64 inputs keep f64 planes (the USE_DOUBLE-parity path;
+    only representable under jax_enable_x64 — otherwise jax has already
+    demoted them), everything else becomes f32."""
     x = jnp.asarray(x)
     if jnp.issubdtype(x.dtype, jnp.complexfloating):
-        return jnp.real(x).astype(jnp.float32), jnp.imag(x).astype(jnp.float32)
-    return x.astype(jnp.float32), jnp.zeros_like(x, jnp.float32)
+        dt = jnp.float64 if x.dtype == jnp.complex128 else jnp.float32
+        return jnp.real(x).astype(dt), jnp.imag(x).astype(dt)
+    dt = jnp.float64 if x.dtype == jnp.float64 else jnp.float32
+    return x.astype(dt), jnp.zeros_like(x, dt)
 
 
 def to_complex(a: Cplx):
-    """Split pair -> complex64 array (use at the host boundary only)."""
-    return jax.lax.complex(jnp.asarray(a[0], jnp.float32),
-                           jnp.asarray(a[1], jnp.float32))
+    """Split pair -> complex array (use at the host boundary only).
+    f64 planes produce complex128; anything else complex64."""
+    re, im = jnp.asarray(a[0]), jnp.asarray(a[1])
+    if re.dtype == jnp.float64 or im.dtype == jnp.float64:
+        return jax.lax.complex(re.astype(jnp.float64), im.astype(jnp.float64))
+    return jax.lax.complex(re.astype(jnp.float32), im.astype(jnp.float32))

@@ -43,10 +43,18 @@ class DconvConfig:
     irsize: int
     vsize: int
     delay_compat: bool = False
+    dtype: str = "f32"   # "f32" | "f64" (USE_DOUBLE parity; f64 is CPU-only)
 
     def __post_init__(self):
         if self.irsize < 1 or self.vsize < 1:
             raise ValueError("irsize and vsize must be positive")
+        if self.dtype not in ("f32", "f64"):
+            raise ValueError(f"dtype must be 'f32'|'f64', got {self.dtype}")
+
+    @property
+    def _jdtype(self):
+        import jax.numpy as _jnp
+        return _jnp.float64 if self.dtype == "f64" else _jnp.float32
 
     @property
     def ring(self) -> int:
@@ -68,15 +76,15 @@ class DconvState(NamedTuple):
 
 def dconv_init(cfg: DconvConfig) -> DconvState:
     return DconvState(
-        delay=jnp.zeros((cfg.ring,), jnp.float32),
-        coefs=jnp.zeros((cfg.ring,), jnp.float32),
+        delay=jnp.zeros((cfg.ring,), cfg._jdtype),
+        coefs=jnp.zeros((cfg.ring,), cfg._jdtype),
         wp=jnp.asarray(0, jnp.int32),
     )
 
 
 def push_ir(cfg: DconvConfig, state: DconvState, ir: Float) -> DconvState:
     """Load coefficients (Cldconv::push_ir, cl_dconv.cpp:150-153)."""
-    ir = jnp.asarray(ir, jnp.float32)
+    ir = jnp.asarray(ir, cfg._jdtype)
     if ir.shape != (cfg.irsize,):
         raise ValueError(f"IR must have shape ({cfg.irsize},), got {ir.shape}")
     return state._replace(coefs=state.coefs.at[: cfg.irsize].set(ir))
@@ -120,7 +128,7 @@ def dconv_step(cfg: DconvConfig, state: DconvState, block: Float
     coefs[irsize-1-h], wp already advanced past the new block — i.e. the
     delay line read oldest -> newest against time-reversed coefficients.
     """
-    block = jnp.asarray(block, jnp.float32)
+    block = jnp.asarray(block, cfg._jdtype)
     delay = _ring_write(state.delay, block, state.wp)
     wp = (state.wp + cfg.vsize) % cfg.ring            # cl_dconv.cpp:124
     # Rotated view d[j] = delay[(wp + j) % end]; then
@@ -147,7 +155,7 @@ def dconv_step_tv(cfg: DconvConfig, state: DconvState, block_x: Float,
     (cl_dconv.cpp:134-148): the second operand streams into the coefficient
     ring at the same pointer/wrap positions as the delay line, then the LTI
     path runs."""
-    coefs = _ring_write(state.coefs, jnp.asarray(block_h, jnp.float32), state.wp)
+    coefs = _ring_write(state.coefs, jnp.asarray(block_h, cfg._jdtype), state.wp)
     return dconv_step(cfg, state._replace(coefs=coefs), block_x)
 
 

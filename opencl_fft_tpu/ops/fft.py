@@ -78,7 +78,7 @@ except ImportError:
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _leaf_matrix_np(n: int, sign: int) -> np.ndarray:
+def _leaf_matrix_np(n: int, sign: int, npdt=np.float32) -> np.ndarray:
     """Real 2n x 2n block matrix for a complex n-point DFT in one matmul.
 
     With W[j,k] = exp(sign*2i*pi*j*k/n) = U + iV, the complex product
@@ -89,12 +89,12 @@ def _leaf_matrix_np(n: int, sign: int) -> np.ndarray:
     u, v = w.real, w.imag
     top = np.concatenate([u, v], axis=1)
     bot = np.concatenate([-v, u], axis=1)
-    return np.concatenate([top, bot], axis=0).astype(np.float32)
+    return np.concatenate([top, bot], axis=0).astype(npdt)
 
 
 @functools.lru_cache(maxsize=None)
-def _fourstep_twiddle_np(n1: int, n2: int, sign: int, k1_major: bool = False
-                         ) -> Tuple[np.ndarray, np.ndarray]:
+def _fourstep_twiddle_np(n1: int, n2: int, sign: int, k1_major: bool = False,
+                         npdt=np.float32) -> Tuple[np.ndarray, np.ndarray]:
     """Four-step twiddle exp(sign*2i*pi*n2_idx*k1/N), split.
 
     Shape (n2, k1) by default, or (k1, n2) when k1_major (the
@@ -107,15 +107,16 @@ def _fourstep_twiddle_np(n1: int, n2: int, sign: int, k1_major: bool = False
         ph = np.outer(np.arange(n2, dtype=np.float64),
                       np.arange(n1, dtype=np.float64))
     w = np.exp(sign * 2j * np.pi * ph / n)
-    return w.real.astype(np.float32), w.imag.astype(np.float32)
+    return w.real.astype(npdt), w.imag.astype(npdt)
 
 
 @functools.lru_cache(maxsize=None)
-def _stage_twiddle_np(m: int, sign: int) -> Tuple[np.ndarray, np.ndarray]:
+def _stage_twiddle_np(m: int, sign: int, npdt=np.float32
+                      ) -> Tuple[np.ndarray, np.ndarray]:
     """Stockham stage twiddle w[j] = exp(sign*2i*pi*j/(2m)), j < m, split."""
     j = np.arange(m, dtype=np.float64)
     w = np.exp(sign * 2j * np.pi * j / (2 * m))
-    return w.real.astype(np.float32), w.imag.astype(np.float32)
+    return w.real.astype(npdt), w.imag.astype(npdt)
 
 
 def _split_factors(n: int) -> Tuple[int, int]:
@@ -149,12 +150,14 @@ def _leaf_dft(re, im, sign, axis):
     axis -2 needs no transpose at all — measured ~20% faster at 2^20 than
     transposing the factor to the last axis first."""
     n = re.shape[axis]
-    w = jnp.asarray(_leaf_matrix_np(n, sign))
+    npdt = np.dtype(re.dtype)
+    prec = _HIGHEST if npdt == np.float64 else _LEAF_PRECISION
+    w = jnp.asarray(_leaf_matrix_np(n, sign, npdt))
     z = jnp.concatenate([re, im], axis=axis)
     if axis == -1:
-        y = jnp.einsum("...n,nk->...k", z, w, precision=_LEAF_PRECISION)
+        y = jnp.einsum("...n,nk->...k", z, w, precision=prec)
         return y[..., :n], y[..., n:]
-    y = jnp.einsum("...nj,nk->...kj", z, w, precision=_LEAF_PRECISION)
+    y = jnp.einsum("...nj,nk->...kj", z, w, precision=prec)
     return y[..., :n, :], y[..., n:, :]
 
 
@@ -182,7 +185,8 @@ def _fft_mm(x: Cplx, sign: int) -> Cplx:
         re, im = _fft_mm((re, im), sign)                 # DFT over n1
         re = jnp.swapaxes(re, -1, -2)                    # (..., k1, n2)
         im = jnp.swapaxes(im, -1, -2)
-    twr, twi = _fourstep_twiddle_np(n1, n2, sign, k1_major=True)
+    twr, twi = _fourstep_twiddle_np(n1, n2, sign, k1_major=True,
+                                    npdt=np.dtype(re.dtype))
     twr, twi = jnp.asarray(twr), jnp.asarray(twi)
     re, im = re * twr - im * twi, re * twi + im * twr
     re, im = _fft_mm((re, im), sign)                     # DFT over n2
@@ -210,7 +214,7 @@ def _fft_stockham(x: Cplx, sign: int) -> Cplx:
     m = n
     for _ in range(stages):
         m //= 2
-        tr, ti = _stage_twiddle_np(m, sign)
+        tr, ti = _stage_twiddle_np(m, sign, np.dtype(re.dtype))
         tr, ti = jnp.asarray(tr), jnp.asarray(ti)
         ar = re[..., :m] + re[..., m:]
         ai = im[..., :m] + im[..., m:]
@@ -232,7 +236,8 @@ def _fft_stockham(x: Cplx, sign: int) -> Cplx:
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _bluestein_tables_np(n: int, sign: int) -> Tuple[np.ndarray, ...]:
+def _bluestein_tables_np(n: int, sign: int, npdt=np.float32
+                         ) -> Tuple[np.ndarray, ...]:
     """Chirp tables for an n-point DFT via an m-point circular convolution.
 
     With w = exp(sign*2i*pi/n): X[k] = c[k] * sum_n (x[n] c[n]) * conj_c[k-n]
@@ -249,13 +254,14 @@ def _bluestein_tables_np(n: int, sign: int) -> Tuple[np.ndarray, ...]:
     b[:n] = np.conj(c)
     b[m - n + 1:] = np.conj(c[1:][::-1])          # b[-j] = conj(c[j])
     B = np.fft.fft(b)                             # host precompute, f64
-    return (c.astype(np.complex64), B.astype(np.complex64), m)
+    cdt = np.complex128 if np.dtype(npdt) == np.float64 else np.complex64
+    return (c.astype(cdt), B.astype(cdt), m)
 
 
 def _fft_bluestein(x: Cplx, sign: int, impl: str) -> Cplx:
     re, im = x
     n = re.shape[-1]
-    c, B, m = _bluestein_tables_np(n, sign)
+    c, B, m = _bluestein_tables_np(n, sign, np.dtype(re.dtype))
     cr, ci = jnp.asarray(c.real), jnp.asarray(c.imag)
     Br, Bi = jnp.asarray(B.real), jnp.asarray(B.imag)
     ar = re * cr - im * ci
@@ -303,15 +309,26 @@ _AXIS2_MIN_N1 = 64
 def fft_split(x: Cplx, sign: int, impl: str = "auto") -> Cplx:
     """Unnormalized DFT over the last axis on a split (re, im) pair.
 
-    This is the jit-facing core: everything stays float32 on device.
-    sign = -1: forward; +1: inverse (sum convention).
+    This is the jit-facing core. sign = -1: forward; +1: inverse (sum
+    convention). Data dtype is preserved for float32/float64 inputs
+    (everything else is cast to float32): the f64 path is the analog of
+    the reference's -DUSE_DOUBLE MYFLT-width build flag
+    (macos-build.sh:5) — twiddle/leaf tables are built in f64 and all
+    arithmetic stays f64. It requires jax_enable_x64 (CPU; the TPU
+    backend has no f64) — see utils.numerics.require_x64.
     """
     if impl not in _IMPLS:
         raise ValueError(f"unknown impl {impl!r}, expected one of {_IMPLS}")
     if sign not in (-1, 1):
         raise ValueError("sign must be -1 (forward) or +1 (inverse)")
-    re = jnp.asarray(x[0], jnp.float32)
-    im = jnp.asarray(x[1], jnp.float32)
+    re = jnp.asarray(x[0])
+    im = jnp.asarray(x[1])
+    if re.dtype == jnp.float64 or im.dtype == jnp.float64:
+        from ..utils.numerics import require_x64
+        require_x64()
+        re, im = re.astype(jnp.float64), im.astype(jnp.float64)
+    else:
+        re, im = re.astype(jnp.float32), im.astype(jnp.float32)
     if re.shape != im.shape:
         raise ValueError(f"re/im shapes differ: {re.shape} vs {im.shape}")
     n = re.shape[-1]

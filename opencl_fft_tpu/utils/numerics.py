@@ -49,3 +49,21 @@ def bit_reverse_indices(n: int) -> np.ndarray:
         i <<= 1
         half >>= 1
     return bp
+
+
+def require_x64() -> None:
+    """Raise unless jax is running with 64-bit types enabled.
+
+    The f64 paths (the analog of the reference's -DUSE_DOUBLE MYFLT width,
+    macos-build.sh:5) need jax_enable_x64; without it jax silently demotes
+    float64 arrays to float32, which would make a requested-f64 transform
+    quietly wrong rather than precise. CPU only — the TPU backend here has
+    no f64 kernels.
+    """
+    import jax
+
+    if not jax.config.jax_enable_x64:
+        raise ValueError(
+            "float64 data requires 64-bit mode: enable it with "
+            "jax.config.update('jax_enable_x64', True) or the "
+            "jax.enable_x64() context manager (CPU only)")
