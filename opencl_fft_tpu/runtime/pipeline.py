@@ -1,0 +1,160 @@
+"""Real-time host pipeline: audio thread <-> device worker over SPSC rings.
+
+The reference's opcode layer lives inside a real-time engine: the audio
+callback (``aperf``) both feeds the convolver and emits its output in the
+same thread, accepting one partition of latency (opcode.cpp:229-252). On
+TPU the device dispatch latency (~ms through this environment's relay)
+must never block the audio callback, so the rebuild decouples the two with
+the lock-free SPSC rings of the native runtime (runtime/stream_rt.cpp):
+
+    audio thread --push--> [in ring(s)] --> device worker --> [out ring]
+                                                              --pull--> audio thread
+
+The worker drains full ``pts``-sample blocks from the input ring(s), runs
+one jitted engine step on device, and writes the result to the output
+ring. ``prime_blocks`` partitions of silence are pre-queued on the output
+ring so the audio thread has a latency budget of
+``(prime_blocks * pts) / sr`` seconds — as long as the device sustains
+real time, the consumer never underruns, and the emitted stream equals the
+offline render delayed by exactly the priming.
+
+Underruns (consumer asked for samples the worker hadn't produced) and
+overruns (producer pushed faster than the worker drained) are counted, not
+hidden — they are the real-time health metrics.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+from . import NativeRingBuffer, native_available
+
+
+class RealtimePipeline:
+    """Streaming convolution engine behind lock-free rings.
+
+    Parameters
+    ----------
+    cfg : ops.pconv.PconvConfig — engine configuration.
+    ir : optional (cvs,) float32 — impulse response (LTI mode). When None
+        and ``tv=True`` the pipeline runs time-varying convolution and
+        expects two input streams per push.
+    prime_blocks : output-latency budget in partitions (>= 1).
+    capacity_blocks : ring capacity in partitions.
+    """
+
+    def __init__(self, cfg, ir: Optional[np.ndarray] = None,
+                 tv: bool = False, prime_blocks: int = 2,
+                 capacity_blocks: int = 64):
+        if not native_available():
+            raise RuntimeError("native runtime unavailable (no toolchain)")
+        if prime_blocks < 1:
+            raise ValueError("prime_blocks must be >= 1")
+        import jax
+        from functools import partial
+        from ..ops import pconv as P
+
+        self.cfg = cfg
+        self.pts = cfg.pts
+        self.tv = tv
+        cap = capacity_blocks * cfg.pts
+        self._in_x = NativeRingBuffer(cap)
+        self._in_h = NativeRingBuffer(cap) if tv else None
+        self._out = NativeRingBuffer(cap + prime_blocks * cfg.pts)
+        self._state = P.pconv_init(cfg)
+        if ir is not None:
+            self._state = P.push_ir(cfg, self._state, ir)
+        if tv:
+            self._step = jax.jit(partial(P.pconv_step_tv, cfg),
+                                 donate_argnums=(0,))
+        else:
+            self._step = jax.jit(partial(P.pconv_step, cfg),
+                                 donate_argnums=(0,))
+        # priming: the one-partition-latency budget of the opcode layer
+        # (opcode.cpp:240-249), generalized to prime_blocks partitions
+        self._out.write(np.zeros(prime_blocks * cfg.pts, np.float32))
+        self.prime_blocks = prime_blocks
+        self.underrun_samples = 0
+        self.overrun_samples = 0
+        self.blocks_processed = 0
+        self._stop_evt = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    # -- worker ------------------------------------------------------------
+
+    def _work_once(self) -> bool:
+        """Process one block if available; True if work was done."""
+        pts = self.pts
+        if self._in_x.available() < pts:
+            return False
+        if self.tv and self._in_h.available() < pts:
+            return False
+        if self._out.space() < pts:
+            return False                      # backpressure: let consumer drain
+        bx = self._in_x.read(pts)
+        if self.tv:
+            bh = self._in_h.read(pts)
+            self._state, out = self._step(self._state, bx, bh)
+        else:
+            self._state, out = self._step(self._state, bx)
+        self._out.write(np.asarray(out, np.float32))
+        self.blocks_processed += 1
+        return True
+
+    def _worker(self):
+        while not self._stop_evt.is_set():
+            if not self._work_once():
+                time.sleep(50e-6)
+        while self._work_once():              # drain what's already queued
+            pass
+
+    def start(self) -> "RealtimePipeline":
+        self._stop_evt.clear()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        if self._thread is not None:
+            self._stop_evt.set()
+            self._thread.join()
+            self._thread = None
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    # -- audio-thread surface (real-time safe: ring ops only) --------------
+
+    def push(self, x: np.ndarray, h: Optional[np.ndarray] = None) -> int:
+        """Producer side. Returns samples accepted; short writes are
+        counted as overruns (the worker is not keeping up)."""
+        x = np.ascontiguousarray(x, np.float32)
+        if self.tv:
+            if h is None or len(h) != len(x):
+                raise ValueError("tv pipeline needs matching x and h blocks")
+            n = min(self._in_x.space(), self._in_h.space(), x.size)
+            self._in_x.write(x[:n])
+            self._in_h.write(np.ascontiguousarray(h[:n], np.float32))
+        else:
+            n = self._in_x.write(x)
+        self.overrun_samples += x.size - n
+        return n
+
+    def pull(self, n: int) -> np.ndarray:
+        """Consumer side: always returns n samples; missing samples are
+        zeros and counted as underruns (what a sound card would hear)."""
+        got = self._out.read(n)
+        if got.size < n:
+            self.underrun_samples += n - got.size
+            got = np.concatenate([got, np.zeros(n - got.size, np.float32)])
+        return got
+
+    def pull_available(self) -> int:
+        return self._out.available()

@@ -1,0 +1,122 @@
+"""End-to-end real-time pipeline: audio thread <-> rings <-> device worker.
+
+The reference's opcode layer runs inside Csound's real-time engine
+(opcode.cpp:229-252); these tests drive the rebuild's equivalent — a
+paced duplex audio loop against the worker thread — asserting zero
+underruns at a comfortable operating point and bit-level agreement with
+the offline render (modulo the priming latency)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from opencl_fft_tpu import runtime
+from opencl_fft_tpu.ops import pconv as P
+
+if not runtime.native_available():          # pragma: no cover
+    pytest.skip("native runtime unavailable", allow_module_level=True)
+
+from opencl_fft_tpu.runtime.pipeline import RealtimePipeline
+
+RNG = np.random.default_rng(11)
+
+
+def _paced_duplex(pipe, blocks, sr, extra_pulls=0):
+    """Simulated sound card: every pts/sr seconds push one input block and
+    pull one output block (duplex callback)."""
+    pts = pipe.cfg.pts
+    period = pts / sr
+    outs = []
+    nxt = time.monotonic()
+    seq = list(blocks) + [None] * extra_pulls
+    for blk in seq:
+        nxt += period
+        while time.monotonic() < nxt:
+            time.sleep(period / 50)
+        if blk is not None:
+            if pipe.tv:
+                pipe.push(blk[0], blk[1])
+            else:
+                pipe.push(blk)
+        outs.append(pipe.pull(pts))
+    return np.concatenate(outs)
+
+
+def test_lti_pipeline_matches_offline_zero_underruns():
+    pts, nparts, prime = 128, 8, 2
+    sr = 8000.0                      # 16 ms budget/block >> CPU step time
+    cfg = P.PconvConfig.for_ir_length(pts * nparts, pts)
+    ir = RNG.standard_normal(cfg.cvs).astype(np.float32) * 0.1
+    nblocks = 40
+    blocks = RNG.standard_normal((nblocks, pts)).astype(np.float32)
+
+    # offline oracle = the same jitted per-step program (bitwise identical;
+    # the scan-based pconv_stream fuses differently -> ~4e-6 f32 noise)
+    import jax
+    from functools import partial
+    step = jax.jit(partial(P.pconv_step, cfg))
+    st = P.push_ir(cfg, P.pconv_init(cfg), ir)
+    outs = []
+    for b in blocks:
+        st, o = step(st, b)
+        outs.append(np.asarray(o))
+    offline = np.concatenate(outs)
+
+    with RealtimePipeline(cfg, ir=ir, prime_blocks=prime) as pipe:
+        pipe.push(blocks[0])         # warm the jit outside the paced loop
+        while pipe.blocks_processed < 1:
+            time.sleep(1e-3)
+        # paced pulls: prime zero-blocks + all nblocks outputs
+        got = _paced_duplex(pipe, blocks[1:], sr, extra_pulls=prime + 1)
+
+    assert pipe.underrun_samples == 0
+    assert pipe.overrun_samples == 0
+    assert pipe.blocks_processed == nblocks
+    # stream = prime zeros, then the offline render, sample-exact
+    np.testing.assert_array_equal(got[: prime * pts], np.zeros(prime * pts))
+    np.testing.assert_array_equal(got[prime * pts:], offline)
+
+
+def test_tv_pipeline_matches_offline():
+    pts, nparts, prime = 64, 4, 2
+    sr = 8000.0
+    cfg = P.PconvConfig.for_ir_length(pts * nparts, pts)
+    nblocks = 24
+    bx = RNG.standard_normal((nblocks, pts)).astype(np.float32)
+    bh = RNG.standard_normal((nblocks, pts)).astype(np.float32)
+
+    import jax
+    from functools import partial
+    step = jax.jit(partial(P.pconv_step_tv, cfg))
+    st = P.pconv_init(cfg)
+    outs = []
+    for i in range(nblocks):
+        st, o = step(st, bx[i], bh[i])
+        outs.append(np.asarray(o))
+    offline = np.concatenate(outs)
+
+    with RealtimePipeline(cfg, tv=True, prime_blocks=prime) as pipe:
+        pipe.push(bx[0], bh[0])      # warm the jit outside the paced loop
+        while pipe.blocks_processed < 1:
+            time.sleep(1e-3)
+        got = _paced_duplex(pipe, list(zip(bx[1:], bh[1:])), sr,
+                            extra_pulls=prime + 1)
+    assert pipe.underrun_samples == 0
+    assert pipe.blocks_processed == nblocks
+    np.testing.assert_array_equal(got[: prime * pts], np.zeros(prime * pts))
+    np.testing.assert_array_equal(got[prime * pts:], offline)
+
+
+def test_overrun_and_underrun_are_counted():
+    cfg = P.PconvConfig.for_ir_length(64 * 4, 64)
+    pipe = RealtimePipeline(cfg, ir=np.zeros(cfg.cvs, np.float32),
+                            prime_blocks=1, capacity_blocks=2)
+    # worker not started: pushes beyond ring capacity are overruns
+    big = np.zeros(64 * 8, np.float32)
+    pipe.push(big)
+    assert pipe.overrun_samples == 64 * 8 - 64 * 2
+    # only the priming block is available: pulling more underruns
+    out = pipe.pull(64 * 3)
+    assert out.size == 64 * 3
+    assert pipe.underrun_samples == 64 * 2
