@@ -28,8 +28,9 @@ data-dependent control flow).
 
 from __future__ import annotations
 
+import contextlib
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,16 +48,50 @@ _MAX_DIRECT = 512
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 # Matmul precision for the DFT leaves. HIGHEST = full f32 (6-pass bf16,
-# ~31 TFLOP/s here); HIGH = bf16x3 (~61 TFLOP/s, ~1.5e-5/stage). Small
-# radices are HBM-bound either way, so HIGHEST is the accuracy-free-lunch
-# default; set_fast_math(True) trades ~1e-5/stage for speed at radix >= 64.
-_LEAF_PRECISION = _HIGHEST
+# ~31 TFLOP/s on the target chip); HIGH = bf16x3 (~61 TFLOP/s, ~1.5e-5
+# relative error per matmul stage). Measured on-chip (r2): HIGH leaves are
+# 1.3-3x faster end-to-end on the 2^14..2^20 sweep. Default policy
+# ("auto"): HIGH for leaves >= _FAST_LEAF_MIN — large transforms get the
+# speed while the small leaves inside the streaming convolver (plan 1024
+# -> 32x32) stay exact, keeping the test_cfft/test_rfft 1e-5 parity
+# budget untouched. set_fast_math forces HIGH ("on") or HIGHEST ("off")
+# everywhere. tools/tpu_smoke.py pins the auto-mode roundtrip error
+# budget on hardware.
+_FAST_MODE = "auto"
+_FAST_LEAF_MIN = 64
 
 
-def set_fast_math(enabled: bool) -> None:
-    """Toggle bf16x3 (Precision.HIGH) leaf matmuls framework-wide."""
-    global _LEAF_PRECISION
-    _LEAF_PRECISION = jax.lax.Precision.HIGH if enabled else _HIGHEST
+def set_fast_math(enabled: Optional[bool]) -> None:
+    """Leaf-matmul precision policy: True = bf16x3 (Precision.HIGH)
+    everywhere, False = full f32 everywhere, None = size-gated default
+    (HIGH only for leaves >= 64)."""
+    global _FAST_MODE
+    _FAST_MODE = "auto" if enabled is None else ("on" if enabled else "off")
+
+
+def _leaf_precision(n: int):
+    if _FAST_MODE == "on":
+        return jax.lax.Precision.HIGH
+    if _FAST_MODE == "off":
+        return _HIGHEST
+    return jax.lax.Precision.HIGH if n >= _FAST_LEAF_MIN else _HIGHEST
+
+
+@contextlib.contextmanager
+def exact_precision():
+    """Force full-f32 leaf matmuls inside the context (trace-time scope).
+
+    The streaming convolution engine wraps its internal transforms in this:
+    bf16x3 (Precision.HIGH) results differ between batched and single-item
+    shapes on TPU (XLA picks shape-dependent pass structures), which would
+    break the engine's chunked == sequential equivalence guarantee."""
+    global _FAST_MODE
+    old = _FAST_MODE
+    _FAST_MODE = "off"
+    try:
+        yield
+    finally:
+        _FAST_MODE = old
 
 
 # Tuned factorization plan: n -> n1 (left factor of the four-step split),
@@ -151,7 +186,7 @@ def _leaf_dft(re, im, sign, axis):
     transposing the factor to the last axis first."""
     n = re.shape[axis]
     npdt = np.dtype(re.dtype)
-    prec = _HIGHEST if npdt == np.float64 else _LEAF_PRECISION
+    prec = _HIGHEST if npdt == np.float64 else _leaf_precision(n)
     w = jnp.asarray(_leaf_matrix_np(n, sign, npdt))
     z = jnp.concatenate([re, im], axis=axis)
     if axis == -1:

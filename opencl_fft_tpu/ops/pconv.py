@@ -169,9 +169,12 @@ def _forward_partition(cfg: PconvConfig, block: Float) -> Cplx:
     buffer as it reads (cl_conv_kernels.h:51), so the second half of every
     2*pts-point frame is zero. Here the pad is explicit.
     """
+    from .fft import exact_precision
+
     pad = jnp.zeros(block.shape[:-1] + (cfg.pts,), cfg._jdtype)
     frame = jnp.concatenate([jnp.asarray(block, cfg._jdtype), pad], axis=-1)
-    return rfft_split(frame, cfg.impl, unnormalized=True)
+    with exact_precision():
+        return rfft_split(frame, cfg.impl, unnormalized=True)
 
 
 def push_ir(cfg: PconvConfig, state: PconvState, ir: Float) -> PconvState:
@@ -232,7 +235,10 @@ def _inverse_and_ola(cfg: PconvConfig, state: PconvState, acc: Cplx
     cl_conv_kernels.h:120-124 (the /parts division IS the inverse-FFT
     normalization, deferred to the last step).
     """
-    y = irfft_split(acc, cfg.impl)                   # (2*pts,) reals
+    from .fft import exact_precision
+
+    with exact_precision():
+        y = irfft_split(acc, cfg.impl)               # (2*pts,) reals
     out = (y[..., : cfg.pts] + state.tail) / cfg.pts
     return out, y[..., cfg.pts:]
 
@@ -345,7 +351,9 @@ def pconv_chunk(cfg: PconvConfig, state: PconvState, blocks: Float
     accs_i = accs_i.at[:, 0].set(
         b0 * jnp.sum(wi[:, :, 0] * hi[None, :, 0], axis=1))
 
-    y = irfft_split((accs_r, accs_i), cfg.impl)                # (K, 2pts)
+    from .fft import exact_precision
+    with exact_precision():
+        y = irfft_split((accs_r, accs_i), cfg.impl)            # (K, 2pts)
     tails = jnp.concatenate([state.tail[None], y[:-1, cfg.pts:]], axis=0)
     outs = (y[:, : cfg.pts] + tails) / cfg.pts
 
@@ -424,7 +432,9 @@ def pconv_chunk_tv(cfg: PconvConfig, state: PconvState, blocks_x: Float,
     accs_i = accs_i.at[:, 0].set(
         b0 * jnp.sum(wi[:, :, 0] * hik[:, :, 0], axis=1))
 
-    y = irfft_split((accs_r, accs_i), cfg.impl)
+    from .fft import exact_precision
+    with exact_precision():
+        y = irfft_split((accs_r, accs_i), cfg.impl)
     tails = jnp.concatenate([state.tail[None], y[:-1, cfg.pts:]], axis=0)
     outs = (y[:, : cfg.pts] + tails) / cfg.pts
 

@@ -46,6 +46,27 @@ def main():
         ref = np.fft.fft(x + 1j * y)
         check(f"cfft n={n}", np.max(np.abs(got - ref)) / np.max(np.abs(ref)), 3e-5)
 
+    # fast-math (auto leaf precision) error budget: bf16x3 leaves for
+    # radix >= 64 must keep the large-size roundtrip inside 1e-4 relative
+    # and cost vs full-f32 mode no more than ~3x the f32 epsilon
+    from opencl_fft_tpu.ops.fft import set_fast_math
+    for n in [1 << 14, 1 << 20]:
+        xr = rng.standard_normal((2, n)).astype(np.float32)
+        xi = rng.standard_normal((2, n)).astype(np.float32)
+        scale = np.max(np.abs(xr + 1j * xi))
+        def rt(mode):
+            set_fast_math(mode)
+            fr, fi = fft_split((jnp.asarray(xr), jnp.asarray(xi)), -1)
+            br, bi = fft_split((fr, fi), +1)
+            err = np.max(np.abs((np.asarray(br) / n - xr) +
+                                1j * (np.asarray(bi) / n - xi)))
+            return err / scale
+        err_auto = rt(None)
+        err_off = rt(False)
+        set_fast_math(None)
+        check(f"fast-math roundtrip budget n={n}", err_auto, 1e-4)
+        check(f"full-f32 roundtrip n={n}", err_off, 2e-5)
+
     # Bluestein
     x = rng.standard_normal((2, 1000)).astype(np.float32)
     re, im = fft_split((jnp.asarray(x), jnp.zeros_like(jnp.asarray(x))), -1)
