@@ -58,7 +58,9 @@ class Clcfft:
             self.device = get_device(device_index, on_message, user_data)
             fn = functools.partial(cfft_split, forward=self.forward, impl=impl)
             self._transform = jax.jit(fn, device=self.device)
-            self._log = "compiled: deferred to first transform (XLA jit cache)"
+            spec = jax.ShapeDtypeStruct((self.N,), jnp.float32)
+            self._lowered = self._transform.lower((spec, spec))
+            self._compiled = None
         except Exception as e:  # constructor records, does not raise (parity)
             self._err = getattr(e, "status", Status.UNKNOWN)
             self._log = str(e)
@@ -81,7 +83,31 @@ class Clcfft:
         return int(self._err)
 
     def get_log(self) -> str:
-        return self._log
+        """Build-log parity surface (cl_fft.h:69): the reference returned
+        the OpenCL JIT build log; here it is the XLA lowering/compile
+        summary of this object's transform program."""
+        if self._err != Status.SUCCESS or getattr(self, "_lowered", None) is None:
+            return self._log
+        try:
+            hlo = self._lowered.as_text()
+            lines = hlo.splitlines()
+            head = "\n".join(lines[:3])
+            out = [f"XLA build log — device {self.device}",
+                   f"{head}",
+                   f"lowered StableHLO: {len(lines)} lines"]
+            if self._compiled is None:
+                self._compiled = self._lowered.compile()
+            mem = self._compiled.memory_analysis()
+            if mem is not None:
+                out.append(
+                    "compiled: temp={}B args={}B out={}B code={}B".format(
+                        getattr(mem, "temp_size_in_bytes", "?"),
+                        getattr(mem, "argument_size_in_bytes", "?"),
+                        getattr(mem, "output_size_in_bytes", "?"),
+                        getattr(mem, "generated_code_size_in_bytes", "?")))
+            return "\n".join(out)
+        except Exception as e:              # log surface must never raise
+            return f"{self._log}\n(log detail unavailable: {e})"
 
 
 class Clrfft(Clcfft):
@@ -101,9 +127,14 @@ class Clrfft(Clcfft):
         if self.forward:
             self._rfwd = jax.jit(functools.partial(rfft_split, impl=impl),
                                  device=self.device)
+            self._lowered = self._rfwd.lower(
+                jax.ShapeDtypeStruct((size,), jnp.float32))
         else:
             self._rinv = jax.jit(functools.partial(irfft_split, impl=impl),
                                  device=self.device)
+            spec = jax.ShapeDtypeStruct((size // 2,), jnp.float32)
+            self._lowered = self._rinv.lower((spec, spec))
+        self._compiled = None
 
     def transform(self, c: np.ndarray, r: Optional[np.ndarray] = None) -> int:
         """Out-of-place or in-place real transform (cl_fft.cpp:267-296):

