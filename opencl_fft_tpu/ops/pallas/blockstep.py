@@ -1,0 +1,166 @@
+"""Pallas TPU kernel: fused block-step core — ring-window complex MAC +
+packed bin-0 product + inverse-rFFT pre-process in ONE VMEM pass.
+
+This is the fused replacement for the per-block chain in ``pconv_step``:
+``_spectral_mac`` (dynamic_slice window + multiply + partition reduce,
+replacing the reference's ``convol`` kernel, cl_conv_kernels.h:102-118)
+followed by ``rfft.unpack_inverse`` (the ``c2r`` kernel,
+cl_conv_kernels.h:87-100). The output feeds the half-size inverse complex
+FFT directly, so XLA's remaining per-block work is one small transform +
+overlap-add. Ring semantics are identical to ``ops/pallas/mac.py`` (the
+doubled-ring aligned-window + static-rotate-switch pattern — see that
+file for the Mosaic alignment constraints that shape it).
+
+The unpack needs the lane-reversed accumulator (``acc[(M-i) % M]``).
+Mosaic has no lane-axis reverse for this shape, so the flip is a matmul
+against a one-hot permutation matrix — BIT-EXACT on the MXU: each output
+lane receives exactly one nonzero product x*1, and the bf16x3 (HIGHEST)
+decomposition of x reconstructs the f32 value exactly when multiplied by
+an exact power-of-two (here 1.0) and summed.
+
+VMEM budget: the MAC planes (see mac.fits_vmem) plus the (M, M) flip
+matrix — gated by ``fits_vmem_blockstep``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..cplx import Cplx
+from .mac import _VMEM_BUDGET
+
+
+def fits_vmem_blockstep(nparts: int, bins: int) -> bool:
+    if nparts < 8 or nparts % 8 or bins % 128:
+        return False
+    mac_bytes = 6 * nparts * bins * 4
+    flip_bytes = bins * bins * 4
+    return mac_bytes + flip_bytes <= _VMEM_BUDGET
+
+
+@functools.lru_cache(maxsize=None)
+def _flip_matrix_np(m: int) -> np.ndarray:
+    """P[j, i] = 1 iff j == (m - i) % m  =>  (x @ P)[i] = x[(m - i) % m]."""
+    p = np.zeros((m, m), np.float32)
+    p[(-np.arange(m)) % m, np.arange(m)] = 1.0
+    return p
+
+
+@functools.lru_cache(maxsize=None)
+def _unpack_twiddle_np(m: int):
+    """w2[i] = exp(+1j * pi * i / m) split — the iconv/c2r twiddle
+    (cl_fft.cpp:192-205 sign convention), shaped (1, m)."""
+    i = np.arange(m, dtype=np.float64)
+    w = np.exp(1j * np.pi * i / m)
+    return (w.real.astype(np.float32)[None], w.imag.astype(np.float32)[None])
+
+
+def _blockstep_kernel(nparts, b0_scale, rp_ref, xr_ref, xi_ref, hr_ref,
+                      hi_ref, wr_ref, wi_ref, pf_ref, or_ref, oi_ref,
+                      xr_s, xi_s, sems):
+    rp = rp_ref[0]
+    # aligned-window DMA + static-rotate-switch (see mac.py)
+    rp8 = pl.multiple_of((rp // 8) * 8, 8)
+    cp_r = pltpu.make_async_copy(
+        xr_ref.at[pl.ds(rp8, nparts + 8), :], xr_s, sems.at[0])
+    cp_i = pltpu.make_async_copy(
+        xi_ref.at[pl.ds(rp8, nparts + 8), :], xi_s, sems.at[1])
+    cp_r.start()
+    cp_i.start()
+    cp_r.wait()
+    cp_i.wait()
+    hr = hr_ref[:]
+    hi = hi_ref[:]
+    col0 = jax.lax.broadcasted_iota(jnp.int32, hr.shape, 1) == 0
+
+    def mac_at(o):
+        shift = (nparts + 8 - o) % (nparts + 8)
+
+        def body():
+            xr = pltpu.roll(xr_s[:], shift, 0)[:nparts]
+            xi = pltpu.roll(xi_s[:], shift, 0)[:nparts]
+            prod_r = xr * hr - xi * hi
+            prod_i = xr * hi + xi * hr
+            prod_r = jnp.where(col0, b0_scale * xr * hr, prod_r)
+            prod_i = jnp.where(col0, b0_scale * xi * hi, prod_i)
+            return (jnp.sum(prod_r, axis=0, keepdims=True),
+                    jnp.sum(prod_i, axis=0, keepdims=True))
+        return body
+
+    re, im = jax.lax.switch(rp - rp8, [mac_at(o) for o in range(8)])
+
+    # ---- inverse pre-process (rfft.unpack_inverse, vectorized) ----------
+    m = re.shape[-1]
+    pf = pf_ref[:]
+    fr = jax.lax.dot(re, pf, precision=jax.lax.Precision.HIGHEST)
+    fi = jax.lax.dot(im, pf, precision=jax.lax.Precision.HIGHEST)
+    wr = wr_ref[:]
+    wi = wi_ref[:]
+    er = 0.5 * (re + fr)
+    ei = 0.5 * (im - fi)
+    outr_ = -0.5 * (im + fi)
+    outi_ = 0.5 * (re - fr)
+    pr = wr * outr_ - wi * outi_
+    pi = wr * outi_ + wi * outr_
+    outr = er + pr
+    outi = ei + pi
+    lane = jax.lax.broadcasted_iota(jnp.int32, re.shape, 1)
+    c0 = lane == 0
+    cm2 = lane == (m // 2)
+    outr = jnp.where(c0, re + im, outr)
+    outi = jnp.where(c0, re - im, outi)
+    outr = jnp.where(cm2, re, outr)
+    outi = jnp.where(cm2, im, outi)
+    or_ref[:] = outr
+    oi_ref[:] = outi
+
+
+def block_mac_unpack(x2: Cplx, h: Cplx, rp, b0_scale: float,
+                     interpret: bool = False) -> Cplx:
+    """Fused: z = unpack_inverse(window_MAC(x2, h, rp)) on TPU.
+
+    x2: split DOUBLED input ring (2*nparts, bins); h: split (nparts, bins);
+    rp: int32 scalar. Returns the split (bins,) half-size inverse-FFT
+    input (feed to fft_split(z, +1) + interleave).
+    """
+    xr, xi = x2
+    hr, hi = h
+    nparts, bins = hr.shape
+    rp = jnp.asarray(rp, jnp.int32).reshape(1)
+    wr, wi = _unpack_twiddle_np(bins)
+    pf = _flip_matrix_np(bins)
+    kern = functools.partial(_blockstep_kernel, nparts, float(b0_scale))
+    out_r, out_i = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, bins), jnp.float32),
+            jax.ShapeDtypeStruct((1, bins), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # ring stays off-VMEM
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nparts + 8, bins), jnp.float32),
+            pltpu.VMEM((nparts + 8, bins), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(rp, xr, xi, hr, hi, jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(pf))
+    return out_r[0], out_i[0]

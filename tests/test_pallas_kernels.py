@@ -54,3 +54,36 @@ def test_pconv_uses_pallas_only_when_sized():
     assert not big._use_pallas_mac()          # exceeds VMEM budget
     off = PconvConfig.for_ir_length(1 << 17, 512, pallas="off")
     assert not off._use_pallas_mac()
+
+
+@pytest.mark.parametrize("nparts,bins", [(8, 128), (16, 256), (32, 512)])
+@pytest.mark.parametrize("rp", [0, 3, 7])
+def test_blockstep_kernel_matches_mac_plus_unpack(nparts, bins, rp):
+    """Fused block-step (MAC + bin0 + inverse pre-process) == the XLA
+    reference chain _spectral_mac -> rfft.unpack_inverse."""
+    from opencl_fft_tpu.ops.pallas.blockstep import block_mac_unpack
+    from opencl_fft_tpu.ops.rfft import unpack_inverse
+
+    x = tuple(RNG.standard_normal((nparts, bins)).astype(np.float32)
+              for _ in range(2))
+    h = tuple(RNG.standard_normal((nparts, bins)).astype(np.float32)
+              for _ in range(2))
+    rp = rp % nparts
+    x2 = tuple(np.concatenate([p, p], axis=0) for p in x)
+    got_r, got_i = block_mac_unpack(
+        tuple(map(jnp.asarray, x2)), tuple(map(jnp.asarray, h)),
+        rp, 2.0, interpret=True)
+    acc = _xla_mac(tuple(map(np.array, x)), tuple(map(np.array, h)), rp, 2.0)
+    exp_r, exp_i = unpack_inverse(tuple(map(jnp.asarray, acc)))
+    scale = np.max(np.abs(np.asarray(exp_r))) + 1e-9
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(exp_r),
+                               atol=1e-4 * scale)
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(exp_i),
+                               atol=1e-4 * scale)
+
+
+def test_blockstep_vmem_gate():
+    from opencl_fft_tpu.ops.pallas.blockstep import fits_vmem_blockstep
+    assert fits_vmem_blockstep(256, 512)
+    assert not fits_vmem_blockstep(256, 2048)   # flip matrix too large
+    assert not fits_vmem_blockstep(12, 128)     # sublane misaligned

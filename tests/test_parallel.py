@@ -105,3 +105,27 @@ def test_dryrun_multichip_entry():
     fn, args = mod.entry()
     state, out = jax.jit(fn)(*args)
     assert out.shape == args[1].shape
+
+
+def test_sharded_step_bitwise_reproducible():
+    """Sharded runs are deterministic run-to-run (the property the
+    reference's CAS-loop float atomics could not give, SURVEY §5.2);
+    cross-checking vs the single-device engine uses a tolerance because
+    the tp psum legitimately reorders the f32 partition reduction."""
+    mesh = make_mesh((2, 4))
+    pts, nparts = 16, 8
+    cfg = P.PconvConfig.for_ir_length(pts * nparts, pts)
+    batch = 2
+    step = sharded.make_sharded_pconv_step(cfg, mesh, tv=True)
+    bx = RNG.standard_normal((batch, pts)).astype(np.float32)
+    bh = RNG.standard_normal((batch, pts)).astype(np.float32)
+
+    def run():
+        st = _put_state(sharded.sharded_pconv_init(cfg, batch), mesh)
+        outs = []
+        for _ in range(5):
+            st, o = step(st, bx, bh)
+            outs.append(np.asarray(o))
+        return np.stack(outs)
+
+    np.testing.assert_array_equal(run(), run())
