@@ -129,3 +129,45 @@ def test_sharded_step_bitwise_reproducible():
         return np.stack(outs)
 
     np.testing.assert_array_equal(run(), run())
+
+
+class TestDistFFT:
+    """Single-transform FFT sharded over the mesh (all_to_all transpose)."""
+
+    @pytest.mark.parametrize("n", [1 << 10, 1 << 14])
+    def test_matches_numpy(self, n):
+        from opencl_fft_tpu.parallel.dist_fft import dist_fft
+        mesh = make_mesh((1, 8))
+        x = (RNG.standard_normal(n) + 1j * RNG.standard_normal(n)
+             ).astype(np.complex64)
+        got = np.asarray(dist_fft(x, mesh, axis="tp"))
+        ref = np.fft.fft(x)
+        np.testing.assert_allclose(got, ref, atol=3e-5 * np.max(np.abs(ref)),
+                                   rtol=0)
+
+    def test_inverse_and_batch(self):
+        from opencl_fft_tpu.parallel.dist_fft import dist_fft
+        mesh = make_mesh((1, 8))
+        x = (RNG.standard_normal((3, 4096)) + 1j * RNG.standard_normal((3, 4096))
+             ).astype(np.complex64)
+        fwd = np.asarray(dist_fft(x, mesh, axis="tp"))
+        back = np.asarray(dist_fft(fwd, mesh, axis="tp", sign=+1)) / 4096
+        np.testing.assert_allclose(back, x, atol=2e-5 * np.max(np.abs(x)),
+                                   rtol=0)
+
+    def test_matches_single_device_fft(self):
+        from opencl_fft_tpu.ops.fft import fft_unnormalized
+        from opencl_fft_tpu.parallel.dist_fft import dist_fft
+        mesh = make_mesh((1, 8))
+        x = (RNG.standard_normal(8192) + 1j * RNG.standard_normal(8192)
+             ).astype(np.complex64)
+        got = np.asarray(dist_fft(x, mesh, axis="tp"))
+        ref = np.asarray(fft_unnormalized(x, -1))
+        np.testing.assert_allclose(got, ref, atol=2e-5 * np.max(np.abs(ref)),
+                                   rtol=0)
+
+    def test_rejects_unshardable(self):
+        from opencl_fft_tpu.parallel.dist_fft import dist_fft
+        mesh = make_mesh((1, 8))
+        with pytest.raises(ValueError):
+            dist_fft(np.zeros(8, np.complex64), mesh, axis="tp")
