@@ -43,7 +43,7 @@ from .cplx import Cplx, from_complex, to_complex
 # the MXU systolic-array edge; tuned plans may force direct leaves up to
 # _MAX_DIRECT.
 MAX_RADIX = 128
-_MAX_DIRECT = 512
+_MAX_DIRECT = 1024
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -214,6 +214,22 @@ def _leaf_dft(re, im, sign, axis):
     return y[..., :n, :], y[..., n:, :]
 
 
+def _leaf_dft_out_t(re, im, sign):
+    """Dense DFT over the LAST axis, output transposed to (..., k, j).
+
+    Fuses the four-step's final swapaxes into the second leaf matmul
+    (einsum emits the transposed layout directly) — saves one full HBM
+    read+write pass over the working set, which is the dominant cost for
+    the 2^16..2^20 sweep (measured HBM-bound at ~600 GB/s)."""
+    n = re.shape[-1]
+    npdt = np.dtype(re.dtype)
+    prec = _HIGHEST if npdt == np.float64 else _leaf_precision(n)
+    w = jnp.asarray(_leaf_matrix_np(n, sign, npdt))
+    z = jnp.concatenate([re, im], axis=-1)
+    y = jnp.einsum("...jn,nk->...kj", z, w, precision=prec)
+    return y[..., :n, :], y[..., n:, :]
+
+
 def _fft_mm(x: Cplx, sign: int) -> Cplx:
     """Unnormalized DFT over the last axis via recursive four-step matmuls."""
     re, im = x
@@ -244,9 +260,12 @@ def _fft_mm(x: Cplx, sign: int) -> Cplx:
                                     npdt=np.dtype(re.dtype))
     twr, twi = jnp.asarray(twr), jnp.asarray(twi)
     re, im = re * twr - im * twi, re * twi + im * twr
-    re, im = _fft_mm((re, im), sign)                     # DFT over n2
-    re = jnp.swapaxes(re, -1, -2)                        # (..., k2, k1)
-    im = jnp.swapaxes(im, -1, -2)
+    if _is_leaf(n2, elems) and n2 >= _OUT_T_MIN_N2:
+        re, im = _leaf_dft_out_t(re, im, sign)           # (..., k2, k1)
+    else:
+        re, im = _fft_mm((re, im), sign)                 # DFT over n2
+        re = jnp.swapaxes(re, -1, -2)                    # (..., k2, k1)
+        im = jnp.swapaxes(im, -1, -2)
     return shape_to(re, (n,)), shape_to(im, (n,))
 
 
@@ -359,6 +378,14 @@ _STOCKHAM_MAX = 8
 # (n1=128/256) but ~2x slower for the small per-block transforms inside the
 # streaming convolver (n1=8..16).
 _AXIS2_MIN_N1 = 64
+
+# Emit the second leaf factor's output pre-transposed (einsum
+# "...jn,nk->...kj"), fusing the final swapaxes into the matmul. Measured
+# on-chip (tools/fft_ab.py, r2): LOSES 3-18% at 2^14..2^18 and is a wash
+# at 2^20 — XLA's separate transpose pass beats Mosaic's transposed-output
+# matmul layout here — so it is disabled by default and kept as a measured
+# alternative (the A/B harness re-evaluates it per backend release).
+_OUT_T_MIN_N2 = 1 << 30
 
 
 def fft_split(x: Cplx, sign: int, impl: str = "auto") -> Cplx:

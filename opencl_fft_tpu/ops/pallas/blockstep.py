@@ -39,9 +39,14 @@ from .mac import _VMEM_BUDGET
 def fits_vmem_blockstep(nparts: int, bins: int) -> bool:
     if nparts < 8 or nparts % 8 or bins % 128:
         return False
-    mac_bytes = 6 * nparts * bins * 4
-    flip_bytes = bins * bins * 4
-    return mac_bytes + flip_bytes <= _VMEM_BUDGET
+    # Mosaic's scoped-vmem accounting charges the rotate-switch's rolled
+    # window copies once PER BRANCH (8 branches), on top of the DMA
+    # scratch, the h planes + products, and the flip matrix. Anchored to
+    # hardware: (nparts=256, bins=512) compiles (observed), (128, 1024)
+    # OOMs at 18.25M against the 16M scoped limit (observed r2).
+    window = 2 * (nparts + 8) * bins * 4
+    est = 9 * window + 4 * nparts * bins * 4 + bins * bins * 4
+    return est <= 15 * 1024 * 1024
 
 
 @functools.lru_cache(maxsize=None)

@@ -119,6 +119,19 @@ def test_bluestein_non_pow2(n):
     np.testing.assert_allclose(inv, x, atol=3e-5 * np.max(np.abs(x)), rtol=0)
 
 
+def test_out_t_leaf_variant(monkeypatch):
+    """The transposed-output second-leaf variant (off by default — measured
+    slower on v5e, see ops/fft.py _OUT_T_MIN_N2) stays correct so the A/B
+    harness (tools/fft_ab.py) can keep re-evaluating it."""
+    monkeypatch.setattr(fft, "_OUT_T_MIN_N2", 64)
+    for n in (4096, 65536):
+        x = randc((2, n))
+        got = np.asarray(fft.fft_unnormalized(x, -1, "mm"))
+        ref = np.fft.fft(x)
+        np.testing.assert_allclose(got, ref, atol=3e-5 * np.max(np.abs(ref)),
+                                   rtol=0)
+
+
 def test_deterministic_rerun():
     """TPU reductions are deterministic (vs the reference's CAS-loop atomics,
     cl_conv_kernels.h:29-44, which are order-nondeterministic): identical
