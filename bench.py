@@ -224,7 +224,9 @@ def bench_fft_sweep():
         @partial(jax.jit, static_argnums=1)
         def run(x, iters):
             def body(i, x):
-                r, i_ = fft_split(x, -1, "mm")
+                # auto: four-step mm, or the VMEM-resident Pallas kernel
+                # at n >= 2^16 (ops/fft.py _use_vmem_kernel)
+                r, i_ = fft_split(x, -1, "auto")
                 s = 1.0 / np.sqrt(n)
                 return r * s, i_ * s
             return jax.lax.fori_loop(0, iters, body, x)

@@ -17,6 +17,10 @@ kernels, and split planes keep 128-lane-friendly layouts. Three paths:
               MXU work, O(log_r N) HBM passes instead of log2 N.
 ``stockham``  Radix-2 Stockham autosort: log2(N) fused self-sorting vector
               stages on the VPU. Small-N path and exactness cross-check.
+``vmem``      Pallas kernel (pallas/vmemfft.py): three-level mixed-radix
+              decomposition entirely in VMEM — one HBM read + one write
+              per row. Auto mode routes 2^16 <= n <= 2^19 here on TPU
+              (measured 1.3-1.8x over ``mm`` in interleaved A/Bs).
 ``xla``       ``jnp.fft`` builtin — host/CPU comparison only (the axon TPU
               backend does not implement the FFT op).
 
@@ -354,11 +358,46 @@ def _fft_bluestein(x: Cplx, sign: int, impl: str) -> Cplx:
 # ---------------------------------------------------------------------------
 
 
+def _use_vmem_kernel(x: Cplx, sign: int) -> bool:
+    """auto-mode gate for the VMEM-resident Pallas FFT (pallas/vmemfft.py).
+
+    Measured policy (interleaved A/B on the target chip, r2): the kernel
+    wins over the four-step mm path at n >= 2^16 with large working sets
+    (one HBM read + one write per row vs ~6 passes); mm wins at 2^14 and
+    below, and at tiny batches (per-grid-step fixed cost dominates). The
+    kernel is inherently bf16x3, so it is skipped when exact f32 leaves
+    are in force (exact_precision() / set_fast_math(False))."""
+    if _FAST_MODE == "off":
+        return False
+    re = x[0]
+    if re.dtype != jnp.float32:
+        return False
+    n = re.shape[-1]
+    if not (_VMEM_MIN_N <= n <= _VMEM_MAX_N) or re.size < _SMALL_WS_ELEMS:
+        return False
+    from .pallas import vmemfft
+    if not vmemfft.supported(n):
+        return False
+    return jax.default_backend() != "cpu"
+
+
+def _fft_vmem(x: Cplx, sign: int) -> Cplx:
+    from .pallas import vmemfft
+    if x[0].dtype != jnp.float32:
+        raise ValueError("impl='vmem' is float32-only (bf16x3 MXU kernel)")
+    interpret = jax.default_backend() == "cpu"
+    return vmemfft.fft_vmem(x, sign, interpret=interpret)
+
+
 def _fft_dispatch(x: Cplx, sign: int, impl: str) -> Cplx:
     """Power-of-two dispatch (impl already validated)."""
+    if impl == "vmem":
+        return _fft_vmem(x, sign)
     if impl in ("auto", "mm"):
         if impl == "auto" and x[0].shape[-1] <= _STOCKHAM_MAX:
             return _fft_stockham(x, sign)
+        if impl == "auto" and _use_vmem_kernel(x, sign):
+            return _fft_vmem(x, sign)
         return _fft_mm(x, sign)
     if impl == "stockham":
         return _fft_stockham(x, sign)
@@ -367,7 +406,18 @@ def _fft_dispatch(x: Cplx, sign: int, impl: str) -> Cplx:
     z = jnp.fft.fft(z) if sign == -1 else jnp.fft.ifft(z) * n
     return from_complex(z)
 
-_IMPLS = ("auto", "mm", "stockham", "xla")
+_IMPLS = ("auto", "mm", "stockham", "xla", "vmem")
+
+# Auto-mode routing window for the VMEM-resident Pallas kernel, from
+# interleaved A/B vs the mm path on the target chip (r2): mm wins
+# decisively at 2^14; the kernel wins 1.3x at 2^16 (848 vs 651 GF/s
+# in-window; 1107 GF/s in a fast relay window) and 1.8x at 2^18 (1200
+# vs 675; 1807 fast-window). At 2^20 the A/B was ambiguous (kernel won
+# 3 of 4 interleaved rounds, 442 vs 543 us, but mm took the min) and
+# the kernel's 2^20 compile costs ~10 min on this backend, so 2^20
+# stays on mm; impl="vmem" opts in explicitly.
+_VMEM_MIN_N = 1 << 16
+_VMEM_MAX_N = 1 << 19
 
 # Below this size, one matmul leaf is a full transform; the Stockham path
 # wins only for tiny batch*N where matmul setup dominates.

@@ -1,0 +1,231 @@
+"""Pallas TPU kernel: whole-transform VMEM-resident FFT.
+
+The XLA four-step path (ops/fft.py ``_fft_mm``) is HBM-pass-bound for
+large transforms: each level costs ~2 full read+write passes over the
+working set (concat -> matmul -> twiddle -> matmul -> transpose), landing
+at ~0.6-0.8 TFLOP/s on the 2^16..2^20 sweep (measured r2). This kernel
+performs a THREE-level mixed-radix decomposition of TB rows entirely in
+VMEM — one HBM read and one HBM write per row.
+
+Design rules (all measured on this backend, r2):
+
+  * Mosaic relayouts (transposes / lane<->sublane reshapes) on lane-padded
+    shapes are pathological (a digit-reversal transpose chain cost 4.7 ms
+    vs ~0.5 ms for the rest of the kernel). The kernel performs ZERO
+    explicit relayouts: every inter-level reordering is absorbed into the
+    OPERAND ORDER of a dot_general — the MXU emits the transposed
+    orientation directly, and the last level lands in natural order.
+  * every intermediate keeps its minor (lane) dimension >= 128, so nothing
+    is tile-padded.
+  * precision is bf16x3 (Dekker hi/lo split), but the three partial
+    matmuls are ONE stacked MXU contraction: [Bh Bl Bh] @ [zh; zh; zl].
+    The MXU accumulates internally (no f32 epilogue adds on the VPU) and
+    the 6f contraction depth triples systolic-array utilization for small
+    factors. Error budget ~1.5e-5 relative per level, same as the XLA
+    path's Precision.HIGH leaves.
+  * TB rows per grid step amortize the fixed per-step cost (~2 us); TB is
+    threaded as a leading dot_general BATCH dimension so it never forces
+    a relayout.
+  * Mosaic's default 16M scoped-vmem cap is raised via compiler_params
+    (v5e has 128M physical VMEM).
+
+Factorization n = f1*f2*f3 with canvas evolution (split re/im planes,
+leading TB omitted):
+
+  (f1, f2*f3)   --L1: Bstk @ z (sublane contract)-->  (k1, f2*f3)  * T1
+  (k1, 6*f2, R2) --L2: dot(Bstk, z, contract mid)-->  (k2, k1, R2) * T2
+  (k2*k1, 6*f3)  --L3: dot(Bstk, z, contract lane)--> (k3, k2*k1)  natural
+
+where B = [[U, -V], [V, U]] is the split-complex block DFT matrix in
+column form (U, V symmetric). The reference computes the same transform
+as a bit-reversal pass plus log2(N) butterfly dispatches with a host
+round-trip per stage (cl_fft.cpp:138-151).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..cplx import Cplx
+
+# n -> (f1, f2, f3). f3 = 128 keeps every lane dimension full; f1 is the
+# input sublane dim. TB rows per grid step, sized so the value chain
+# (~6x the TB-row canvas) stays well inside VMEM.
+_PLANS = {
+    1 << 13: (8, 8, 128, 16),
+    1 << 14: (16, 8, 128, 16),
+    1 << 15: (16, 16, 128, 8),
+    1 << 16: (16, 32, 128, 8),
+    1 << 17: (32, 32, 128, 2),
+    1 << 18: (32, 64, 128, 2),
+    1 << 19: (64, 64, 128, 1),
+    1 << 20: (64, 128, 128, 1),
+}
+
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def supported(n: int) -> bool:
+    return n in _PLANS
+
+
+# ---------------------------------------------------------------------------
+# Host-precomputed tables (f64 trig, same recipe as the reference's host
+# twiddle fill, cl_fft.cpp:86-91)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _leaf_stacked_np(f: int, sign: int, tb: int) -> np.ndarray:
+    """(tb, 2f, 6f) bf16 stacked block matrix [Bh | Bl | Bh].
+
+    B = [[U, -V], [V, U]] (column form) with U + iV the f-point DFT
+    matrix; Bh/Bl are its Dekker bf16 hi/lo parts. Contracting against
+    the stacked operand [zh; zh; zl] yields Bh@zh + Bl@zh + Bh@zl — the
+    bf16x3 product — in a single MXU pass. Broadcast to the TB batch dim
+    (dot_general batch dims must appear on both operands).
+    """
+    import ml_dtypes                       # pure-numpy bf16: this builder
+    # can run inside a jit trace (lru miss), so no jnp ops here.
+    jk = np.outer(np.arange(f, dtype=np.float64), np.arange(f, dtype=np.float64))
+    w = np.exp(sign * 2j * np.pi * jk / f)
+    u, v = w.real, w.imag
+    b = np.block([[u, -v], [v, u]]).astype(np.float32)
+    hi = b.astype(ml_dtypes.bfloat16)
+    lo = (b - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    stk = np.concatenate([hi, lo, hi], axis=1)            # (2f, 6f)
+    return np.broadcast_to(stk, (tb,) + stk.shape).copy()
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddle_np(f: int, rest: int, sign: int):
+    """Level twiddle w^(k_f * j_rest), w = exp(sign*2i*pi/(f*rest));
+    shape (f, rest), split f32 re/im."""
+    ph = np.outer(np.arange(f, dtype=np.float64), np.arange(rest, dtype=np.float64))
+    w = np.exp(sign * 2j * np.pi * ph / (f * rest))
+    return w.real.astype(np.float32), w.imag.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+
+def _stack6(re, im, axis):
+    """[re_h; im_h; re_h; im_h; re_l; im_l] along `axis` (bf16)."""
+    reh = re.astype(jnp.bfloat16)
+    rel = (re - reh.astype(jnp.float32)).astype(jnp.bfloat16)
+    imh = im.astype(jnp.bfloat16)
+    iml = (im - imh.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([reh, imh, reh, imh, rel, iml], axis=axis)
+
+
+def _vmemfft_kernel(f1, f2, f3, tb, in_r, in_i, w1, w2, w3, t1r, t1i,
+                    t2r, t2i, out_r, out_i):
+    # L1 — contract f1 over sublanes: (tb,2f1,6f1) x (tb,6f1,R1)
+    z = _stack6(in_r[:], in_i[:], axis=1)               # (tb, 6f1, R1)
+    y = jax.lax.dot_general(w1[:], z, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    re, im = y[:, :f1, :], y[:, f1:, :]                 # (tb, k1, R1)
+    tr, ti = t1r[:], t1i[:]
+    re, im = re * tr - im * ti, re * ti + im * tr
+
+    # L2 — contract f2 (middle); MXU emits (tb, k2, k1, R2) directly
+    re = re.reshape(tb, f1, f2, f3)
+    im = im.reshape(tb, f1, f2, f3)
+    z = _stack6(re, im, axis=2)                         # (tb, k1, 6f2, R2)
+    y = jax.lax.dot_general(w2[:], z, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    re, im = y[:, :f2], y[:, f2:]                       # (tb, k2, k1, R2)
+    tr, ti = t2r[:], t2i[:]
+    tr = tr[None, :, None, :]
+    ti = ti[None, :, None, :]
+    pr = re * tr - im * ti
+    pi = re * ti + im * tr
+
+    # L3 — contract f3 (lanes); MXU emits (tb, k3, k2*k1) == natural order
+    re = pr.reshape(tb, f2 * f1, f3)
+    im = pi.reshape(tb, f2 * f1, f3)
+    z = _stack6(re, im, axis=2)                         # (tb, k2k1, 6f3)
+    y = jax.lax.dot_general(w3[:], z, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    out_r[:] = y[:, :f3, :]
+    out_i[:] = y[:, f3:, :]
+
+
+# ---------------------------------------------------------------------------
+# Host-side entry
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _build(n: int, sign: int, rows: int, interpret: bool, tb_override=None):
+    f1, f2, f3, tb = _PLANS[n]
+    if tb_override:
+        tb = tb_override
+    while rows % tb:
+        tb //= 2
+    # Tables stay NUMPY in this cache: jnp constants created inside one
+    # jit trace must not leak into another (UnexpectedTracerError).
+    tables = [
+        _leaf_stacked_np(f1, sign, tb),
+        _leaf_stacked_np(f2, sign, tb),
+        _leaf_stacked_np(f3, sign, tb),
+        *_twiddle_np(f1, f2 * f3, sign),
+        *_twiddle_np(f2, f3, sign),
+    ]
+    kern = functools.partial(_vmemfft_kernel, f1, f2, f3, tb)
+    table_specs = [pl.BlockSpec(t.shape, (lambda nd: lambda b: (0,) * nd)(t.ndim),
+                                memory_space=pltpu.VMEM) for t in tables]
+    call = pl.pallas_call(
+        kern,
+        grid=(rows // tb,),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, f3, f2 * f1), jnp.float32),
+            jax.ShapeDtypeStruct((rows, f3, f2 * f1), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((tb, f1, f2 * f3), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, f1, f2 * f3), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + table_specs,
+        out_specs=(
+            pl.BlockSpec((tb, f3, f2 * f1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, f3, f2 * f1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )
+    return call, tables, (f1, f2, f3)
+
+
+def fft_vmem(x: Cplx, sign: int, interpret: bool = False,
+             tb_override: int = 0) -> Cplx:
+    """Unnormalized DFT over the last axis, whole transform in VMEM.
+
+    x: split (re, im) float32 planes, shape (..., n) with n in _PLANS.
+    Matches fft_split(x, sign, "mm") within the bf16x3 error budget
+    (~5e-5 relative over three levels).
+    """
+    re, im = x
+    n = re.shape[-1]
+    if not supported(n):
+        raise ValueError(f"vmem fft: unsupported size {n}")
+    lead = re.shape[:-1]
+    rows = int(np.prod(lead)) if lead else 1
+    call, tables, (f1, f2, f3) = _build(n, sign, rows, interpret,
+                                        tb_override or None)
+    re3 = re.reshape(rows, f1, f2 * f3)
+    im3 = im.reshape(rows, f1, f2 * f3)
+    out_r, out_i = call(re3, im3, *tables)
+    return out_r.reshape(lead + (n,)), out_i.reshape(lead + (n,))

@@ -140,3 +140,26 @@ def test_deterministic_rerun():
     a = np.asarray(fft.fft_unnormalized(x, -1, "mm"))
     b = np.asarray(fft.fft_unnormalized(x, -1, "mm"))
     assert np.array_equal(a, b)
+
+
+def test_vmem_impl_via_dispatcher():
+    """impl='vmem' routes through fft_split to the VMEM Pallas kernel
+    (interpret mode on CPU) and matches the mm path within the bf16x3
+    budget. Auto mode never picks it on CPU (gated to TPU backends)."""
+    n = 1 << 13
+    x = randc((2, n))
+    got = np.asarray(fft.fft_unnormalized(x, -1, "vmem"))
+    ref = np.fft.fft(x)
+    scale = np.max(np.abs(ref))
+    np.testing.assert_allclose(got, ref, atol=1e-4 * scale, rtol=0)
+    inv = np.asarray(fft.fft_unnormalized(got, +1, "vmem")) / n
+    np.testing.assert_allclose(inv, x, atol=2e-4 * np.max(np.abs(x)), rtol=0)
+    assert not fft._use_vmem_kernel(from_complex(x), -1)  # cpu backend
+
+
+def test_vmem_impl_rejects_f64():
+    x = (RNG.standard_normal((1, 1 << 13))
+         + 1j * RNG.standard_normal((1, 1 << 13)))
+    with jax.enable_x64():
+        with pytest.raises(ValueError, match="float32-only"):
+            fft.fft_unnormalized(x.astype(np.complex128), -1, "vmem")

@@ -87,3 +87,38 @@ def test_blockstep_vmem_gate():
     assert fits_vmem_blockstep(256, 512)
     assert not fits_vmem_blockstep(256, 2048)   # flip matrix too large
     assert not fits_vmem_blockstep(12, 128)     # sublane misaligned
+
+
+# ---------------------------------------------------------------------------
+# Whole-transform VMEM-resident FFT (ops/pallas/vmemfft.py)
+# ---------------------------------------------------------------------------
+
+from opencl_fft_tpu.ops.pallas.vmemfft import fft_vmem, supported  # noqa: E402
+
+
+@pytest.mark.parametrize("n", [1 << 13, 1 << 14, 1 << 16])
+@pytest.mark.parametrize("sign", [-1, 1])
+def test_vmemfft_matches_numpy(n, sign):
+    assert supported(n)
+    x = (RNG.standard_normal((2, n)) + 1j * RNG.standard_normal((2, n)))
+    re, im = fft_vmem((jnp.asarray(x.real, jnp.float32),
+                       jnp.asarray(x.imag, jnp.float32)), sign,
+                      interpret=True)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    ref = np.fft.fft(x) if sign == -1 else np.fft.ifft(x) * n
+    scale = np.max(np.abs(ref))
+    # bf16x3 over three matmul levels: ~5e-5 relative budget
+    np.testing.assert_allclose(got, ref, atol=1e-4 * scale, rtol=0)
+
+
+def test_vmemfft_roundtrip_and_determinism():
+    n = 1 << 14
+    x = (RNG.standard_normal((3, n)) + 1j * RNG.standard_normal((3, n)))
+    sp = (jnp.asarray(x.real, jnp.float32), jnp.asarray(x.imag, jnp.float32))
+    fr, fi = fft_vmem(sp, -1, interpret=True)
+    br, bi = fft_vmem((fr / n, fi / n), +1, interpret=True)
+    np.testing.assert_allclose(np.asarray(br), x.real, atol=2e-4, rtol=0)
+    np.testing.assert_allclose(np.asarray(bi), x.imag, atol=2e-4, rtol=0)
+    r2, i2 = fft_vmem(sp, -1, interpret=True)
+    assert np.array_equal(np.asarray(fr), np.asarray(r2))
+    assert np.array_equal(np.asarray(fi), np.asarray(i2))
