@@ -84,14 +84,25 @@ def rt_ratio(pts: int, ir_len: int, scan_blocks: int = 512, reps: int = 4,
 
 
 def run_sweep(parts_list, ir_list, tv=True, out_prefix="sweep",
-              row_repeats=2):
+              row_repeats=2, merge_json=None):
     """Measure the grid. Each M-row is swept row_repeats times end-to-end
     (interleaving over the relay's ~10-minute drift timescale) keeping the
     max RT ratio per point (= min elapsed time, the standard jitter mask),
     then checked for monotonicity: RT ratio must be non-increasing in L
     (longer IR, strictly more work per block). Violations are re-measured;
-    survivors are reported to stderr rather than silently shipped."""
+    survivors are reported to stderr rather than silently shipped.
+
+    merge_json: path to a prior sweep.json — its points seed the result
+    table so a single re-measured row (--row) refreshes the full-grid
+    artifacts without re-running every point; re-measured rows REPLACE
+    the stale entries."""
     results = {}
+    if merge_json:
+        with open(merge_json) as f:
+            results.update(json.load(f))
+        for pts in parts_list:                 # stale row: fully replace
+            for L in ir_list:
+                results.pop(f"M={pts},L=2^{int(np.log2(L))}", None)
     for pts in parts_list:
         Ls = [L for L in ir_list if L >= pts]
         row = {}
@@ -130,6 +141,12 @@ def run_sweep(parts_list, ir_list, tv=True, out_prefix="sweep",
 
     with open(f"{out_prefix}.json", "w") as f:
         json.dump(results, f, indent=2)
+
+    # artifacts cover every point in the (possibly merged) result table
+    all_parts = sorted({int(k.split(",")[0][2:]) for k in results})
+    all_irs = sorted({1 << int(k.split("=2^")[1]) for k in results})
+    parts_list = sorted(set(parts_list) | set(all_parts))
+    ir_list = sorted(set(ir_list) | set(all_irs))
 
     # table.tex analog (tests.py:70-76): rows = partition sizes, cols = L
     with open(f"{out_prefix}_table.tex", "w") as f:
@@ -184,15 +201,26 @@ def main():
                     help="small sweep (CI-sized)")
     ap.add_argument("--lti", action="store_true",
                     help="bench the LTI engine instead of time-varying")
+    ap.add_argument("--row", type=int, default=0,
+                    help="re-measure ONE partition-size row only")
+    ap.add_argument("--merge", default="",
+                    help="prior sweep.json to seed un-re-measured points")
+    ap.add_argument("--out", default="sweep", help="artifact path prefix")
+    ap.add_argument("--repeats", type=int, default=2,
+                    help="end-to-end row sweeps (max kept per point)")
     args = ap.parse_args()
-    if args.quick:
+    if args.row:
+        parts = [args.row]
+        irs = [1 << k for k in range(16, 23)]
+    elif args.quick:
         parts = [1 << 9, 1 << 11]
         irs = [1 << 16, 1 << 18]
     else:
         # the reference grid: tests.py:10,12
         parts = [1 << 9, 1 << 11, 1 << 13, 1 << 15]
         irs = [1 << k for k in range(16, 23)]
-    run_sweep(parts, irs, tv=not args.lti)
+    run_sweep(parts, irs, tv=not args.lti, out_prefix=args.out,
+              row_repeats=args.repeats, merge_json=args.merge or None)
 
 
 if __name__ == "__main__":

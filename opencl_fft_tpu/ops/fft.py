@@ -19,8 +19,8 @@ kernels, and split planes keep 128-lane-friendly layouts. Three paths:
               stages on the VPU. Small-N path and exactness cross-check.
 ``vmem``      Pallas kernel (pallas/vmemfft.py): three-level mixed-radix
               decomposition entirely in VMEM — one HBM read + one write
-              per row. Auto mode routes 2^16 <= n <= 2^19 here on TPU
-              (measured 1.3-1.8x over ``mm`` in interleaved A/Bs).
+              per row. Auto mode routes 2^16 <= n <= 2^18 here on TPU
+              (measured 1.16-1.8x over ``mm`` in interleaved A/Bs).
 ``xla``       ``jnp.fft`` builtin — host/CPU comparison only (the axon TPU
               backend does not implement the FFT op).
 
@@ -409,15 +409,16 @@ def _fft_dispatch(x: Cplx, sign: int, impl: str) -> Cplx:
 _IMPLS = ("auto", "mm", "stockham", "xla", "vmem")
 
 # Auto-mode routing window for the VMEM-resident Pallas kernel, from
-# interleaved A/B vs the mm path on the target chip (r2): mm wins
-# decisively at 2^14; the kernel wins 1.3x at 2^16 (848 vs 651 GF/s
-# in-window; 1107 GF/s in a fast relay window) and 1.8x at 2^18 (1200
-# vs 675; 1807 fast-window). At 2^20 the A/B was ambiguous (kernel won
-# 3 of 4 interleaved rounds, 442 vs 543 us, but mm took the min) and
-# the kernel's 2^20 compile costs ~10 min on this backend, so 2^20
-# stays on mm; impl="vmem" opts in explicitly.
+# interleaved A/B vs the mm path on the target chip (r2,
+# bench_results/vmemfft_ab.json): mm wins decisively at 2^14; the kernel
+# wins 1.3x at 2^16 (848 vs 651 GF/s in-window; 1107 in a fast relay
+# window), 1.16x at 2^17 (1153 vs 995) and 1.8x at 2^18 (1200 vs 675;
+# 1807 fast-window). At 2^19 the A/B was a wash (972 vs 1038) and at
+# 2^20 ambiguous (kernel won 3/4 interleaved rounds but mm took the
+# min) with a ~10 min kernel compile, so both stay on mm; impl="vmem"
+# opts in explicitly.
 _VMEM_MIN_N = 1 << 16
-_VMEM_MAX_N = 1 << 19
+_VMEM_MAX_N = 1 << 18
 
 # Below this size, one matmul leaf is a full transform; the Stockham path
 # wins only for tiny batch*N where matmul setup dominates.

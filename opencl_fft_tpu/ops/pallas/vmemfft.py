@@ -63,7 +63,7 @@ _PLANS = {
     1 << 14: (16, 8, 128, 16),
     1 << 15: (16, 16, 128, 8),
     1 << 16: (16, 32, 128, 8),
-    1 << 17: (32, 32, 128, 2),
+    1 << 17: (32, 32, 128, 4),
     1 << 18: (32, 64, 128, 2),
     1 << 19: (64, 64, 128, 1),
     1 << 20: (64, 128, 128, 1),
