@@ -82,19 +82,28 @@ def rt_ratio(pts: int, ir_len: int, scan_blocks: int = 512, reps: int = 4,
     # impossible numbers (relay-drift-collapsed deltas), never fast ones.
     floor_block = max(4 * cfg.nparts * cfg.bins * 4 / 3e12, 0.2e-6)
 
-    # min over repeats masks relay jitter (state transfer per run can be
-    # 100+ MB for the largest IRs, and transfer time varies wildly)
-    for _ in range(3):                         # retry nonsensical deltas
-        t_short = min(run(1) for _ in range(3))
-        t_long = min(run(1 + reps) for _ in range(3))
-        delta = t_long - t_short
-        if delta > floor_block * reps * scan_blocks:
-            per_block = delta / (reps * scan_blocks)
-            return (pts / SR) / per_block
-        reps *= 2                              # longer chain, retry
-    raise Unmeasurable(
-        f"M={pts} L={ir_len}: delta {delta:.3e}s at or below the "
-        f"bandwidth floor after retries")
+    # Relay drift corrupts host-clock deltas in BOTH directions: an
+    # inflated short-chain reading collapses the delta (overstating RT),
+    # a slow window inflates it (understating RT). Min-of-repeats (the
+    # usual jitter mask) therefore biases UP under this noise; the
+    # estimator here is the MEDIAN of independent floor-guarded deltas.
+    deltas = []
+    for _ in range(4):
+        t_short = min(run(1) for _ in range(2))
+        t_long = min(run(1 + reps) for _ in range(2))
+        delta = (t_long - t_short) / reps
+        if delta > floor_block * scan_blocks:
+            deltas.append(delta)
+            if len(deltas) >= 3:
+                break
+        else:
+            reps *= 2                          # longer chain, retry
+    if not deltas:
+        raise Unmeasurable(
+            f"M={pts} L={ir_len}: all deltas at or below the bandwidth "
+            f"floor after retries")
+    per_block = float(np.median(deltas)) / scan_blocks
+    return (pts / SR) / per_block
 
 
 def run_sweep(parts_list, ir_list, tv=True, out_prefix="sweep",
@@ -119,31 +128,30 @@ def run_sweep(parts_list, ir_list, tv=True, out_prefix="sweep",
                 results.pop(f"M={pts},L=2^{int(np.log2(L))}", None)
     for pts in parts_list:
         Ls = [L for L in ir_list if L >= pts]
-        row = {}
-        for _ in range(row_repeats):
-            for L in Ls:
-                try:
-                    r = rt_ratio(pts, L, tv=tv)
+        est = {L: [] for L in Ls}              # independent estimates
+        for _ in range(row_repeats):           # row passes ~10 min apart
+            for L in Ls:                       # => one bad drift window
+                try:                           #    cannot poison a point
+                    est[L].append(rt_ratio(pts, L, tv=tv))
                 except Unmeasurable:
                     continue                 # other repeats cover the point
-                if r > 1e5:                  # implausible: timing glitch
-                    continue
-                row[L] = max(row.get(L, 0.0), r)
-        # monotonicity repair: a low outlier at smaller L means that
-        # measurement window was drift-inflated — re-measure, keep max
+        row = {L: float(np.median(v)) for L, v in est.items() if v}
+        # monotonicity repair: an out-of-order point means one window's
+        # drift still dominates its median — add estimates, re-median
         for _ in range(2):
-            bad = [Ls[i] for i in range(len(Ls) - 1)
-                   if Ls[i] in row and Ls[i + 1] in row
-                   and row[Ls[i + 1]] > row[Ls[i]] * 1.15]
+            bad = set()                        # either side may be off
+            for i in range(len(Ls) - 1):
+                if (Ls[i] in row and Ls[i + 1] in row
+                        and row[Ls[i + 1]] > row[Ls[i]] * 1.15):
+                    bad.update((Ls[i], Ls[i + 1]))
             if not bad:
                 break
-            for L in bad:
+            for L in sorted(bad):
                 try:
-                    r = rt_ratio(pts, L, tv=tv)
+                    est[L].append(rt_ratio(pts, L, tv=tv))
                 except Unmeasurable:
                     continue
-                if r <= 1e5:
-                    row[L] = max(row[L], r)
+                row[L] = float(np.median(est[L]))
         for i in range(len(Ls) - 1):
             if (Ls[i] in row and Ls[i + 1] in row
                     and row[Ls[i + 1]] > row[Ls[i]] * 1.15):
