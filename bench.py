@@ -44,7 +44,7 @@ class Unmeasurable(RuntimeError):
     rather than publish a garbage number."""
 
 
-def _time_chained(fn, make_state, args, reps=4, warm=1, floor_s=0.0, tries=3):
+def _time_chained(fn, make_state, args, reps=4, warm=1, floor_s=0.0, tries=5):
     """Seconds per fn() call: chain state through repeated async dispatches,
     sync once, subtract a short chain to cancel dispatch+sync overhead.
 
@@ -53,7 +53,13 @@ def _time_chained(fn, make_state, args, reps=4, warm=1, floor_s=0.0, tries=3):
     below the floor are rejected and retried with a longer chain; if the
     measurement never clears the floor, raises Unmeasurable instead of
     publishing a clamped value (the round-1 failure mode: a noise-poisoned
-    non-positive delta clamped to 1 ns shipped as 1.28e12 'results')."""
+    non-positive delta clamped to 1 ns shipped as 1.28e12 'results').
+
+    The returned value is the MEDIAN of three independent floor-guarded
+    deltas: relay drift corrupts host-clock deltas in both directions
+    (an inflated short-chain reading collapses the delta), so min-keeping
+    would systematically overstate throughput (r2 failure mode caught in
+    the sweep: a 4060x RT reading bounded near 830x by HBM traffic)."""
     st, out = fn(make_state(), *args)
     _sync(out)                                   # compile + warm
 
@@ -67,17 +73,22 @@ def _time_chained(fn, make_state, args, reps=4, warm=1, floor_s=0.0, tries=3):
         return time.time() - t0
 
     floor = max(floor_s, 1e-7)
-    dt = -1.0
+    deltas = []
     for _ in range(tries):
-        t_short = min(run(warm) for _ in range(3))
-        t_long = min(run(warm + reps) for _ in range(3))
+        t_short = min(run(warm) for _ in range(2))
+        t_long = min(run(warm + reps) for _ in range(2))
         dt = (t_long - t_short) / reps
         if dt > floor:
-            return dt
-        reps *= 2                                # longer chain, retry
+            deltas.append(dt)
+            if len(deltas) >= 3:
+                return float(np.median(deltas))
+        else:
+            reps *= 2                            # longer chain, retry
+    if deltas:
+        return float(np.median(deltas))
     raise Unmeasurable(
-        f"timing delta {dt:.3e}s/call at or below physical floor "
-        f"{floor:.3e}s after {tries} tries")
+        f"timing delta at or below physical floor "
+        f"{floor:.3e}s in all {tries} tries")
 
 
 def _mac_floor_s(nparts, bins, blocks, batch=1, bw=3e12):
@@ -235,23 +246,29 @@ def bench_fft_sweep():
         _sync(run((re, im), 1))
         _sync(run((re, im), iters))
 
-        def best(k, tries=4):
-            ts = []
-            for _ in range(tries):
-                t0 = time.time(); _sync(run((re, im), k)); ts.append(time.time() - t0)
-            return min(ts)                     # min masks relay jitter
+        def timed(k):
+            t0 = time.time(); _sync(run((re, im), k)); return time.time() - t0
 
         # physical floor: each iteration moves >= 2x the 64MB split-complex
         # working set through HBM (generous 3 TB/s => only impossible
-        # numbers are rejected)
+        # numbers are rejected). Median of independent floor-guarded
+        # deltas (same drift rationale as _time_chained).
         floor = batch * n * 8 * 2 / 3e12
-        dt = (best(iters) - best(1)) / (iters - 1)
-        if dt <= floor:                        # jitter swamped the delta
-            dt = (best(2 * iters) - best(1)) / (2 * iters - 1)
-        if dt <= floor:
+        deltas, k = [], iters
+        for _ in range(5):
+            d = (min(timed(k) for _ in range(2))
+                 - min(timed(1) for _ in range(2))) / (k - 1)
+            if d > floor:
+                deltas.append(d)
+                if len(deltas) >= 3:
+                    break
+            else:
+                k *= 2                         # jitter swamped the delta
+        if not deltas:
             print(f"  fft 2^{logn}: unmeasurable (relay glitch), omitted",
                   file=sys.stderr)
             continue
+        dt = float(np.median(deltas))
         gflops = 5 * n * logn * batch / dt / 1e9
         results[f"2^{logn}"] = {"batch": batch, "us": round(dt * 1e6, 1),
                                 "gflops": round(gflops, 1)}
