@@ -149,6 +149,29 @@ def main():
     d = np.max(np.abs(np.concatenate(ch) - np.stack(seq)))
     check("pconv_chunk == sequential", d / (np.max(np.abs(seq)) + 1e-9), 1e-6)
 
+    # the measured-winner Pallas block-step paths (_tuned.WINNERS) must
+    # agree with the XLA step at the configs auto-mode routes to them
+    from opencl_fft_tpu.ops.pallas import _tuned
+    for (nparts_w, bins_w), mode in sorted(_tuned.WINNERS.items()):
+        if mode == "xla" or bins_w > 1024:     # keep smoke light
+            continue
+        pts_w, ir_w = bins_w, nparts_w * bins_w
+        irw = rng.standard_normal(ir_w).astype(np.float32)
+        bxw = rng.standard_normal((6, pts_w)).astype(np.float32)
+        outs = {}
+        for m in ("off", mode):
+            cfgm = P.PconvConfig.for_ir_length(ir_w, pts_w, pallas=m)
+            stm = P.push_ir(cfgm, P.pconv_init(cfgm), jnp.asarray(irw))
+            ys = []
+            for b in bxw:
+                stm, o = P.pconv_step(cfgm, stm, jnp.asarray(b))
+                ys.append(np.asarray(o))
+            outs[m] = np.stack(ys)
+        err = np.max(np.abs(outs[mode] - outs["off"]))
+        scale = np.max(np.abs(outs["off"])) + 1e-9
+        check(f"pallas '{mode}' == xla @ ({nparts_w},{bins_w})",
+              err / scale, 1e-5)
+
     st_c = P.pconv_init(cfg2)
     seq_tv = []
     for i in range(16):
