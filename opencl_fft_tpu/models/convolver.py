@@ -15,6 +15,7 @@ multi-chip path.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional, Tuple
 
@@ -47,7 +48,16 @@ def batched_state(cfg: _p.PconvConfig, batch: int) -> _p.PconvState:
 
 
 def _vmapped(fn, cfg):
-    """vmap a pconv step over the batch axis with shared ring pointers."""
+    """vmap a pconv step over the batch axis with shared ring pointers.
+
+    The Pallas block-step/MAC kernels are single-stream designs (the ring
+    window lives in an ANY-space block whose batched lowering Mosaic
+    rejects), so the batched engines always run the XLA step — which is
+    the right call anyway: many concurrent streams keep the MXU busy
+    through XLA's own batching, the kernels exist to win the
+    single-stream latency case (_tuned.WINNERS measurements)."""
+    if cfg.pallas != "off":
+        cfg = dataclasses.replace(cfg, pallas="off")
     in_axes = (_p.PconvState(
         spec_x_re=0, spec_x_im=0, spec_h_re=0, spec_h_im=0,
         tail=0, wp=None, wp2=None),)

@@ -100,7 +100,14 @@ class PconvConfig:
         return self._jdtype
 
     def _kernel_eligible(self) -> bool:
-        return self.ring_dtype == "f32" and self.dtype == "f32"
+        if self.ring_dtype != "f32" or self.dtype != "f32":
+            return False
+        if self.pallas == "auto":
+            # auto never routes to Mosaic off-TPU; explicit "on"/"block"
+            # stay honest for interpret-mode tests
+            import jax
+            return jax.default_backend() != "cpu"
+        return True
 
     def _use_pallas_mac(self) -> bool:
         from .pallas.mac import fits_vmem

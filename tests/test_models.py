@@ -114,3 +114,22 @@ def test_batched_state_honors_ring_dtype():
     assert st.tail.dtype == jnp.float32
     cfg32 = P.PconvConfig.for_ir_length(64, 16)
     assert batched_state(cfg32, 3).spec_x_re.dtype == jnp.float32
+
+
+def test_batched_engine_forces_xla_step_for_kernel_routed_configs():
+    """The Pallas block-step/MAC kernels are single-stream (their batched
+    Mosaic lowering is rejected — observed as a bench crash at
+    (nparts=256, bins=512) once _tuned.WINNERS routed it); the batched
+    engines must run the XLA step regardless of cfg.pallas."""
+    import jax.numpy as jnp
+    import numpy as np
+    from opencl_fft_tpu.models.convolver import Convolver
+    from opencl_fft_tpu.ops import pconv as P
+
+    cfg = P.PconvConfig.for_ir_length(64 * 8, 64, pallas="block")
+    rng = np.random.default_rng(5)
+    conv = Convolver(cfg, batch=3)
+    conv.push_ir(jnp.asarray(rng.standard_normal((3, 64 * 8)), jnp.float32))
+    out = conv.step(jnp.asarray(rng.standard_normal((3, 64)), jnp.float32))
+    assert out.shape == (3, 64)
+    assert np.isfinite(np.asarray(out)).all()
