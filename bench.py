@@ -44,22 +44,19 @@ class Unmeasurable(RuntimeError):
     rather than publish a garbage number."""
 
 
-def _time_chained(fn, make_state, args, reps=4, warm=1, floor_s=0.0, tries=5):
+def _time_chained(fn, make_state, args, reps=4, warm=1, floor_s=0.0):
     """Seconds per fn() call: chain state through repeated async dispatches,
     sync once, subtract a short chain to cancel dispatch+sync overhead.
 
-    floor_s is the minimum physically plausible seconds per call (e.g. the
-    HBM-bandwidth bound on the bytes the call must touch). Deltas at or
-    below the floor are rejected and retried with a longer chain; if the
-    measurement never clears the floor, raises Unmeasurable instead of
+    Timing estimator: utils.profiling.median_chain_delta (median of >= 2
+    floor-guarded deltas; see its docstring for the drift rationale).
+    floor_s is the minimum physically plausible seconds per call (the
+    HBM-bandwidth bound on the bytes the call must touch). A window that
+    never yields enough physical deltas raises Unmeasurable instead of
     publishing a clamped value (the round-1 failure mode: a noise-poisoned
-    non-positive delta clamped to 1 ns shipped as 1.28e12 'results').
+    non-positive delta clamped to 1 ns shipped as 1.28e12 'results')."""
+    from opencl_fft_tpu.utils.profiling import median_chain_delta
 
-    The returned value is the MEDIAN of three independent floor-guarded
-    deltas: relay drift corrupts host-clock deltas in both directions
-    (an inflated short-chain reading collapses the delta), so min-keeping
-    would systematically overstate throughput (r2 failure mode caught in
-    the sweep: a 4060x RT reading bounded near 830x by HBM traffic)."""
     st, out = fn(make_state(), *args)
     _sync(out)                                   # compile + warm
 
@@ -73,22 +70,12 @@ def _time_chained(fn, make_state, args, reps=4, warm=1, floor_s=0.0, tries=5):
         return time.time() - t0
 
     floor = max(floor_s, 1e-7)
-    deltas = []
-    for _ in range(tries):
-        t_short = min(run(warm) for _ in range(2))
-        t_long = min(run(warm + reps) for _ in range(2))
-        dt = (t_long - t_short) / reps
-        if dt > floor:
-            deltas.append(dt)
-            if len(deltas) >= 3:
-                return float(np.median(deltas))
-        else:
-            reps *= 2                            # longer chain, retry
-    if deltas:
-        return float(np.median(deltas))
-    raise Unmeasurable(
-        f"timing delta at or below physical floor "
-        f"{floor:.3e}s in all {tries} tries")
+    dt, n = median_chain_delta(run, reps, floor, short=warm)
+    if dt is None:
+        raise Unmeasurable(
+            f"only {n} physical timing delta(s) above floor "
+            f"{floor:.3e}s -- relay window unusable")
+    return dt
 
 
 def _mac_floor_s(nparts, bins, blocks, batch=1, bw=3e12):
@@ -251,24 +238,15 @@ def bench_fft_sweep():
 
         # physical floor: each iteration moves >= 2x the 64MB split-complex
         # working set through HBM (generous 3 TB/s => only impossible
-        # numbers are rejected). Median of independent floor-guarded
-        # deltas (same drift rationale as _time_chained).
+        # numbers are rejected). Estimator: median_chain_delta (timed(k)
+        # counts k iterations, so reps = k - short).
+        from opencl_fft_tpu.utils.profiling import median_chain_delta
         floor = batch * n * 8 * 2 / 3e12
-        deltas, k = [], iters
-        for _ in range(5):
-            d = (min(timed(k) for _ in range(2))
-                 - min(timed(1) for _ in range(2))) / (k - 1)
-            if d > floor:
-                deltas.append(d)
-                if len(deltas) >= 3:
-                    break
-            else:
-                k *= 2                         # jitter swamped the delta
-        if not deltas:
-            print(f"  fft 2^{logn}: unmeasurable (relay glitch), omitted",
-                  file=sys.stderr)
+        dt, nvalid = median_chain_delta(timed, iters - 1, floor)
+        if dt is None:
+            print(f"  fft 2^{logn}: unmeasurable ({nvalid} valid deltas), "
+                  f"omitted", file=sys.stderr)
             continue
-        dt = float(np.median(deltas))
         gflops = 5 * n * logn * batch / dt / 1e9
         results[f"2^{logn}"] = {"batch": batch, "us": round(dt * 1e6, 1),
                                 "gflops": round(gflops, 1)}

@@ -80,52 +80,48 @@ def rt_ratio(pts: int, ir_len: int, scan_blocks: int = 512, reps: int = 4,
     # planes (x/h, re/im) of (nparts, bins) f32 through HBM. 3 TB/s is
     # ~5x the measured chip bandwidth, so the floor only rejects
     # impossible numbers (relay-drift-collapsed deltas), never fast ones.
-    floor_block = max(4 * cfg.nparts * cfg.bins * 4 / 3e12, 0.2e-6)
+    # Estimator: utils.profiling.median_chain_delta (median of >= 2
+    # floor-guarded deltas; see its docstring for the drift rationale).
+    from ..utils.profiling import median_chain_delta
 
-    # Relay drift corrupts host-clock deltas in BOTH directions: an
-    # inflated short-chain reading collapses the delta (overstating RT),
-    # a slow window inflates it (understating RT). Min-of-repeats (the
-    # usual jitter mask) therefore biases UP under this noise; the
-    # estimator here is the MEDIAN of independent floor-guarded deltas.
-    deltas = []
-    for _ in range(4):
-        t_short = min(run(1) for _ in range(2))
-        t_long = min(run(1 + reps) for _ in range(2))
-        delta = (t_long - t_short) / reps
-        if delta > floor_block * scan_blocks:
-            deltas.append(delta)
-            if len(deltas) >= 3:
-                break
-        else:
-            reps *= 2                          # longer chain, retry
-    if not deltas:
+    floor_block = max(4 * cfg.nparts * cfg.bins * 4 / 3e12, 0.2e-6)
+    delta, n = median_chain_delta(run, reps, floor_block * scan_blocks,
+                                  tries=4)
+    if delta is None:
         raise Unmeasurable(
-            f"M={pts} L={ir_len}: all deltas at or below the bandwidth "
+            f"M={pts} L={ir_len}: only {n} delta(s) above the bandwidth "
             f"floor after retries")
-    per_block = float(np.median(deltas)) / scan_blocks
+    per_block = delta / scan_blocks
     return (pts / SR) / per_block
 
 
 def run_sweep(parts_list, ir_list, tv=True, out_prefix="sweep",
               row_repeats=2, merge_json=None):
     """Measure the grid. Each M-row is swept row_repeats times end-to-end
-    (interleaving over the relay's ~10-minute drift timescale) keeping the
-    max RT ratio per point (= min elapsed time, the standard jitter mask),
-    then checked for monotonicity: RT ratio must be non-increasing in L
-    (longer IR, strictly more work per block). Violations are re-measured;
-    survivors are reported to stderr rather than silently shipped.
+    (row passes land ~10 minutes apart, spanning the relay's drift
+    timescale); each point's published value is the MEDIAN of its
+    independent estimates, then the row is checked for monotonicity: RT
+    ratio must be non-increasing in L (longer IR, strictly more work per
+    block). Inversions get extra estimates on both endpoints and a
+    re-median; survivors are reported to stderr rather than silently
+    shipped.
 
     merge_json: path to a prior sweep.json — its points seed the result
     table so a single re-measured row (--row) refreshes the full-grid
-    artifacts without re-running every point; re-measured rows REPLACE
-    the stale entries."""
+    artifacts without re-running every point. Re-measured points REPLACE
+    the stale entries; a point that comes back Unmeasurable in every
+    pass falls back to its prior value (kept, with a stderr note) rather
+    than leaving a hole where data existed."""
     results = {}
+    prior_row = {}
     if merge_json:
         with open(merge_json) as f:
             results.update(json.load(f))
         for pts in parts_list:                 # stale row: fully replace
             for L in ir_list:
-                results.pop(f"M={pts},L=2^{int(np.log2(L))}", None)
+                old = results.pop(f"M={pts},L=2^{int(np.log2(L))}", None)
+                if old is not None:
+                    prior_row[(pts, L)] = old
     for pts in parts_list:
         Ls = [L for L in ir_list if L >= pts]
         est = {L: [] for L in Ls}              # independent estimates
@@ -160,9 +156,15 @@ def run_sweep(parts_list, ir_list, tv=True, out_prefix="sweep",
                       file=sys.stderr, flush=True)
         for L in Ls:
             if L not in row:
-                print(f"  M={pts} L=2^{int(np.log2(L))}: unmeasurable "
-                      f"(relay glitch)", file=sys.stderr, flush=True)
-                continue
+                if (pts, L) in prior_row:      # keep prior data over a hole
+                    row[L] = prior_row[(pts, L)]
+                    print(f"  M={pts} L=2^{int(np.log2(L))}: unmeasurable "
+                          f"this run — KEPT prior value "
+                          f"{row[L]:.1f}x", file=sys.stderr, flush=True)
+                else:
+                    print(f"  M={pts} L=2^{int(np.log2(L))}: unmeasurable "
+                          f"(relay glitch)", file=sys.stderr, flush=True)
+                    continue
             results[f"M={pts},L=2^{int(np.log2(L))}"] = round(row[L], 1)
             print(f"  M={pts:6d} L=2^{int(np.log2(L)):2d}: "
                   f"{row[L]:10.1f}x realtime", file=sys.stderr, flush=True)
@@ -234,8 +236,8 @@ def main():
     ap.add_argument("--merge", default="",
                     help="prior sweep.json to seed un-re-measured points")
     ap.add_argument("--out", default="sweep", help="artifact path prefix")
-    ap.add_argument("--repeats", type=int, default=2,
-                    help="end-to-end row sweeps (max kept per point)")
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="end-to-end row sweeps (median kept per point)")
     args = ap.parse_args()
     if args.row:
         parts = [args.row]

@@ -471,6 +471,12 @@ def fft_split(x: Cplx, sign: int, impl: str = "auto") -> Cplx:
         return re, im
     if not is_pow2(n):
         # beyond-parity: arbitrary sizes via Bluestein (power-of-two core)
+        if impl == "vmem":
+            # fail here with the user's n — the Bluestein core would
+            # otherwise raise about the padded internal size instead
+            raise ValueError(
+                f"impl='vmem' needs a power-of-two size in the kernel "
+                f"plan table, got {n}; use impl='auto'")
         if impl == "xla":
             return _fft_dispatch((re, im), sign, impl)
         return _fft_bluestein((re, im), sign, impl)

@@ -52,6 +52,46 @@ def _force(x) -> float:
     return float(jnp.sum(leaf[..., :1]))
 
 
+def median_chain_delta(timed: Callable[[int], float], reps: int,
+                       floor: float, *, short: int = 1, samples: int = 3,
+                       min_samples: int = 2, tries: int = 5,
+                       pair: int = 2):
+    """Median of floor-guarded long-minus-short chain deltas — THE timing
+    estimator for this environment (used by bench.py, bench/sweep.py,
+    tools/serving_scaling.py).
+
+    Relay drift corrupts host-clock readings in BOTH directions: an
+    inflated short-chain reading collapses the delta (overstating
+    throughput — the r2 failure mode: a 4060x RT reading bounded near
+    830x by HBM traffic), a slow window inflates it. So: each delta is
+    (timed(short+reps) - timed(short)) / reps with short/long each
+    min-of-`pair`; deltas at or below `floor` (a physical bandwidth
+    bound, ~5x-generous so only impossible values are rejected) are
+    discarded and the chain doubled; the estimate is the median of up to
+    `samples` surviving deltas.
+
+    Returns (delta_seconds_per_call, n_valid). n_valid == 0 means the
+    window never produced a physical measurement; n_valid below
+    `min_samples` means a single (possibly corrupted) delta survived —
+    callers must treat BOTH as unmeasurable and omit, never clamp.
+    """
+    deltas = []
+    for _ in range(tries):
+        t_short = min(timed(short) for _ in range(pair))
+        t_long = min(timed(short + reps) for _ in range(pair))
+        d = (t_long - t_short) / reps
+        if d > floor:
+            deltas.append(d)
+            if len(deltas) >= samples:
+                break
+        else:
+            reps *= 2                        # longer chain, retry
+    n = len(deltas)
+    if n < min_samples:
+        return None, n
+    return float(np.median(deltas)), n
+
+
 def device_timer(step: Callable, x0, iters: int = 20) -> float:
     """Seconds per application of `step`, amortizing launch+sync overhead.
 

@@ -154,7 +154,11 @@ def test_vmem_impl_via_dispatcher():
     np.testing.assert_allclose(got, ref, atol=1e-4 * scale, rtol=0)
     inv = np.asarray(fft.fft_unnormalized(got, +1, "vmem")) / n
     np.testing.assert_allclose(inv, x, atol=2e-4 * np.max(np.abs(x)), rtol=0)
-    assert not fft._use_vmem_kernel(from_complex(x), -1)  # cpu backend
+    # auto-mode gate: an array that satisfies EVERY data condition
+    # (supported size, large working set, f32) must still be refused on
+    # the CPU backend — the backend check alone decides here
+    big = jax.numpy.zeros((64, 1 << 16), jax.numpy.float32)
+    assert not fft._use_vmem_kernel((big, big), -1)
 
 
 def test_vmem_impl_rejects_f64():

@@ -108,3 +108,34 @@ def test_rt_ratio_floor_scales_with_ir_length():
     cfg_small = PconvConfig.for_ir_length(1 << 16, 512)
     floor_small = max(4 * cfg_small.nparts * cfg_small.bins * 4 / 3e12, 0.2e-6)
     assert floor > floor_small                # scales with nparts
+
+
+def test_merge_falls_back_to_prior_on_unmeasurable(fake_points, tmp_path):
+    """A re-measured point that never clears the floor must keep the
+    prior artifact value (with a stderr note), not delete data."""
+    prior = {"M=512,L=2^16": 777.0}
+    pj = tmp_path / "prior.json"
+    pj.write_text(json.dumps(prior))
+    sched = {(512, 1 << 16): [None, None, None]}
+    fake_points(sched)
+    out = str(tmp_path / "s")
+    res = S.run_sweep([512], [1 << 16], out_prefix=out, row_repeats=3,
+                      merge_json=str(pj))
+    assert res["M=512,L=2^16"] == 777.0
+
+
+def test_median_chain_delta_contract():
+    """The shared estimator: floor-guarded, median-combined, and honest
+    about windows that never produce >= 2 physical deltas."""
+    from opencl_fft_tpu.utils.profiling import median_chain_delta
+
+    # deterministic fake clock: chain of n calls takes n*10ms + jitter
+    seq = iter([0.010, 0.010, 0.050, 0.050,     # delta = 10ms
+                0.012, 0.011, 0.049, 0.048,     # delta ~ 9.25ms
+                0.010, 0.010, 0.054, 0.052])    # delta = 10.5ms
+    d, n = median_chain_delta(lambda k: next(seq), 4, 1e-3)
+    assert n == 3 and 8e-3 < d < 11e-3
+
+    # every delta below the floor -> (None, 0), never a clamped value
+    d, n = median_chain_delta(lambda k: 0.010, 4, 1e-3)
+    assert d is None and n == 0

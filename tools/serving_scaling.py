@@ -71,24 +71,15 @@ def measure(batch: int, pts: int = 512, ir_len: int = 1 << 17,
 
     # physical floor: the batched MAC streams batch x 4 ring planes of
     # (nparts, bins) f32 per block; 3 TB/s is ~5x the chip's HBM so only
-    # impossible (drift-collapsed) deltas are rejected. Median of >=3
-    # floor-guarded deltas — same estimator as bench.py/_time_chained
-    # (min-keeping selects collapsed deltas and overstates throughput).
+    # impossible (drift-collapsed) deltas are rejected. Estimator:
+    # utils.profiling.median_chain_delta (the shared convention).
+    from opencl_fft_tpu.utils.profiling import median_chain_delta
+
     floor_block = max(batch * 4 * cfg.nparts * cfg.bins * 4 / 3e12, 1e-6)
-    reps, deltas = 3, []
-    for _ in range(5):
-        t_short = min(run(1) for _ in range(2))
-        t_long = min(run(1 + reps) for _ in range(2))
-        delta = (t_long - t_short) / reps
-        if delta > floor_block * scan_blocks:
-            deltas.append(delta)
-            if len(deltas) >= 3:
-                break
-        else:
-            reps *= 2
-    if not deltas:
+    delta, _n = median_chain_delta(run, 3, floor_block * scan_blocks)
+    if delta is None:
         return {"unmeasurable": True}
-    best = float(np.median(deltas)) / scan_blocks
+    best = delta / scan_blocks
     per_ch_rtf = (pts / SR) / best
     return {
         "us_per_block_all_channels": round(best * 1e6, 1),
