@@ -30,6 +30,7 @@ from .ops.dconv import (DconvConfig, DconvState, dconv_init, dconv_step,
                         dconv_step_tv, dconv_stream, convolve_direct)
 from .stream import (ClfftProcessor, ClrfftProcessor, ClconvProcessor,
                      CltvconvProcessor)
+from .models.convolver import Convolver, TVConvolver, BatchedFFT
 from .utils.errors import Status, error_string, FftError
 from .utils.numerics import np2
 
@@ -46,5 +47,6 @@ __all__ = [
     "DconvConfig", "DconvState", "dconv_init", "dconv_step", "dconv_step_tv",
     "dconv_stream", "convolve_direct",
     "ClfftProcessor", "ClrfftProcessor", "ClconvProcessor", "CltvconvProcessor",
+    "Convolver", "TVConvolver", "BatchedFFT",
     "Status", "error_string", "FftError", "np2",
 ]
