@@ -36,17 +36,22 @@ from ..cplx import Cplx
 from .mac import _VMEM_BUDGET
 
 
+_VMEM_LIMIT = 100 * 1024 * 1024      # raised scoped-vmem cap (v5e: 128M)
+
+
 def fits_vmem_blockstep(nparts: int, bins: int) -> bool:
     if nparts < 8 or nparts % 8 or bins % 128:
         return False
     # Mosaic's scoped-vmem accounting charges the rotate-switch's rolled
     # window copies once PER BRANCH (8 branches), on top of the DMA
-    # scratch, the h planes + products, and the flip matrix. Anchored to
-    # hardware: (nparts=256, bins=512) compiles (observed), (128, 1024)
-    # OOMs at 18.25M against the 16M scoped limit (observed r2).
+    # scratch, the h planes + products, the flip matrix, and the full
+    # step's inverse-DFT (2b x 2b) + deinterleave (2 x 2b x b) tables.
+    # The pallas_call raises the scoped cap to _VMEM_LIMIT; the budget
+    # here keeps a wide margin under it.
     window = 2 * (nparts + 8) * bins * 4
-    est = 9 * window + 4 * nparts * bins * 4 + bins * bins * 4
-    return est <= 15 * 1024 * 1024
+    tables = (bins * bins + (2 * bins) ** 2 + 2 * 2 * bins * bins) * 4
+    est = 9 * window + 4 * nparts * bins * 4 + tables
+    return est <= 80 * 1024 * 1024
 
 
 @functools.lru_cache(maxsize=None)
@@ -66,9 +71,10 @@ def _unpack_twiddle_np(m: int):
     return (w.real.astype(np.float32)[None], w.imag.astype(np.float32)[None])
 
 
-def _blockstep_kernel(nparts, b0_scale, rp_ref, xr_ref, xi_ref, hr_ref,
-                      hi_ref, wr_ref, wi_ref, pf_ref, or_ref, oi_ref,
-                      xr_s, xi_s, sems):
+def _mac_unpack_body(nparts, b0_scale, rp_ref, xr_ref, xi_ref, hr_ref,
+                     hi_ref, wr_ref, wi_ref, pf_ref, xr_s, xi_s, sems):
+    """Shared kernel body: ring-window MAC + bin-0 fix + inverse-rFFT
+    pre-process. Returns the split (1, bins) inverse-FFT input."""
     rp = rp_ref[0]
     # aligned-window DMA + static-rotate-switch (see mac.py)
     rp8 = pl.multiple_of((rp // 8) * 8, 8)
@@ -122,8 +128,119 @@ def _blockstep_kernel(nparts, b0_scale, rp_ref, xr_ref, xi_ref, hr_ref,
     outi = jnp.where(c0, re - im, outi)
     outr = jnp.where(cm2, re, outr)
     outi = jnp.where(cm2, im, outi)
+    return outr, outi
+
+
+def _blockstep_kernel(nparts, b0_scale, rp_ref, xr_ref, xi_ref, hr_ref,
+                      hi_ref, wr_ref, wi_ref, pf_ref, or_ref, oi_ref,
+                      xr_s, xi_s, sems):
+    outr, outi = _mac_unpack_body(nparts, b0_scale, rp_ref, xr_ref, xi_ref,
+                                  hr_ref, hi_ref, wr_ref, wi_ref, pf_ref,
+                                  xr_s, xi_s, sems)
     or_ref[:] = outr
     oi_ref[:] = outi
+
+
+def _blockstep_full_kernel(nparts, b0_scale, pts, rp_ref, xr_ref, xi_ref,
+                           hr_ref, hi_ref, wr_ref, wi_ref, pf_ref, winv_ref,
+                           m1_ref, m2_ref, tail_ref, out_ref, tl_ref,
+                           xr_s, xi_s, sems):
+    """Full block step: MAC + unpack + inverse DFT + deinterleave + OLA in
+    one VMEM pass — the whole per-block chain of ``convol`` + ``c2r`` +
+    inverse ``fft`` + ``olap`` (cl_conv_kernels.h:87-124, cl_conv.cpp:
+    428-455) as a single launch.
+
+    The half-size inverse complex FFT is ONE dense f32 matmul against the
+    (2b, 2b) split-complex block DFT matrix (fft._leaf_matrix_np, sign
+    +1). The even/odd re-interleave back to the 2b-sample time frame has
+    no Mosaic lane primitive, so it is two one-hot (2b, b) matmuls —
+    bit-exact on the MXU (each output lane sums exactly one x*1 product).
+    The OLA tail rides through the kernel as an input/output pair; only
+    the ring write stays outside (DMA row offsets must be 8-aligned; the
+    ring pointer is arbitrary)."""
+    outr, outi = _mac_unpack_body(nparts, b0_scale, rp_ref, xr_ref, xi_ref,
+                                  hr_ref, hi_ref, wr_ref, wi_ref, pf_ref,
+                                  xr_s, xi_s, sems)
+    hp = jax.lax.Precision.HIGHEST
+    z = jnp.concatenate([outr, outi], axis=1)            # (1, 2b)
+    y = jax.lax.dot(z, winv_ref[:], precision=hp)        # inverse DFT
+    out1 = jax.lax.dot(y, m1_ref[:], precision=hp)       # time[:b]
+    tln = jax.lax.dot(y, m2_ref[:], precision=hp)        # time[b:]
+    out_ref[:] = (out1 + tail_ref[:]) / float(pts)
+    tl_ref[:] = tln
+
+
+@functools.lru_cache(maxsize=None)
+def _deinterleave_np(b: int):
+    """One-hot (2b, b) matrices M1/M2 with [Yre Yim] @ M1 = time[:b] and
+    @ M2 = time[b:], where time[2i] = Yre[i], time[2i+1] = Yim[i]."""
+    m1 = np.zeros((2 * b, b), np.float32)
+    m2 = np.zeros((2 * b, b), np.float32)
+    for i in range(b // 2):
+        m1[i, 2 * i] = 1.0
+        m1[b + i, 2 * i + 1] = 1.0
+    for i in range(b // 2, b):
+        m2[i, 2 * (i - b // 2)] = 1.0
+        m2[b + i, 2 * (i - b // 2) + 1] = 1.0
+    return m1, m2
+
+
+def block_step_fused(x2: Cplx, h: Cplx, rp, b0_scale: float, tail,
+                     pts: int, interpret: bool = False):
+    """Fused per-block streaming step on TPU: MAC + unpack + inverse DFT
+    + deinterleave + overlap-add, one launch.
+
+    x2: split DOUBLED input ring (2*nparts, bins); h: split (nparts,
+    bins); rp: int32 scalar; tail: (bins,) OLA tail. Returns
+    (out_block (bins,), new_tail (bins,)) — the complete pconv_step
+    output path (ring writes stay outside)."""
+    from ..fft import _leaf_matrix_np
+
+    xr, xi = x2
+    hr, hi = h
+    nparts, bins = hr.shape
+    rp = jnp.asarray(rp, jnp.int32).reshape(1)
+    wr, wi = _unpack_twiddle_np(bins)
+    pf = _flip_matrix_np(bins)
+    winv = _leaf_matrix_np(bins, +1)
+    m1, m2 = _deinterleave_np(bins)
+    kern = functools.partial(_blockstep_full_kernel, nparts,
+                             float(b0_scale), int(pts))
+    out, new_tail = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, bins), jnp.float32),
+            jax.ShapeDtypeStruct((1, bins), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # ring stays off-VMEM
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nparts + 8, bins), jnp.float32),
+            pltpu.VMEM((nparts + 8, bins), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(rp, xr, xi, hr, hi, jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(pf),
+      jnp.asarray(winv), jnp.asarray(m1), jnp.asarray(m2),
+      jnp.asarray(tail).reshape(1, bins))
+    return out[0], new_tail[0]
 
 
 def block_mac_unpack(x2: Cplx, h: Cplx, rp, b0_scale: float,

@@ -281,18 +281,13 @@ def _mac_inverse_ola(cfg: PconvConfig, state: PconvState, rp: Float
     block-step kernel when the config selects it (see
     PconvConfig._use_pallas_blockstep)."""
     if cfg._use_pallas_blockstep():
-        from .fft import exact_precision, fft_split
-        from .pallas.blockstep import block_mac_unpack
-        from .rfft import interleave
+        from .pallas.blockstep import block_step_fused
 
         b0 = 2.0 if cfg.bin0_mode == "exact" else 1.0
-        z = block_mac_unpack((state.spec_x_re, state.spec_x_im),
-                             (state.spec_h_re, state.spec_h_im), rp, b0)
-        with exact_precision():
-            zz = fft_split(z, +1, cfg.impl)
-        y = interleave(zz)
-        out = (y[..., : cfg.pts] + state.tail) / cfg.pts
-        return out, y[..., cfg.pts:]
+        return block_step_fused(
+            (state.spec_x_re, state.spec_x_im),
+            (state.spec_h_re, state.spec_h_im), rp, b0, state.tail,
+            cfg.pts)
     acc = _spectral_mac(cfg, state, rp)
     return _inverse_and_ola(cfg, state, acc)
 

@@ -85,8 +85,41 @@ def test_blockstep_kernel_matches_mac_plus_unpack(nparts, bins, rp):
 def test_blockstep_vmem_gate():
     from opencl_fft_tpu.ops.pallas.blockstep import fits_vmem_blockstep
     assert fits_vmem_blockstep(256, 512)
-    assert not fits_vmem_blockstep(256, 2048)   # flip matrix too large
+    assert not fits_vmem_blockstep(256, 2048)   # tables too large
     assert not fits_vmem_blockstep(12, 128)     # sublane misaligned
+
+
+@pytest.mark.parametrize("nparts,bins,rp", [(8, 128, 0), (16, 256, 5)])
+def test_blockstep_full_matches_xla_step_chain(nparts, bins, rp):
+    """Fused FULL block step (MAC + unpack + inverse DFT + deinterleave
+    + OLA) == the XLA chain _spectral_mac -> unpack -> ifft -> interleave
+    -> overlap-add."""
+    from opencl_fft_tpu.ops.fft import exact_precision, fft_split
+    from opencl_fft_tpu.ops.pallas.blockstep import block_step_fused
+    from opencl_fft_tpu.ops.rfft import interleave, unpack_inverse
+
+    pts = bins
+    x = tuple(RNG.standard_normal((nparts, bins)).astype(np.float32)
+              for _ in range(2))
+    h = tuple(RNG.standard_normal((nparts, bins)).astype(np.float32)
+              for _ in range(2))
+    tail = RNG.standard_normal(bins).astype(np.float32)
+    x2 = tuple(np.concatenate([p, p], axis=0) for p in x)
+    out, new_tail = block_step_fused(
+        tuple(map(jnp.asarray, x2)), tuple(map(jnp.asarray, h)), rp, 2.0,
+        jnp.asarray(tail), pts, interpret=True)
+
+    acc = _xla_mac(tuple(map(np.array, x)), tuple(map(np.array, h)), rp, 2.0)
+    z = unpack_inverse(tuple(map(jnp.asarray, acc)))
+    with exact_precision():
+        y = interleave(fft_split(z, +1))
+    exp_out = (np.asarray(y)[:pts] + tail) / pts
+    exp_tail = np.asarray(y)[pts:]
+    scale = np.max(np.abs(exp_tail)) + 1e-9
+    np.testing.assert_allclose(np.asarray(out), exp_out,
+                               atol=1e-4 * scale, rtol=0)
+    np.testing.assert_allclose(np.asarray(new_tail), exp_tail,
+                               atol=1e-4 * scale, rtol=0)
 
 
 # ---------------------------------------------------------------------------
