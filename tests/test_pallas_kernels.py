@@ -155,3 +155,21 @@ def test_vmemfft_roundtrip_and_determinism():
     r2, i2 = fft_vmem(sp, -1, interpret=True)
     assert np.array_equal(np.asarray(fr), np.asarray(r2))
     assert np.array_equal(np.asarray(fi), np.asarray(i2))
+
+
+def test_deinterleave_matrices_are_exact_partition():
+    """M1/M2 must be one-hot (bit-exact on the MXU) and together cover
+    every (Yre, Yim) element exactly once: [y @ M1, y @ M2] is a
+    permutation of y — the interleave is lossless."""
+    from opencl_fft_tpu.ops.pallas.blockstep import _deinterleave_np
+
+    for b in (128, 512):
+        m1, m2 = _deinterleave_np(b)
+        both = np.concatenate([m1, m2], axis=1)        # (2b, 2b)
+        assert ((both == 0) | (both == 1)).all()
+        assert (both.sum(axis=0) == 1).all()           # each output: 1 source
+        assert (both.sum(axis=1) == 1).all()           # each source used once
+        y = RNG.standard_normal((1, 2 * b)).astype(np.float32)
+        time = np.concatenate([y @ m1, y @ m2], axis=1)[0]
+        np.testing.assert_array_equal(time[0::2], y[0, :b])
+        np.testing.assert_array_equal(time[1::2], y[0, b:])
