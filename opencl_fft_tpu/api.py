@@ -28,7 +28,7 @@ from .ops.cplx import from_complex, to_complex
 from .ops.fft import cfft_split
 from .ops.rfft import irfft_split, rfft_split
 from .utils.devices import get_device
-from .utils.errors import SizeError, Status
+from .utils.errors import ArgumentError, SizeError, Status
 from .utils.logging import MessageCallback, resolve_callback
 from .utils.numerics import is_pow2
 
@@ -144,6 +144,14 @@ class Clrfft(Clcfft):
         if self._err != Status.SUCCESS:
             return int(self._err)
         c_view = np.asarray(c)
+        if r is None and c_view.dtype != np.complex64:
+            # the in-place contract reinterprets c's BYTES as float32
+            # (cl_fft.cpp:267-296 operates on one float buffer); a wider
+            # dtype (e.g. complex128) would be silently garbage-viewed
+            raise ArgumentError(
+                f"in-place Clrfft.transform requires a complex64 buffer "
+                f"(byte-viewed as float32), got dtype {c_view.dtype}; pass "
+                f"a separate real array r= or convert c to complex64")
         if self.forward:
             src = c_view.view(np.float32).reshape(-1)[: self.size] if r is None \
                 else np.asarray(r, dtype=np.float32).reshape(-1)

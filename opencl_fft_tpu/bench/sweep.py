@@ -119,6 +119,10 @@ def run_sweep(parts_list, ir_list, tv=True, out_prefix="sweep",
             results.update(json.load(f))
         for pts in parts_list:                 # stale row: fully replace
             for L in ir_list:
+                if L < pts:
+                    continue      # mirror the Ls filter below: a prior
+                    # point outside the measured set must not be popped
+                    # (it would never be re-added -> silent data loss)
                 old = results.pop(f"M={pts},L=2^{int(np.log2(L))}", None)
                 if old is not None:
                     prior_row[(pts, L)] = old

@@ -49,6 +49,26 @@ def test_clrfft_out_of_place_and_inplace():
     np.testing.assert_allclose(buf, c, atol=1e-5 * np.max(np.abs(c)))
 
 
+def test_clrfft_inplace_rejects_wide_dtypes():
+    """A complex128 in-place buffer must raise, not be byte-reinterpreted
+    (the view(float32) in-place contract is complex64-only)."""
+    from opencl_fft_tpu.utils.errors import ArgumentError
+
+    n = 32
+    fwd = Clrfft(0, n, True)
+    inv = Clrfft(0, n, False)
+    bad = np.zeros(n // 2, np.complex128)
+    with pytest.raises(ArgumentError):
+        fwd.transform(bad)
+    with pytest.raises(ArgumentError):
+        inv.transform(bad)
+    # out-of-place with a separate real array still accepts any c dtype
+    # on the forward side (c is only written, via copyto)
+    r = RNG.standard_normal(n).astype(np.float32)
+    c64 = np.zeros(n // 2, np.complex64)
+    assert fwd.transform(c64, r) == Status.SUCCESS
+
+
 def test_bad_size_records_error():
     obj = Clcfft(0, 12, True)                          # not a power of two
     assert obj.get_error() != Status.SUCCESS
