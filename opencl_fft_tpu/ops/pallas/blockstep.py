@@ -49,7 +49,9 @@ def fits_vmem_blockstep(nparts: int, bins: int) -> bool:
     # The pallas_call raises the scoped cap to _VMEM_LIMIT; the budget
     # here keeps a wide margin under it.
     window = 2 * (nparts + 8) * bins * 4
-    tables = (bins * bins + (2 * bins) ** 2 + 2 * 2 * bins * bins) * 4
+    # pf (b,b) + winv (2b,2b) + m1/m2 (2b,b each) + fwd DFT (b,2b)
+    tables = (bins * bins + (2 * bins) ** 2 + 2 * 2 * bins * bins
+              + 2 * bins * bins) * 4
     est = 9 * window + 4 * nparts * bins * 4 + tables
     return est <= 80 * 1024 * 1024
 
@@ -71,10 +73,13 @@ def _unpack_twiddle_np(m: int):
     return (w.real.astype(np.float32)[None], w.imag.astype(np.float32)[None])
 
 
-def _mac_unpack_body(nparts, b0_scale, rp_ref, xr_ref, xi_ref, hr_ref,
-                     hi_ref, wr_ref, wi_ref, pf_ref, xr_s, xi_s, sems):
-    """Shared kernel body: ring-window MAC + bin-0 fix + inverse-rFFT
-    pre-process. Returns the split (1, bins) inverse-FFT input."""
+def _window_mac(nparts, b0_scale, rp_ref, xr_ref, xi_ref, hr, hi,
+                xr_s, xi_s, sems, fresh=None):
+    """Ring-window MAC + bin-0 fix. hr/hi are VALUES (already read, and
+    possibly row-substituted by the caller). ``fresh``, when given, is a
+    split (1, bins) spectrum that REPLACES window row nparts-1 — the
+    forward-fused step's just-computed input frame, whose ring slot still
+    holds stale data at kernel time (the ring write happens outside)."""
     rp = rp_ref[0]
     # aligned-window DMA + static-rotate-switch (see mac.py)
     rp8 = pl.multiple_of((rp // 8) * 8, 8)
@@ -86,9 +91,8 @@ def _mac_unpack_body(nparts, b0_scale, rp_ref, xr_ref, xi_ref, hr_ref,
     cp_i.start()
     cp_r.wait()
     cp_i.wait()
-    hr = hr_ref[:]
-    hi = hi_ref[:]
     col0 = jax.lax.broadcasted_iota(jnp.int32, hr.shape, 1) == 0
+    lastrow = jax.lax.broadcasted_iota(jnp.int32, hr.shape, 0) == nparts - 1
 
     def mac_at(o):
         shift = (nparts + 8 - o) % (nparts + 8)
@@ -96,6 +100,9 @@ def _mac_unpack_body(nparts, b0_scale, rp_ref, xr_ref, xi_ref, hr_ref,
         def body():
             xr = pltpu.roll(xr_s[:], shift, 0)[:nparts]
             xi = pltpu.roll(xi_s[:], shift, 0)[:nparts]
+            if fresh is not None:
+                xr = jnp.where(lastrow, fresh[0], xr)
+                xi = jnp.where(lastrow, fresh[1], xi)
             prod_r = xr * hr - xi * hi
             prod_i = xr * hi + xi * hr
             prod_r = jnp.where(col0, b0_scale * xr * hr, prod_r)
@@ -104,15 +111,15 @@ def _mac_unpack_body(nparts, b0_scale, rp_ref, xr_ref, xi_ref, hr_ref,
                     jnp.sum(prod_i, axis=0, keepdims=True))
         return body
 
-    re, im = jax.lax.switch(rp - rp8, [mac_at(o) for o in range(8)])
+    return jax.lax.switch(rp - rp8, [mac_at(o) for o in range(8)])
 
-    # ---- inverse pre-process (rfft.unpack_inverse, vectorized) ----------
+
+def _unpack_body(re, im, wr, wi, pf):
+    """Inverse-rFFT pre-process (rfft.unpack_inverse, vectorized) on
+    (rows, bins) split planes; flip is a one-hot MXU matmul."""
     m = re.shape[-1]
-    pf = pf_ref[:]
     fr = jax.lax.dot(re, pf, precision=jax.lax.Precision.HIGHEST)
     fi = jax.lax.dot(im, pf, precision=jax.lax.Precision.HIGHEST)
-    wr = wr_ref[:]
-    wi = wi_ref[:]
     er = 0.5 * (re + fr)
     ei = 0.5 * (im - fi)
     outr_ = -0.5 * (im + fi)
@@ -129,6 +136,40 @@ def _mac_unpack_body(nparts, b0_scale, rp_ref, xr_ref, xi_ref, hr_ref,
     outr = jnp.where(cm2, re, outr)
     outi = jnp.where(cm2, im, outi)
     return outr, outi
+
+
+def _pack_body(re, im, wr, wi, pf):
+    """Forward-rFFT post-process (rfft.pack_forward, vectorized) on
+    (rows, bins) split planes — the mirror of _unpack_body (the ``conv``
+    kernel, cl_fft.cpp:178-191); wr/wi is the sign=-1 half twiddle."""
+    m = re.shape[-1]
+    fr = jax.lax.dot(re, pf, precision=jax.lax.Precision.HIGHEST)
+    fi = jax.lax.dot(im, pf, precision=jax.lax.Precision.HIGHEST)
+    er = 0.5 * (re + fr)
+    ei = 0.5 * (im - fi)
+    outr_ = 0.5 * (fi + im)
+    outi_ = 0.5 * (fr - re)
+    pr = wr * outr_ - wi * outi_
+    pi = wr * outi_ + wi * outr_
+    outr = er + pr
+    outi = ei + pi
+    lane = jax.lax.broadcasted_iota(jnp.int32, re.shape, 1)
+    c0 = lane == 0
+    cm2 = lane == (m // 2)
+    outr = jnp.where(c0, 0.5 * (re + im), outr)
+    outi = jnp.where(c0, 0.5 * (re - im), outi)
+    outr = jnp.where(cm2, re, outr)
+    outi = jnp.where(cm2, im, outi)
+    return outr, outi
+
+
+def _mac_unpack_body(nparts, b0_scale, rp_ref, xr_ref, xi_ref, hr_ref,
+                     hi_ref, wr_ref, wi_ref, pf_ref, xr_s, xi_s, sems):
+    """Shared kernel body: ring-window MAC + bin-0 fix + inverse-rFFT
+    pre-process. Returns the split (1, bins) inverse-FFT input."""
+    re, im = _window_mac(nparts, b0_scale, rp_ref, xr_ref, xi_ref,
+                         hr_ref[:], hi_ref[:], xr_s, xi_s, sems)
+    return _unpack_body(re, im, wr_ref[:], wi_ref[:], pf_ref[:])
 
 
 def _blockstep_kernel(nparts, b0_scale, rp_ref, xr_ref, xi_ref, hr_ref,
@@ -168,6 +209,200 @@ def _blockstep_full_kernel(nparts, b0_scale, pts, rp_ref, xr_ref, xi_ref,
     tln = jax.lax.dot(y, m2_ref[:], precision=hp)        # time[b:]
     out_ref[:] = (out1 + tail_ref[:]) / float(pts)
     tl_ref[:] = tln
+
+
+@functools.lru_cache(maxsize=None)
+def _pack_twiddle_np(m: int):
+    """w2[i] = exp(-1j * pi * i / m) split — the conv/r2c twiddle
+    (cl_fft.cpp:178-191 sign convention), shaped (1, m)."""
+    i = np.arange(m, dtype=np.float64)
+    w = np.exp(-1j * np.pi * i / m)
+    return (w.real.astype(np.float32)[None], w.imag.astype(np.float32)[None])
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_dft_np(pts: int) -> np.ndarray:
+    """(pts, 2*pts) matrix F with  block @ F == [Re | Im] of the
+    unnormalized forward half-size complex FFT of the zero-padded frame.
+
+    The streaming forward chain is: frame = [block, 0] (2*pts reals) ->
+    deinterleave z[n] = frame[2n] + i*frame[2n+1] -> M-point complex DFT
+    (M = pts). Deinterleaving a zero-padded frame is a row SELECTION of
+    the split-complex block DFT matrix (fft._leaf_matrix_np): row k of F
+    is DFT-matrix row k//2 (real plane) for even k, row M + (k-1)//2
+    (imag plane) for odd k — exact, no extra rounding. Replaces the
+    reorder+fft stage chain of cl_conv.cpp:407-418 with one matmul."""
+    from ..fft import _leaf_matrix_np
+
+    m = pts
+    w = _leaf_matrix_np(m, -1)                     # (2M, 2M) f32
+    f = np.zeros((pts, 2 * m), np.float32)
+    k = np.arange(pts)
+    f[k % 2 == 0] = w[(k[k % 2 == 0]) // 2]
+    f[k % 2 == 1] = w[m + (k[k % 2 == 1] - 1) // 2]
+    return f
+
+
+def _blockstep_fwd_kernel(nparts, b0_scale, pts, rp_ref, blk_ref, xr_ref,
+                          xi_ref, hr_ref, hi_ref, fdft_ref, pwr_ref, pwi_ref,
+                          wr_ref, wi_ref, pf_ref, winv_ref, m1_ref, m2_ref,
+                          tail_ref, out_ref, tl_ref, fxr_ref, fxi_ref,
+                          xr_s, xi_s, sems):
+    """FULLY fused LTI block step: forward rFFT of the input block + MAC
+    (fresh frame substituted for its stale ring row) + unpack + inverse
+    DFT + deinterleave + OLA — the reference's entire per-block chain
+    cl_conv.cpp:393-458 as ONE device launch. Only the ring write stays
+    outside (DMA row offsets must be 8-aligned; wp is arbitrary); the
+    fresh spectrum is returned for it."""
+    hp = jax.lax.Precision.HIGHEST
+    m = pts
+    # ---- forward: one row-selection DFT matmul + pack ------------------
+    zf = jax.lax.dot(blk_ref[:], fdft_ref[:], precision=hp)   # (1, 2M)
+    fxr, fxi = _pack_body(zf[:, :m], zf[:, m:], pwr_ref[:], pwi_ref[:],
+                          pf_ref[:])
+    fxr_ref[:] = fxr
+    fxi_ref[:] = fxi
+    # ---- MAC (fresh row substituted) + unpack + inverse + OLA ----------
+    re, im = _window_mac(nparts, b0_scale, rp_ref, xr_ref, xi_ref,
+                         hr_ref[:], hi_ref[:], xr_s, xi_s, sems,
+                         fresh=(fxr, fxi))
+    outr, outi = _unpack_body(re, im, wr_ref[:], wi_ref[:], pf_ref[:])
+    z = jnp.concatenate([outr, outi], axis=1)            # (1, 2b)
+    y = jax.lax.dot(z, winv_ref[:], precision=hp)        # inverse DFT
+    out1 = jax.lax.dot(y, m1_ref[:], precision=hp)       # time[:b]
+    tln = jax.lax.dot(y, m2_ref[:], precision=hp)        # time[b:]
+    out_ref[:] = (out1 + tail_ref[:]) / float(pts)
+    tl_ref[:] = tln
+
+
+def _blockstep_fwd_tv_kernel(nparts, b0_scale, pts, rp_ref, wp2_ref,
+                             blk_ref, xr_ref, xi_ref, hr_ref, hi_ref,
+                             fdft_ref, pwr_ref, pwi_ref, wr_ref, wi_ref,
+                             pf_ref, winv_ref, m1_ref, m2_ref, tail_ref,
+                             out_ref, tl_ref, fxr_ref, fxi_ref, fhr_ref,
+                             fhi_ref, xr_s, xi_s, sems):
+    """FULLY fused TIME-VARYING block step: BOTH forward rFFTs batched in
+    one (2, pts) matmul (replacing the reference's two command queues,
+    cl_conv.cpp:460-522), the fresh h-frame substituted into its ring row
+    (slot wp2, written outside), then MAC/unpack/inverse/OLA as the LTI
+    kernel."""
+    hp = jax.lax.Precision.HIGHEST
+    m = pts
+    zf = jax.lax.dot(blk_ref[:], fdft_ref[:], precision=hp)   # (2, 2M)
+    pr, pi_ = _pack_body(zf[:, :m], zf[:, m:], pwr_ref[:], pwi_ref[:],
+                         pf_ref[:])
+    fxr, fxi = pr[0:1], pi_[0:1]
+    fhr, fhi = pr[1:2], pi_[1:2]
+    fxr_ref[:] = fxr
+    fxi_ref[:] = fxi
+    fhr_ref[:] = fhr
+    fhi_ref[:] = fhi
+    hrow = jax.lax.broadcasted_iota(jnp.int32, hr_ref.shape, 0) == wp2_ref[0]
+    hr = jnp.where(hrow, fhr, hr_ref[:])
+    hi = jnp.where(hrow, fhi, hi_ref[:])
+    re, im = _window_mac(nparts, b0_scale, rp_ref, xr_ref, xi_ref,
+                         hr, hi, xr_s, xi_s, sems, fresh=(fxr, fxi))
+    outr, outi = _unpack_body(re, im, wr_ref[:], wi_ref[:], pf_ref[:])
+    z = jnp.concatenate([outr, outi], axis=1)
+    y = jax.lax.dot(z, winv_ref[:], precision=hp)
+    out1 = jax.lax.dot(y, m1_ref[:], precision=hp)
+    tln = jax.lax.dot(y, m2_ref[:], precision=hp)
+    out_ref[:] = (out1 + tail_ref[:]) / float(pts)
+    tl_ref[:] = tln
+
+
+def _fused_tables(bins: int):
+    from ..fft import _leaf_matrix_np
+
+    wr, wi = _unpack_twiddle_np(bins)
+    pwr, pwi = _pack_twiddle_np(bins)
+    pf = _flip_matrix_np(bins)
+    winv = _leaf_matrix_np(bins, +1)
+    m1, m2 = _deinterleave_np(bins)
+    return (jnp.asarray(_fwd_dft_np(bins)), jnp.asarray(pwr),
+            jnp.asarray(pwi), jnp.asarray(wr), jnp.asarray(wi),
+            jnp.asarray(pf), jnp.asarray(winv), jnp.asarray(m1),
+            jnp.asarray(m2))
+
+
+def block_step_fwd_fused(block, x2: Cplx, h: Cplx, rp, b0_scale: float,
+                         tail, pts: int, interpret: bool = False):
+    """Fully fused LTI streaming step (forward + MAC + inverse + OLA).
+
+    block: (pts,) time samples; x2: split doubled ring (2*nparts, bins)
+    in its PRE-WRITE state; h: split (nparts, bins); rp: int32 scalar =
+    the post-increment ring pointer ((wp+1) % nparts); tail: (bins,).
+    Returns (out_block, new_tail, fresh_re, fresh_im) — the caller writes
+    (fresh_re, fresh_im) into ring slot wp (both halves of the doubled
+    ring) after the call."""
+    xr, xi = x2
+    hr, hi = h
+    nparts, bins = hr.shape
+    rp = jnp.asarray(rp, jnp.int32).reshape(1)
+    kern = functools.partial(_blockstep_fwd_kernel, nparts,
+                             float(b0_scale), int(pts))
+    spec1 = jax.ShapeDtypeStruct((1, bins), jnp.float32)
+    out, new_tail, fxr, fxi = pl.pallas_call(
+        kern,
+        out_shape=(spec1, spec1, spec1, spec1),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # block
+            pl.BlockSpec(memory_space=pltpu.ANY),   # ring stays off-VMEM
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,  # h + tables + tail
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 4,
+        scratch_shapes=[
+            pltpu.VMEM((nparts + 8, bins), jnp.float32),
+            pltpu.VMEM((nparts + 8, bins), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(rp, jnp.asarray(block, jnp.float32).reshape(1, pts), xr, xi, hr, hi,
+      *_fused_tables(bins), jnp.asarray(tail).reshape(1, bins))
+    return out[0], new_tail[0], fxr[0], fxi[0]
+
+
+def block_step_fwd_fused_tv(blocks, x2: Cplx, h: Cplx, rp, wp2,
+                            b0_scale: float, tail, pts: int,
+                            interpret: bool = False):
+    """Fully fused TIME-VARYING streaming step.
+
+    blocks: (2, pts) — [input block, coefficient block]; x2/h in their
+    PRE-WRITE state; rp = (wp+1) % nparts; wp2 = the slot the fresh
+    h-frame lands in (pre-decrement pointer). Returns (out, new_tail,
+    fresh_x_re, fresh_x_im, fresh_h_re, fresh_h_im); the caller performs
+    both ring writes."""
+    xr, xi = x2
+    hr, hi = h
+    nparts, bins = hr.shape
+    rp = jnp.asarray(rp, jnp.int32).reshape(1)
+    wp2 = jnp.asarray(wp2, jnp.int32).reshape(1)
+    kern = functools.partial(_blockstep_fwd_tv_kernel, nparts,
+                             float(b0_scale), int(pts))
+    spec1 = jax.ShapeDtypeStruct((1, bins), jnp.float32)
+    out, new_tail, fxr, fxi, fhr, fhi = pl.pallas_call(
+        kern,
+        out_shape=(spec1,) * 6,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # blocks (2, pts)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # ring stays off-VMEM
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,  # h + tables + tail
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 6,
+        scratch_shapes=[
+            pltpu.VMEM((nparts + 8, bins), jnp.float32),
+            pltpu.VMEM((nparts + 8, bins), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(rp, wp2, jnp.asarray(blocks, jnp.float32).reshape(2, pts), xr, xi,
+      hr, hi, *_fused_tables(bins), jnp.asarray(tail).reshape(1, bins))
+    return out[0], new_tail[0], fxr[0], fxi[0], fhr[0], fhi[0]
 
 
 @functools.lru_cache(maxsize=None)
@@ -283,6 +518,10 @@ def block_mac_unpack(x2: Cplx, h: Cplx, rp, b0_scale: float,
             pltpu.VMEM((nparts + 8, bins), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        # same raised scoped-vmem cap as block_step_fused: both kernels
+        # share the fits_vmem_blockstep budget (est <= 80MB), which
+        # assumes the raised cap
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(rp, xr, xi, hr, hi, jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(pf))
     return out_r[0], out_i[0]

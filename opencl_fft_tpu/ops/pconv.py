@@ -79,9 +79,10 @@ class PconvConfig:
             raise ValueError(f"need at least one partition, got {self.nparts}")
         if self.bin0_mode not in ("exact", "compat"):
             raise ValueError(f"bin0_mode must be 'exact' or 'compat', got {self.bin0_mode}")
-        if self.pallas not in ("auto", "on", "off", "block"):
+        if self.pallas not in ("auto", "on", "off", "block", "blockf"):
             raise ValueError(
-                f"pallas must be 'auto'|'on'|'off'|'block', got {self.pallas}")
+                f"pallas must be 'auto'|'on'|'off'|'block'|'blockf', "
+                f"got {self.pallas}")
         if self.ring_dtype not in ("f32", "bf16"):
             raise ValueError(f"ring_dtype must be 'f32'|'bf16', got {self.ring_dtype}")
         if self.dtype not in ("f32", "f64"):
@@ -139,6 +140,24 @@ class PconvConfig:
         if self.pallas == "auto":
             from .pallas import _tuned
             return _tuned.WINNERS.get((self.nparts, self.bins)) == "block"
+        return False
+
+    def _use_pallas_blockstep_fwd(self) -> bool:
+        """FULLY fused block-step kernel (forward rFFT + MAC + inverse +
+        OLA in one launch, ops/pallas/blockstep.block_step_fwd_fused).
+
+        "blockf" opts in explicitly; "auto" follows the measured winners
+        table like the other kernel modes."""
+        from .pallas.blockstep import fits_vmem_blockstep
+        if not self._kernel_eligible():
+            return False
+        if not fits_vmem_blockstep(self.nparts, self.bins):
+            return False
+        if self.pallas == "blockf":
+            return True
+        if self.pallas == "auto":
+            from .pallas import _tuned
+            return _tuned.WINNERS.get((self.nparts, self.bins)) == "blockf"
         return False
 
     @property
@@ -241,10 +260,13 @@ def _spectral_mac(cfg: PconvConfig, state: PconvState, rp: Float) -> Cplx:
     np_ = cfg.nparts
     b0_scale = 2.0 if cfg.bin0_mode == "exact" else 1.0
     if cfg._use_pallas_mac():
+        import jax as _jax
+
         from .pallas.mac import spectral_mac
         return spectral_mac(
             (state.spec_x_re, state.spec_x_im),
-            (state.spec_h_re, state.spec_h_im), rp, b0_scale)
+            (state.spec_h_re, state.spec_h_im), rp, b0_scale,
+            interpret=_jax.default_backend() == "cpu")
     # doubled ring: rows [rp, rp+nparts) are exactly frames (rp+q) % nparts
     f32 = cfg._jdtype
     z = jnp.asarray(0, rp.dtype)
@@ -281,13 +303,15 @@ def _mac_inverse_ola(cfg: PconvConfig, state: PconvState, rp: Float
     block-step kernel when the config selects it (see
     PconvConfig._use_pallas_blockstep)."""
     if cfg._use_pallas_blockstep():
+        import jax as _jax
+
         from .pallas.blockstep import block_step_fused
 
         b0 = 2.0 if cfg.bin0_mode == "exact" else 1.0
         return block_step_fused(
             (state.spec_x_re, state.spec_x_im),
             (state.spec_h_re, state.spec_h_im), rp, b0, state.tail,
-            cfg.pts)
+            cfg.pts, interpret=_jax.default_backend() == "cpu")
     acc = _spectral_mac(cfg, state, rp)
     return _inverse_and_ola(cfg, state, acc)
 
@@ -304,6 +328,21 @@ def pconv_step(cfg: PconvConfig, state: PconvState, block: Float
                ) -> Tuple[PconvState, Float]:
     """One LTI streaming block: Clpconv::convolution(out, in) parity
     (cl_conv.cpp:393-458). block: (pts,) -> out: (pts,)."""
+    if cfg._use_pallas_blockstep_fwd():
+        import jax as _jax
+
+        from .pallas.blockstep import block_step_fwd_fused
+
+        b0 = 2.0 if cfg.bin0_mode == "exact" else 1.0
+        rp = (state.wp + 1) % cfg.nparts
+        out, tail, fxr, fxi = block_step_fwd_fused(
+            block, (state.spec_x_re, state.spec_x_im),
+            (state.spec_h_re, state.spec_h_im), rp, b0, state.tail,
+            cfg.pts, interpret=_jax.default_backend() == "cpu")
+        return state._replace(
+            spec_x_re=_ring_write2(state.spec_x_re, fxr, state.wp, cfg.nparts),
+            spec_x_im=_ring_write2(state.spec_x_im, fxi, state.wp, cfg.nparts),
+            wp=rp, tail=tail), out
     xr, xi = _forward_partition(cfg, block)
     spec_x_re = _ring_write2(state.spec_x_re, xr, state.wp, cfg.nparts)
     spec_x_im = _ring_write2(state.spec_x_im, xi, state.wp, cfg.nparts)
@@ -318,6 +357,28 @@ def pconv_step_tv(cfg: PconvConfig, state: PconvState, block_x: Float,
     """One time-varying block: Clpconv::convolution(out, in1, in2) parity
     (cl_conv.cpp:460-548). The reference's dual command queues become one
     batched forward transform (leading dim 2)."""
+    if cfg._use_pallas_blockstep_fwd():
+        import jax as _jax
+
+        from .pallas.blockstep import block_step_fwd_fused_tv
+
+        b0 = 2.0 if cfg.bin0_mode == "exact" else 1.0
+        rp = (state.wp + 1) % cfg.nparts
+        blocks = jnp.stack([jnp.asarray(block_x, jnp.float32),
+                            jnp.asarray(block_h, jnp.float32)])
+        out, tail, fxr, fxi, fhr, fhi = block_step_fwd_fused_tv(
+            blocks, (state.spec_x_re, state.spec_x_im),
+            (state.spec_h_re, state.spec_h_im), rp, state.wp2, b0,
+            state.tail, cfg.pts, interpret=_jax.default_backend() == "cpu")
+        z0 = jnp.asarray(0, state.wp2.dtype)
+        return state._replace(
+            spec_x_re=_ring_write2(state.spec_x_re, fxr, state.wp, cfg.nparts),
+            spec_x_im=_ring_write2(state.spec_x_im, fxi, state.wp, cfg.nparts),
+            spec_h_re=jax.lax.dynamic_update_slice(
+                state.spec_h_re, fhr[None], (state.wp2, z0)),
+            spec_h_im=jax.lax.dynamic_update_slice(
+                state.spec_h_im, fhi[None], (state.wp2, z0)),
+            wp=rp, wp2=(state.wp2 - 1) % cfg.nparts, tail=tail), out
     both = jnp.stack([jnp.asarray(block_x, cfg._jdtype),
                       jnp.asarray(block_h, cfg._jdtype)])
     fr, fi = _forward_partition(cfg, both)            # (2, bins)

@@ -122,6 +122,64 @@ def test_blockstep_full_matches_xla_step_chain(nparts, bins, rp):
                                atol=1e-4 * scale, rtol=0)
 
 
+@pytest.mark.parametrize("tv", [False, True])
+def test_blockstep_fwd_fused_streaming_matches_xla(tv):
+    """The FULLY fused step (forward rFFT inside the kernel, pallas=
+    'blockf') streams to the same output as the XLA step chain within
+    f32 tolerance (the in-kernel forward is a direct DFT matmul; the XLA
+    path factorizes, so rounding differs at ~1e-6 relative)."""
+    import jax
+    from opencl_fft_tpu.ops import pconv as P
+
+    pts, nparts, nblocks = 128, 8, 20
+    kw = dict(bin0_mode="exact")
+    cfg_off = P.PconvConfig(pts=pts, nparts=nparts, pallas="off", **kw)
+    cfg_f = P.PconvConfig(pts=pts, nparts=nparts, pallas="blockf", **kw)
+    assert cfg_f._use_pallas_blockstep_fwd()
+    blocks = RNG.standard_normal((nblocks, pts)).astype(np.float32)
+    if tv:
+        coefs = RNG.standard_normal((nblocks, pts)).astype(np.float32) * 0.3
+        outs = {}
+        for cfg in (cfg_off, cfg_f):
+            st = P.pconv_init(cfg)
+            got = []
+            for bx, bh in zip(blocks, coefs):
+                st, o = P.pconv_step_tv(cfg, st, bx, bh)
+                got.append(np.asarray(o))
+            outs[cfg.pallas] = np.concatenate(got)
+    else:
+        ir = RNG.standard_normal(pts * nparts).astype(np.float32) * 0.2
+        outs = {}
+        for cfg in (cfg_off, cfg_f):
+            st = P.push_ir(cfg, P.pconv_init(cfg), ir)
+            got = []
+            for b in blocks:
+                st, o = P.pconv_step(cfg, st, b)
+                got.append(np.asarray(o))
+            outs[cfg.pallas] = np.concatenate(got)
+    scale = np.max(np.abs(outs["off"])) + 1e-9
+    np.testing.assert_allclose(outs["blockf"], outs["off"],
+                               atol=2e-5 * scale, rtol=0)
+
+
+def test_fwd_dft_matrix_matches_forward_partition():
+    """block @ F == the unnormalized forward half-size FFT of the
+    zero-padded frame (the XLA _forward_partition output, pre-pack)."""
+    from opencl_fft_tpu.ops.fft import exact_precision, fft_split
+    from opencl_fft_tpu.ops.pallas.blockstep import _fwd_dft_np
+    from opencl_fft_tpu.ops.rfft import deinterleave
+
+    pts = 128
+    block = RNG.standard_normal(pts).astype(np.float32)
+    frame = np.concatenate([block, np.zeros(pts, np.float32)])
+    z = deinterleave(jnp.asarray(frame))
+    with exact_precision():
+        er, ei = fft_split(z, -1)
+    got = block[None] @ _fwd_dft_np(pts)
+    np.testing.assert_allclose(got[0, :pts], np.asarray(er), atol=1e-3)
+    np.testing.assert_allclose(got[0, pts:], np.asarray(ei), atol=1e-3)
+
+
 # ---------------------------------------------------------------------------
 # Whole-transform VMEM-resident FFT (ops/pallas/vmemfft.py)
 # ---------------------------------------------------------------------------
