@@ -172,6 +172,64 @@ def bench_pconv_chunk(pts=512, ir_len=1 << 17, K=8, scan_blocks=1880,
     return (pts / SR) / per_block
 
 
+def bench_pconv_offline(pts=512, ir_len=1 << 17, scan_blocks=1880):
+    """Offline render throughput (chunk-MAC kernel, no sequential scan;
+    latency = render length). Floor: the sliding windows re-read each
+    timeline row nparts/8 times -> bytes/block = 2 planes * (nparts+8) *
+    bins * 4 / 8."""
+    import jax
+    import jax.numpy as jnp
+    from opencl_fft_tpu.ops import pconv as P
+
+    cfg = P.PconvConfig.for_ir_length(ir_len, pts)
+    if not P._use_chunkmac(cfg):
+        raise Unmeasurable("chunk-MAC kernel ineligible on this backend")
+    rng = np.random.default_rng(0)
+    ir = jnp.asarray(rng.standard_normal(ir_len), jnp.float32)
+    base = jax.tree.map(np.asarray, P.push_ir(cfg, P.pconv_init(cfg), ir))
+
+    def make_state():
+        return jax.tree.map(jnp.asarray, base)
+
+    blocks = jnp.asarray(rng.standard_normal((scan_blocks, pts)) * 0.1,
+                         jnp.float32)
+    fn = jax.jit(partial(P.pconv_offline, cfg), donate_argnums=(0,))
+    floor = max(scan_blocks * 2 * (cfg.nparts + 8) * cfg.bins * 4 / 8 / 3e12,
+                0.02e-6 * scan_blocks)
+    per_scan = _time_chained(fn, make_state, (blocks,), floor_s=floor)
+    per_block = per_scan / scan_blocks
+    return (pts / SR) / per_block
+
+
+def bench_serving_offline(batch=64, pts=512, ir_len=1 << 17, scan_blocks=470):
+    """Offline serving throughput: `batch` channels rendered through the
+    chunk-MAC kernel's channel grid. Aggregate audio-s/s."""
+    import jax
+    import jax.numpy as jnp
+    from opencl_fft_tpu.models.convolver import batched_state, _vmapped_push
+    from opencl_fft_tpu.ops import pconv as P
+
+    cfg = P.PconvConfig.for_ir_length(ir_len, pts)
+    if not P._use_chunkmac(cfg):
+        raise Unmeasurable("chunk-MAC kernel ineligible on this backend")
+    rng = np.random.default_rng(3)
+    irs = jnp.asarray(rng.standard_normal((batch, ir_len)) * 0.05, jnp.float32)
+    st0 = jax.jit(_vmapped_push(cfg))(batched_state(cfg, batch), irs)
+    base = jax.tree.map(np.asarray, st0)
+
+    def make_state():
+        return jax.tree.map(jnp.asarray, base)
+
+    blocks = jnp.asarray(rng.standard_normal((scan_blocks, batch, pts)) * 0.1,
+                         jnp.float32)
+    fn = jax.jit(partial(P._offline_batched, cfg), donate_argnums=(0,))
+    floor = max(batch * scan_blocks * 2 * (cfg.nparts + 8) * cfg.bins * 4 / 8
+                / 3e12, 0.02e-6 * scan_blocks)
+    per_scan = _time_chained(fn, make_state, (blocks,), floor_s=floor)
+    per_block = per_scan / scan_blocks
+    return batch * (pts / SR) / per_block
+
+
 def bench_batched_serving(batch=64, pts=512, ir_len=1 << 17, scan_blocks=470):
     """Serving throughput: `batch` independent channels convolving against
     their own 2^17-tap IRs. Returns aggregate audio-seconds per wall second

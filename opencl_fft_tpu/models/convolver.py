@@ -132,6 +132,23 @@ class Convolver:
         self.state, out = run(self.state, blocks, unroll)
         return out
 
+    def render(self, blocks: Float) -> Float:
+        """Offline batched render: (nblocks, batch, pts) -> same shape.
+
+        Uses the chunk-MAC kernel path (ops/pallas/chunkmac.py): the MAC
+        is a pure sliding-window correlation over the precomputed frame
+        spectra, so the whole render is batched transforms + one kernel —
+        no sequential scan. Output matches stream() within f32 tolerance;
+        latency is the full render length (use step()/stream() for
+        bounded latency). Falls back to stream() off the kernel path."""
+        blocks = jnp.asarray(blocks, jnp.float32)
+        if not _p._use_chunkmac(self.cfg):
+            return self.stream(blocks)
+        fn = jax.jit(functools.partial(_p._offline_batched, self.cfg),
+                     donate_argnums=(0,))
+        self.state, out = fn(self.state, blocks)
+        return out
+
 
 def _vmapped_push(cfg):
     def wrapped(state, irs):

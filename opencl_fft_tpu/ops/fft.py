@@ -373,7 +373,7 @@ def _use_vmem_kernel(x: Cplx, sign: int) -> bool:
     if re.dtype != jnp.float32:
         return False
     n = re.shape[-1]
-    if not (_VMEM_MIN_N <= n <= _VMEM_MAX_N) or re.size < _SMALL_WS_ELEMS:
+    if n not in _VMEM_AUTO_SIZES or re.size < _SMALL_WS_ELEMS:
         return False
     from .pallas import vmemfft
     if not vmemfft.supported(n):
@@ -408,17 +408,16 @@ def _fft_dispatch(x: Cplx, sign: int, impl: str) -> Cplx:
 
 _IMPLS = ("auto", "mm", "stockham", "xla", "vmem")
 
-# Auto-mode routing window for the VMEM-resident Pallas kernel, from
-# interleaved A/B vs the mm path on the target chip (r2,
-# bench_results/vmemfft_ab.json): mm wins decisively at 2^14; the kernel
-# wins 1.3x at 2^16 (848 vs 651 GF/s in-window; 1107 in a fast relay
-# window), 1.16x at 2^17 (1153 vs 995) and 1.8x at 2^18 (1200 vs 675;
-# 1807 fast-window). At 2^19 the A/B was a wash (972 vs 1038) and at
-# 2^20 ambiguous (kernel won 3/4 interleaved rounds but mm took the
-# min) with a ~10 min kernel compile, so both stay on mm; impl="vmem"
-# opts in explicitly.
-_VMEM_MIN_N = 1 << 16
-_VMEM_MAX_N = 1 << 18
+# Auto-mode routing set for the VMEM-resident Pallas kernel, from
+# interleaved A/B vs the mm path on the target chip
+# (tools/vmemfft_ab.py -> bench_results/vmemfft_ab.json). r2 baseline:
+# the 3-level kernel wins 1.16-1.8x at 2^16..2^18; at 2^19 the A/B was
+# a wash and at 2^20 ambiguous with a ~10 min Mosaic compile, so those
+# stay on mm unless re-measured otherwise; impl="vmem" opts in
+# explicitly. r3 adds the 2-level kernel sizes (2^10..2^14) when the
+# A/B shows them beating mm's ~4 HBM passes.
+_VMEM_AUTO_SIZES = {1 << 10, 1 << 11, 1 << 12, 1 << 13,
+                    1 << 16, 1 << 17, 1 << 18}
 
 # Below this size, one matmul leaf is a full transform; the Stockham path
 # wins only for tiny batch*N where matmul setup dominates.

@@ -138,31 +138,6 @@ def _unpack_body(re, im, wr, wi, pf):
     return outr, outi
 
 
-def _pack_body(re, im, wr, wi, pf):
-    """Forward-rFFT post-process (rfft.pack_forward, vectorized) on
-    (rows, bins) split planes — the mirror of _unpack_body (the ``conv``
-    kernel, cl_fft.cpp:178-191); wr/wi is the sign=-1 half twiddle."""
-    m = re.shape[-1]
-    fr = jax.lax.dot(re, pf, precision=jax.lax.Precision.HIGHEST)
-    fi = jax.lax.dot(im, pf, precision=jax.lax.Precision.HIGHEST)
-    er = 0.5 * (re + fr)
-    ei = 0.5 * (im - fi)
-    outr_ = 0.5 * (fi + im)
-    outi_ = 0.5 * (fr - re)
-    pr = wr * outr_ - wi * outi_
-    pi = wr * outi_ + wi * outr_
-    outr = er + pr
-    outi = ei + pi
-    lane = jax.lax.broadcasted_iota(jnp.int32, re.shape, 1)
-    c0 = lane == 0
-    cm2 = lane == (m // 2)
-    outr = jnp.where(c0, 0.5 * (re + im), outr)
-    outi = jnp.where(c0, 0.5 * (re - im), outi)
-    outr = jnp.where(cm2, re, outr)
-    outi = jnp.where(cm2, im, outi)
-    return outr, outi
-
-
 def _mac_unpack_body(nparts, b0_scale, rp_ref, xr_ref, xi_ref, hr_ref,
                      hi_ref, wr_ref, wi_ref, pf_ref, xr_s, xi_s, sems):
     """Shared kernel body: ring-window MAC + bin-0 fix + inverse-rFFT
@@ -183,41 +158,29 @@ def _blockstep_kernel(nparts, b0_scale, rp_ref, xr_ref, xi_ref, hr_ref,
 
 
 def _blockstep_full_kernel(nparts, b0_scale, pts, rp_ref, xr_ref, xi_ref,
-                           hr_ref, hi_ref, wr_ref, wi_ref, pf_ref, winv_ref,
-                           m1_ref, m2_ref, tail_ref, out_ref, tl_ref,
-                           xr_s, xi_s, sems):
+                           hr_ref, hi_ref, wpost_ref, tail_ref, out_ref,
+                           tl_ref, xr_s, xi_s, sems):
     """Full block step: MAC + unpack + inverse DFT + deinterleave + OLA in
     one VMEM pass — the whole per-block chain of ``convol`` + ``c2r`` +
     inverse ``fft`` + ``olap`` (cl_conv_kernels.h:87-124, cl_conv.cpp:
     428-455) as a single launch.
 
-    The half-size inverse complex FFT is ONE dense f32 matmul against the
-    (2b, 2b) split-complex block DFT matrix (fft._leaf_matrix_np, sign
-    +1). The even/odd re-interleave back to the 2b-sample time frame has
-    no Mosaic lane primitive, so it is two one-hot (2b, b) matmuls —
-    bit-exact on the MXU (each output lane sums exactly one x*1 product).
-    The OLA tail rides through the kernel as an input/output pair; only
-    the ring write stays outside (DMA row offsets must be 8-aligned; the
-    ring pointer is arbitrary)."""
-    outr, outi = _mac_unpack_body(nparts, b0_scale, rp_ref, xr_ref, xi_ref,
-                                  hr_ref, hi_ref, wr_ref, wi_ref, pf_ref,
-                                  xr_s, xi_s, sems)
+    Everything after the MAC is LINEAR in the accumulator, so the unpack
+    twiddles/flip, the (2b, 2b) inverse block-DFT and the one-hot
+    deinterleave selection fold into ONE f64-precomputed (2b, 2b) matrix
+    (_wpost_np) — one table matmul instead of five tables (the kernel is
+    bound by table HBM reads, measured r3). The OLA tail rides through
+    the kernel as an input/output pair; only the ring write stays
+    outside (DMA row offsets must be 8-aligned; the ring pointer is
+    arbitrary)."""
+    re, im = _window_mac(nparts, b0_scale, rp_ref, xr_ref, xi_ref,
+                         hr_ref[:], hi_ref[:], xr_s, xi_s, sems)
     hp = jax.lax.Precision.HIGHEST
-    z = jnp.concatenate([outr, outi], axis=1)            # (1, 2b)
-    y = jax.lax.dot(z, winv_ref[:], precision=hp)        # inverse DFT
-    out1 = jax.lax.dot(y, m1_ref[:], precision=hp)       # time[:b]
-    tln = jax.lax.dot(y, m2_ref[:], precision=hp)        # time[b:]
-    out_ref[:] = (out1 + tail_ref[:]) / float(pts)
-    tl_ref[:] = tln
-
-
-@functools.lru_cache(maxsize=None)
-def _pack_twiddle_np(m: int):
-    """w2[i] = exp(-1j * pi * i / m) split — the conv/r2c twiddle
-    (cl_fft.cpp:178-191 sign convention), shaped (1, m)."""
-    i = np.arange(m, dtype=np.float64)
-    w = np.exp(-1j * np.pi * i / m)
-    return (w.real.astype(np.float32)[None], w.imag.astype(np.float32)[None])
+    m = pts
+    z = jnp.concatenate([re, im], axis=1)                # (1, 2b)
+    y = jax.lax.dot(z, wpost_ref[:], precision=hp)       # unpack+iDFT+deint
+    out_ref[:] = (y[:, :m] + tail_ref[:]) / float(pts)
+    tl_ref[:] = y[:, m:]
 
 
 @functools.lru_cache(maxsize=None)
@@ -243,56 +206,121 @@ def _fwd_dft_np(pts: int) -> np.ndarray:
     return f
 
 
+@functools.lru_cache(maxsize=None)
+def _pack_matrix_np(m: int, forward: bool) -> np.ndarray:
+    """(2m, 2m) matrix U with [re | im] @ U == the pack_forward
+    (forward=True) or unpack_inverse (False) of the split spectrum.
+
+    Both passes are LINEAR in (re, im): flip = multiplication by the
+    one-hot P, twiddles are diagonals, the special bins are column
+    replacements — so the whole pass folds into one f64-precomputed
+    matrix (applied on the MXU with no per-element work)."""
+    i = np.arange(m, dtype=np.float64)
+    sign = -1.0 if forward else +1.0
+    w = np.exp(sign * 1j * np.pi * i / m)
+    dr, di = np.diag(w.real), np.diag(w.imag)
+    eye = np.eye(m)
+    p = np.zeros((m, m))
+    p[(-np.arange(m)) % m, np.arange(m)] = 1.0
+    if forward:
+        # pack_forward: outr_ = 0.5(fi+im) [im-part], outi_ = 0.5(fr-re)
+        a_rr = 0.5 * (eye + p) - 0.5 * (p - eye) @ di
+        a_ir = 0.5 * (p + eye) @ dr
+        a_ri = 0.5 * (p - eye) @ dr
+        a_ii = 0.5 * (eye - p) + 0.5 * (p + eye) @ di
+    else:
+        # unpack_inverse: outr_ = -0.5(im+fi), outi_ = 0.5(re-fr)
+        a_rr = 0.5 * (eye + p) - 0.5 * (eye - p) @ di
+        a_ir = -0.5 * (eye + p) @ dr
+        a_ri = 0.5 * (eye - p) @ dr
+        a_ii = 0.5 * (eye - p) - 0.5 * (eye + p) @ di
+    u = np.block([[a_rr, a_ri], [a_ir, a_ii]])
+    # special output bins are column replacements
+    b0 = 0.5 if forward else 1.0
+    u[:, 0] = 0.0
+    u[:, m] = 0.0
+    u[0, 0] = b0                          # outr[0] = b0*(re0 + im0)
+    u[m, 0] = b0
+    u[0, m] = b0                          # outi[0] = b0*(re0 - im0)
+    u[m, m] = -b0
+    u[:, m // 2] = 0.0
+    u[:, m + m // 2] = 0.0
+    u[m // 2, m // 2] = 1.0               # untouched conjugate bin
+    u[m + m // 2, m + m // 2] = 1.0
+    return u
+
+
+@functools.lru_cache(maxsize=None)
+def _wfwd_np(pts: int) -> np.ndarray:
+    """(pts, 2m) matrix: block @ W == the ENTIRE forward rFFT of the
+    zero-padded frame (deinterleave + half-size DFT + pack), split
+    [re | im]. f64 precompute of row-selected-DFT @ pack matrix."""
+    m = pts
+    jk = np.outer(np.arange(m, dtype=np.float64), np.arange(m, dtype=np.float64))
+    w = np.exp(-2j * np.pi * jk / m)
+    blockm = np.block([[w.real, w.imag], [-w.imag, w.real]])   # (2m, 2m) f64
+    f = np.zeros((pts, 2 * m))
+    k = np.arange(pts)
+    f[k % 2 == 0] = blockm[(k[k % 2 == 0]) // 2]
+    f[k % 2 == 1] = blockm[m + (k[k % 2 == 1] - 1) // 2]
+    return (f @ _pack_matrix_np(m, True)).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _wpost_np(bins: int) -> np.ndarray:
+    """(2m, 2m) matrix: [accr | acci] @ W == [time[:m] | time[m:]] — the
+    ENTIRE inverse half (unpack + inverse DFT + deinterleave), f64
+    precompute of unpack @ inverse-DFT @ deinterleave-selection."""
+    m = bins
+    jk = np.outer(np.arange(m, dtype=np.float64), np.arange(m, dtype=np.float64))
+    w = np.exp(+2j * np.pi * jk / m)
+    winv = np.block([[w.real, w.imag], [-w.imag, w.real]])     # (2m, 2m) f64
+    m1, m2 = _deinterleave_np(m)
+    sel = np.concatenate([m1, m2], axis=1).astype(np.float64)  # (2m, 2m)
+    return (_pack_matrix_np(m, False) @ winv @ sel).astype(np.float32)
+
+
 def _blockstep_fwd_kernel(nparts, b0_scale, pts, rp_ref, blk_ref, xr_ref,
-                          xi_ref, hr_ref, hi_ref, fdft_ref, pwr_ref, pwi_ref,
-                          wr_ref, wi_ref, pf_ref, winv_ref, m1_ref, m2_ref,
+                          xi_ref, hr_ref, hi_ref, wfwd_ref, wpost_ref,
                           tail_ref, out_ref, tl_ref, fxr_ref, fxi_ref,
                           xr_s, xi_s, sems):
     """FULLY fused LTI block step: forward rFFT of the input block + MAC
     (fresh frame substituted for its stale ring row) + unpack + inverse
     DFT + deinterleave + OLA — the reference's entire per-block chain
-    cl_conv.cpp:393-458 as ONE device launch. Only the ring write stays
-    outside (DMA row offsets must be 8-aligned; wp is arbitrary); the
-    fresh spectrum is returned for it."""
+    cl_conv.cpp:393-458 as ONE device launch with exactly TWO table
+    matmuls (table HBM traffic is what bounds this kernel). Only the
+    ring write stays outside (DMA row offsets must be 8-aligned; wp is
+    arbitrary); the fresh spectrum is returned for it."""
     hp = jax.lax.Precision.HIGHEST
     m = pts
-    # ---- forward: one row-selection DFT matmul + pack ------------------
-    zf = jax.lax.dot(blk_ref[:], fdft_ref[:], precision=hp)   # (1, 2M)
-    fxr, fxi = _pack_body(zf[:, :m], zf[:, m:], pwr_ref[:], pwi_ref[:],
-                          pf_ref[:])
+    zf = jax.lax.dot(blk_ref[:], wfwd_ref[:], precision=hp)   # (1, 2M)
+    fxr, fxi = zf[:, :m], zf[:, m:]
     fxr_ref[:] = fxr
     fxi_ref[:] = fxi
-    # ---- MAC (fresh row substituted) + unpack + inverse + OLA ----------
     re, im = _window_mac(nparts, b0_scale, rp_ref, xr_ref, xi_ref,
                          hr_ref[:], hi_ref[:], xr_s, xi_s, sems,
                          fresh=(fxr, fxi))
-    outr, outi = _unpack_body(re, im, wr_ref[:], wi_ref[:], pf_ref[:])
-    z = jnp.concatenate([outr, outi], axis=1)            # (1, 2b)
-    y = jax.lax.dot(z, winv_ref[:], precision=hp)        # inverse DFT
-    out1 = jax.lax.dot(y, m1_ref[:], precision=hp)       # time[:b]
-    tln = jax.lax.dot(y, m2_ref[:], precision=hp)        # time[b:]
-    out_ref[:] = (out1 + tail_ref[:]) / float(pts)
-    tl_ref[:] = tln
+    z = jnp.concatenate([re, im], axis=1)                # (1, 2b)
+    y = jax.lax.dot(z, wpost_ref[:], precision=hp)       # unpack+iDFT+deint
+    out_ref[:] = (y[:, :m] + tail_ref[:]) / float(pts)
+    tl_ref[:] = y[:, m:]
 
 
 def _blockstep_fwd_tv_kernel(nparts, b0_scale, pts, rp_ref, wp2_ref,
                              blk_ref, xr_ref, xi_ref, hr_ref, hi_ref,
-                             fdft_ref, pwr_ref, pwi_ref, wr_ref, wi_ref,
-                             pf_ref, winv_ref, m1_ref, m2_ref, tail_ref,
+                             wfwd_ref, wpost_ref, tail_ref,
                              out_ref, tl_ref, fxr_ref, fxi_ref, fhr_ref,
                              fhi_ref, xr_s, xi_s, sems):
     """FULLY fused TIME-VARYING block step: BOTH forward rFFTs batched in
     one (2, pts) matmul (replacing the reference's two command queues,
     cl_conv.cpp:460-522), the fresh h-frame substituted into its ring row
-    (slot wp2, written outside), then MAC/unpack/inverse/OLA as the LTI
-    kernel."""
+    (slot wp2, written outside), then MAC + the one fused post matmul as
+    the LTI kernel."""
     hp = jax.lax.Precision.HIGHEST
     m = pts
-    zf = jax.lax.dot(blk_ref[:], fdft_ref[:], precision=hp)   # (2, 2M)
-    pr, pi_ = _pack_body(zf[:, :m], zf[:, m:], pwr_ref[:], pwi_ref[:],
-                         pf_ref[:])
-    fxr, fxi = pr[0:1], pi_[0:1]
-    fhr, fhi = pr[1:2], pi_[1:2]
+    zf = jax.lax.dot(blk_ref[:], wfwd_ref[:], precision=hp)   # (2, 2M)
+    fxr, fxi = zf[0:1, :m], zf[0:1, m:]
+    fhr, fhi = zf[1:2, :m], zf[1:2, m:]
     fxr_ref[:] = fxr
     fxi_ref[:] = fxi
     fhr_ref[:] = fhr
@@ -302,27 +330,14 @@ def _blockstep_fwd_tv_kernel(nparts, b0_scale, pts, rp_ref, wp2_ref,
     hi = jnp.where(hrow, fhi, hi_ref[:])
     re, im = _window_mac(nparts, b0_scale, rp_ref, xr_ref, xi_ref,
                          hr, hi, xr_s, xi_s, sems, fresh=(fxr, fxi))
-    outr, outi = _unpack_body(re, im, wr_ref[:], wi_ref[:], pf_ref[:])
-    z = jnp.concatenate([outr, outi], axis=1)
-    y = jax.lax.dot(z, winv_ref[:], precision=hp)
-    out1 = jax.lax.dot(y, m1_ref[:], precision=hp)
-    tln = jax.lax.dot(y, m2_ref[:], precision=hp)
-    out_ref[:] = (out1 + tail_ref[:]) / float(pts)
-    tl_ref[:] = tln
+    z = jnp.concatenate([re, im], axis=1)
+    y = jax.lax.dot(z, wpost_ref[:], precision=hp)
+    out_ref[:] = (y[:, :m] + tail_ref[:]) / float(pts)
+    tl_ref[:] = y[:, m:]
 
 
 def _fused_tables(bins: int):
-    from ..fft import _leaf_matrix_np
-
-    wr, wi = _unpack_twiddle_np(bins)
-    pwr, pwi = _pack_twiddle_np(bins)
-    pf = _flip_matrix_np(bins)
-    winv = _leaf_matrix_np(bins, +1)
-    m1, m2 = _deinterleave_np(bins)
-    return (jnp.asarray(_fwd_dft_np(bins)), jnp.asarray(pwr),
-            jnp.asarray(pwi), jnp.asarray(wr), jnp.asarray(wi),
-            jnp.asarray(pf), jnp.asarray(winv), jnp.asarray(m1),
-            jnp.asarray(m2))
+    return (jnp.asarray(_wfwd_np(bins)), jnp.asarray(_wpost_np(bins)))
 
 
 def block_step_fwd_fused(block, x2: Cplx, h: Cplx, rp, b0_scale: float,
@@ -350,7 +365,7 @@ def block_step_fwd_fused(block, x2: Cplx, h: Cplx, rp, b0_scale: float,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # block
             pl.BlockSpec(memory_space=pltpu.ANY),   # ring stays off-VMEM
             pl.BlockSpec(memory_space=pltpu.ANY),
-        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,  # h + tables + tail
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,  # h + tables + tail
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 4,
         scratch_shapes=[
             pltpu.VMEM((nparts + 8, bins), jnp.float32),
@@ -391,7 +406,7 @@ def block_step_fwd_fused_tv(blocks, x2: Cplx, h: Cplx, rp, wp2,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # blocks (2, pts)
             pl.BlockSpec(memory_space=pltpu.ANY),   # ring stays off-VMEM
             pl.BlockSpec(memory_space=pltpu.ANY),
-        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,  # h + tables + tail
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,  # h + tables + tail
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 6,
         scratch_shapes=[
             pltpu.VMEM((nparts + 8, bins), jnp.float32),
@@ -429,16 +444,10 @@ def block_step_fused(x2: Cplx, h: Cplx, rp, b0_scale: float, tail,
     bins); rp: int32 scalar; tail: (bins,) OLA tail. Returns
     (out_block (bins,), new_tail (bins,)) — the complete pconv_step
     output path (ring writes stay outside)."""
-    from ..fft import _leaf_matrix_np
-
     xr, xi = x2
     hr, hi = h
     nparts, bins = hr.shape
     rp = jnp.asarray(rp, jnp.int32).reshape(1)
-    wr, wi = _unpack_twiddle_np(bins)
-    pf = _flip_matrix_np(bins)
-    winv = _leaf_matrix_np(bins, +1)
-    m1, m2 = _deinterleave_np(bins)
     kern = functools.partial(_blockstep_full_kernel, nparts,
                              float(b0_scale), int(pts))
     out, new_tail = pl.pallas_call(
@@ -453,13 +462,8 @@ def block_step_fused(x2: Cplx, h: Cplx, rp, b0_scale: float, tail,
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wpost
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tail
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -472,8 +476,7 @@ def block_step_fused(x2: Cplx, h: Cplx, rp, b0_scale: float, tail,
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(rp, xr, xi, hr, hi, jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(pf),
-      jnp.asarray(winv), jnp.asarray(m1), jnp.asarray(m2),
+    )(rp, xr, xi, hr, hi, jnp.asarray(_wpost_np(bins)),
       jnp.asarray(tail).reshape(1, bins))
     return out[0], new_tail[0]
 

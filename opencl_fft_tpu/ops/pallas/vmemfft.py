@@ -69,11 +69,25 @@ _PLANS = {
     1 << 20: (64, 128, 128, 1),
 }
 
+# Two-level plans n = f1 * f2 (f2 = 128 lanes) for small transforms,
+# where the mm path's ~4 HBM passes dominate: one level fewer of
+# stack6/twiddle VPU work and 1R+1W HBM traffic. TB is large (the
+# per-grid-step fixed cost needs >= ~1MB of rows to amortize); the
+# broadcast leaf tables cost tb * (2*128) * (6*128) * 2B, affordable
+# under the raised 100MB scoped-vmem cap on this chip.
+_PLANS2 = {
+    1 << 10: (8, 128, 128),
+    1 << 11: (16, 128, 64),
+    1 << 12: (32, 128, 64),
+    1 << 13: (64, 128, 32),
+    1 << 14: (128, 128, 16),
+}
+
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def supported(n: int) -> bool:
-    return n in _PLANS
+    return n in _PLANS or n in _PLANS2
 
 
 # ---------------------------------------------------------------------------
@@ -160,9 +174,70 @@ def _vmemfft_kernel(f1, f2, f3, tb, in_r, in_i, w1, w2, w3, t1r, t1i,
     out_i[:] = y[:, f3:, :]
 
 
+def _vmemfft2_kernel(f1, f2, tb, in_r, in_i, w1, w2, t1r, t1i,
+                     out_r, out_i):
+    """Two-level variant: L1 contracts f1 over sublanes, twiddle, L2
+    contracts f2 over lanes — same operand-order tricks as the 3-level
+    kernel, one fewer stack/twiddle pass."""
+    # L1 — contract f1 over sublanes: (tb,2f1,6f1) x (tb,6f1,f2)
+    z = _stack6(in_r[:], in_i[:], axis=1)               # (tb, 6f1, f2)
+    y = jax.lax.dot_general(w1[:], z, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    re, im = y[:, :f1, :], y[:, f1:, :]                 # (tb, k1, f2)
+    tr, ti = t1r[:], t1i[:]
+    re, im = re * tr - im * ti, re * ti + im * tr
+
+    # L2 — contract f2 (lanes); MXU emits (tb, k2, k1) == natural order
+    z = _stack6(re, im, axis=2)                         # (tb, k1, 6f2)
+    y = jax.lax.dot_general(w2[:], z, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    out_r[:] = y[:, :f2, :]
+    out_i[:] = y[:, f2:, :]
+
+
 # ---------------------------------------------------------------------------
 # Host-side entry
 # ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _build2(n: int, sign: int, rows: int, interpret: bool, tb_override=None):
+    f1, f2, tb = _PLANS2[n]
+    if tb_override:
+        tb = tb_override
+    while rows % tb:
+        tb //= 2
+    tables = [
+        _leaf_stacked_np(f1, sign, tb),
+        _leaf_stacked_np(f2, sign, tb),
+        *_twiddle_np(f1, f2, sign),
+    ]
+    kern = functools.partial(_vmemfft2_kernel, f1, f2, tb)
+    table_specs = [pl.BlockSpec(t.shape, (lambda nd: lambda b: (0,) * nd)(t.ndim),
+                                memory_space=pltpu.VMEM) for t in tables]
+    call = pl.pallas_call(
+        kern,
+        grid=(rows // tb,),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, f2, f1), jnp.float32),
+            jax.ShapeDtypeStruct((rows, f2, f1), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((tb, f1, f2), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, f1, f2), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + table_specs,
+        out_specs=(
+            pl.BlockSpec((tb, f2, f1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, f2, f1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )
+    return call, tables, (f1, f2)
 
 
 @functools.lru_cache(maxsize=None)
@@ -209,13 +284,22 @@ def _build(n: int, sign: int, rows: int, interpret: bool, tb_override=None):
     return call, tables, (f1, f2, f3)
 
 
+# Measured level choice for sizes present in both plan tables
+# (tools/vmemfft_ab.py): 2 = two-level kernel, 3 = three-level.
+_LEVELS = {
+    1 << 13: 2,
+    1 << 14: 2,
+}
+
+
 def fft_vmem(x: Cplx, sign: int, interpret: bool = False,
-             tb_override: int = 0) -> Cplx:
+             tb_override: int = 0, levels: int = 0) -> Cplx:
     """Unnormalized DFT over the last axis, whole transform in VMEM.
 
-    x: split (re, im) float32 planes, shape (..., n) with n in _PLANS.
-    Matches fft_split(x, sign, "mm") within the bf16x3 error budget
-    (~5e-5 relative over three levels).
+    x: split (re, im) float32 planes, shape (..., n) with n in the plan
+    tables. Matches fft_split(x, sign, "mm") within the bf16x3 error
+    budget (~5e-5 relative over the matmul levels). ``levels`` forces the
+    2- or 3-level kernel for sizes in both tables (0 = measured default).
     """
     re, im = x
     n = re.shape[-1]
@@ -223,9 +307,17 @@ def fft_vmem(x: Cplx, sign: int, interpret: bool = False,
         raise ValueError(f"vmem fft: unsupported size {n}")
     lead = re.shape[:-1]
     rows = int(np.prod(lead)) if lead else 1
-    call, tables, (f1, f2, f3) = _build(n, sign, rows, interpret,
-                                        tb_override or None)
-    re3 = re.reshape(rows, f1, f2 * f3)
-    im3 = im.reshape(rows, f1, f2 * f3)
+    if not levels:
+        levels = _LEVELS.get(n, 2 if n in _PLANS2 else 3)
+    if levels == 2 and n in _PLANS2:
+        call, tables, (f1, f2) = _build2(n, sign, rows, interpret,
+                                         tb_override or None)
+        re3 = re.reshape(rows, f1, f2)
+        im3 = im.reshape(rows, f1, f2)
+    else:
+        call, tables, (f1, f2, f3) = _build(n, sign, rows, interpret,
+                                            tb_override or None)
+        re3 = re.reshape(rows, f1, f2 * f3)
+        im3 = im.reshape(rows, f1, f2 * f3)
     out_r, out_i = call(re3, im3, *tables)
     return out_r.reshape(lead + (n,)), out_i.reshape(lead + (n,))

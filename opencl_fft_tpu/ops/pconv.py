@@ -585,6 +585,113 @@ def pconv_stream_tv(cfg: PconvConfig, state: PconvState, blocks_x: Float,
     return jax.lax.scan(body, state, stacked, unroll=unroll)
 
 
+def _use_chunkmac(cfg: PconvConfig) -> bool:
+    from .pallas.chunkmac import fits_vmem_chunkmac
+    return (cfg.pallas != "off" and cfg._kernel_eligible()
+            and fits_vmem_chunkmac(cfg.nparts, cfg.bins))
+
+
+def _offline_batched(cfg: PconvConfig, state: PconvState, blocks: Float
+                     ) -> Tuple[PconvState, Float]:
+    """Batched offline LTI render: blocks (nb, B, pts) -> (nb, B, pts).
+
+    The frequency-delay-line MAC is a pure sliding-window correlation
+    over the frame-spectrum timeline (the ring holds exactly the last
+    nparts spectra), so the whole render is: ONE batched forward rFFT,
+    the chunk_mac Pallas kernel over the timeline, ONE batched inverse,
+    and a vectorized overlap-add — no sequential scan anywhere. Output
+    matches per-block streaming within f32 reduction-order tolerance.
+    State fields carry a leading channel axis (B); ring pointers are
+    shared across channels (models.convolver.batched_state convention).
+    """
+    from .fft import exact_precision
+    from .pallas.chunkmac import chunk_mac
+
+    f32 = cfg._jdtype
+    nb, B, pts = blocks.shape
+    np_ = cfg.nparts
+    fr, fi = _forward_partition(cfg, blocks)          # (nb, B, bins)
+    fr = fr.astype(cfg._ring_jdtype).astype(f32)      # ring-dtype roundtrip
+    fi = fi.astype(cfg._ring_jdtype).astype(f32)      # (== pconv_chunk)
+    fr = jnp.swapaxes(fr, 0, 1)                       # (B, nb, bins)
+    fi = jnp.swapaxes(fi, 0, 1)
+
+    z = jnp.asarray(0, state.wp.dtype)
+    old_r = jax.lax.dynamic_slice(
+        state.spec_x_re, (z, state.wp + 1, z),
+        (B, np_ - 1, cfg.bins)).astype(f32)
+    old_i = jax.lax.dynamic_slice(
+        state.spec_x_im, (z, state.wp + 1, z),
+        (B, np_ - 1, cfg.bins)).astype(f32)
+
+    groups = -(-nb // 8)
+    rows = np_ + 8 * groups
+    pad = rows - (np_ - 1) - nb
+    tl_r = jnp.concatenate(
+        [old_r, fr, jnp.zeros((B, pad, cfg.bins), f32)], axis=1)
+    tl_i = jnp.concatenate(
+        [old_i, fi, jnp.zeros((B, pad, cfg.bins), f32)], axis=1)
+
+    b0 = 2.0 if cfg.bin0_mode == "exact" else 1.0
+    interp = jax.default_backend() == "cpu"
+    acc_r, acc_i = chunk_mac(
+        (tl_r, tl_i),
+        (state.spec_h_re.astype(f32), state.spec_h_im.astype(f32)),
+        b0, interpret=interp)
+    acc_r, acc_i = acc_r[:, :nb], acc_i[:, :nb]       # (B, nb, bins)
+
+    with exact_precision():
+        y = irfft_split((acc_r, acc_i), cfg.impl)     # (B, nb, 2*pts)
+    tails = jnp.concatenate([state.tail[:, None], y[:, :-1, pts:]], axis=1)
+    outs = jnp.swapaxes((y[:, :, :pts] + tails) / pts, 0, 1)
+
+    # ring update: frame t lands at slot (wp + t) % np (doubled write)
+    frq = fr.astype(state.spec_x_re.dtype)
+    fiq = fi.astype(state.spec_x_im.dtype)
+    if nb >= np_:
+        s = jnp.arange(np_)
+        # last frame to land in slot s: t_s = nb-1 - ((wp+nb-1-s) mod np)
+        t_s = nb - 1 - ((state.wp + nb - 1 - s) % np_)
+        ring_r = jnp.take(frq, t_s, axis=1)           # (B, np, bins)
+        ring_i = jnp.take(fiq, t_s, axis=1)
+        sxr = jnp.concatenate([ring_r, ring_r], axis=1)
+        sxi = jnp.concatenate([ring_i, ring_i], axis=1)
+    else:
+        slots = (state.wp + jnp.arange(nb)) % np_
+        sxr = state.spec_x_re.at[:, slots].set(frq)
+        sxr = sxr.at[:, slots + np_].set(frq)
+        sxi = state.spec_x_im.at[:, slots].set(fiq)
+        sxi = sxi.at[:, slots + np_].set(fiq)
+    return state._replace(
+        spec_x_re=sxr, spec_x_im=sxi,
+        wp=(state.wp + nb) % np_,
+        tail=y[:, -1, pts:]), outs
+
+
+def pconv_offline(cfg: PconvConfig, state: PconvState, blocks: Float
+                  ) -> Tuple[PconvState, Float]:
+    """Offline LTI render of many blocks with NO sequential dependence.
+
+    blocks: (nblocks, pts) -> (nblocks, pts), any nblocks >= 1. Output
+    equals sequential pconv_step streaming within f32 tolerance (the
+    kernel's reduction order differs); use pconv_stream / pconv_chunk
+    when bit-equality with per-block streaming is required. Falls back
+    to the scan engine off-TPU-eligible configs.
+    """
+    blocks = jnp.asarray(blocks, cfg._jdtype)
+    if not _use_chunkmac(cfg):
+        return pconv_stream(cfg, state, blocks)
+    bstate = state._replace(
+        spec_x_re=state.spec_x_re[None], spec_x_im=state.spec_x_im[None],
+        spec_h_re=state.spec_h_re[None], spec_h_im=state.spec_h_im[None],
+        tail=state.tail[None])
+    bstate, outs = _offline_batched(cfg, bstate, blocks[:, None])
+    return state._replace(
+        spec_x_re=bstate.spec_x_re[0], spec_x_im=bstate.spec_x_im[0],
+        spec_h_re=bstate.spec_h_re[0], spec_h_im=bstate.spec_h_im[0],
+        tail=bstate.tail[0], wp=bstate.wp), outs[:, 0]
+
+
 def convolve_oneshot(signal: Float, ir: Float, impl: str = "auto") -> Float:
     """Full linear convolution in ONE zero-padded transform (offline path).
 

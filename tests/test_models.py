@@ -100,6 +100,29 @@ def test_convolver_stream_chunked_matches_per_block():
         c3.stream(blocks[:7], chunk=4)     # 7 not a multiple of 4
 
 
+def test_convolver_render_matches_stream():
+    """Offline render (chunk-MAC kernel, no sequential scan) == streamed
+    per-block output within f32 tolerance, and streaming continues
+    correctly from the render-produced state."""
+    pts, nparts, batch = 128, 8, 2
+    cfg = P.PconvConfig.for_ir_length(pts * nparts, pts, pallas="on")
+    assert P._use_chunkmac(cfg)
+    irs = (RNG.standard_normal((batch, cfg.cvs)) * 0.2).astype(np.float32)
+    blocks = RNG.standard_normal((12, batch, pts)).astype(np.float32)
+
+    c1 = Convolver(cfg, batch)
+    c1.push_ir(irs)
+    a = np.asarray(c1.stream(blocks))
+    c2 = Convolver(cfg, batch)
+    c2.push_ir(irs)
+    b = np.asarray(c2.render(blocks))
+    np.testing.assert_allclose(b, a, atol=2e-5 * np.max(np.abs(a)), rtol=0)
+    nxt = RNG.standard_normal((batch, pts)).astype(np.float32)
+    o1 = np.asarray(c1.step(nxt))
+    o2 = np.asarray(c2.step(nxt))
+    np.testing.assert_allclose(o2, o1, atol=2e-5 * np.max(np.abs(o1)), rtol=0)
+
+
 def test_batched_state_honors_ring_dtype():
     """A Convolver built with ring_dtype='bf16' must actually allocate bf16
     ring planes (tail stays f32) — ADVICE r1: batched_state used to

@@ -181,6 +181,85 @@ def test_fwd_dft_matrix_matches_forward_partition():
 
 
 # ---------------------------------------------------------------------------
+# Sliding-window chunk MAC (ops/pallas/chunkmac.py) + offline engine
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("batch", [1, 3])
+@pytest.mark.parametrize("nparts,bins,k", [(8, 128, 8), (16, 128, 20)])
+def test_chunkmac_matches_sliding_window(batch, nparts, bins, k):
+    from opencl_fft_tpu.ops.pallas.chunkmac import chunk_mac
+
+    groups = -(-k // 8)
+    rows = nparts + 8 * groups
+    real = nparts - 1 + k
+    tl = RNG.standard_normal((2, batch, rows, bins)).astype(np.float32)
+    tl[:, :, real:] = 0.0
+    h = RNG.standard_normal((2, batch, nparts, bins)).astype(np.float32)
+    got_r, got_i = chunk_mac((jnp.asarray(tl[0]), jnp.asarray(tl[1])),
+                             (jnp.asarray(h[0]), jnp.asarray(h[1])),
+                             2.0, interpret=True)
+    for b in range(batch):
+        for kk in range(k):
+            xr = tl[0, b, kk:kk + nparts]
+            xi = tl[1, b, kk:kk + nparts]
+            hr, hi = h[0, b], h[1, b]
+            er = np.sum(xr * hr - xi * hi, axis=0)
+            ei = np.sum(xr * hi + xi * hr, axis=0)
+            er[0] = 2.0 * np.sum(xr[:, 0] * hr[:, 0])
+            ei[0] = 2.0 * np.sum(xi[:, 0] * hi[:, 0])
+            np.testing.assert_allclose(np.asarray(got_r)[b, kk], er, atol=1e-4)
+            np.testing.assert_allclose(np.asarray(got_i)[b, kk], ei, atol=1e-4)
+
+
+@pytest.mark.parametrize("nblocks", [4, 8, 20, 40])
+def test_pconv_offline_matches_streaming(nblocks):
+    """pconv_offline (no sequential scan) == pconv_step streaming, for
+    nblocks below, equal to, and beyond nparts."""
+    from opencl_fft_tpu.ops import pconv as P
+
+    pts, nparts = 128, 16
+    cfg = P.PconvConfig(pts=pts, nparts=nparts, pallas="on")
+    assert P._use_chunkmac(cfg)
+    ir = RNG.standard_normal(pts * nparts).astype(np.float32) * 0.2
+    blocks = RNG.standard_normal((nblocks, pts)).astype(np.float32)
+    st0 = P.push_ir(cfg, P.pconv_init(cfg), ir)
+    # prime with a couple of streamed blocks so wp != 0 and tail != 0
+    pre = RNG.standard_normal((3, pts)).astype(np.float32)
+    st = st0
+    for b in pre:
+        st, _ = P.pconv_step(cfg, st, b)
+
+    st_seq = st
+    outs_seq = []
+    for b in blocks:
+        st_seq, o = P.pconv_step(cfg, st_seq, b)
+        outs_seq.append(np.asarray(o))
+    outs_seq = np.stack(outs_seq)
+
+    st_off, outs_off = P.pconv_offline(cfg, st, blocks)
+    scale = np.max(np.abs(outs_seq)) + 1e-9
+    np.testing.assert_allclose(np.asarray(outs_off), outs_seq,
+                               atol=2e-5 * scale, rtol=0)
+    # final state must agree too (ring content, pointer, tail); the tail
+    # and ring are UNNORMALIZED (pre-/pts), so they get their own scales
+    assert int(st_off.wp) == int(st_seq.wp)
+    tscale = np.max(np.abs(np.asarray(st_seq.tail))) + 1e-9
+    np.testing.assert_allclose(np.asarray(st_off.tail),
+                               np.asarray(st_seq.tail), atol=2e-5 * tscale)
+    rscale = np.max(np.abs(np.asarray(st_seq.spec_x_re))) + 1e-9
+    np.testing.assert_allclose(np.asarray(st_off.spec_x_re),
+                               np.asarray(st_seq.spec_x_re),
+                               atol=2e-5 * rscale)
+    # streaming continues correctly from the offline-produced state
+    nxt = RNG.standard_normal(pts).astype(np.float32)
+    _, o_seq = P.pconv_step(cfg, st_seq, nxt)
+    _, o_off = P.pconv_step(cfg, st_off, nxt)
+    np.testing.assert_allclose(np.asarray(o_off), np.asarray(o_seq),
+                               atol=2e-5 * scale)
+
+
+# ---------------------------------------------------------------------------
 # Whole-transform VMEM-resident FFT (ops/pallas/vmemfft.py)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,156 @@
+"""Interleaved on-chip A/B: VMEM-resident Pallas FFT vs the XLA mm path.
+
+For each size, times the batched forward transform at the bench sweep's
+operating point (~32MB split working set) for every requested variant —
+``mm`` (four-step matmul), ``l2_tb<k>`` (two-level kernel), ``l3_tb<k>``
+(three-level kernel) — round-robin so every variant sees the same
+relay-drift window; min over rounds with a physical HBM floor. Merges
+results into ``bench_results/vmemfft_ab.json`` (the artifact behind
+``fft._VMEM_AUTO_SIZES`` and ``vmemfft._LEVELS``).
+
+    python tools/vmemfft_ab.py --sizes 10,12 --rounds 4
+    python tools/vmemfft_ab.py --sizes 16 --variants mm,l3_tb8,l3_tb16
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from opencl_fft_tpu.ops import fft as F
+from opencl_fft_tpu.ops.pallas import vmemfft
+
+OUT = os.path.join(os.path.dirname(__file__), "..",
+                   "bench_results", "vmemfft_ab.json")
+
+
+def default_variants(logn: int):
+    v = ["mm"]
+    n = 1 << logn
+    if n in vmemfft._PLANS2:
+        tb = vmemfft._PLANS2[n][2]
+        v += [f"l2_tb{tb}", f"l2_tb{max(8, tb // 2)}"]
+    if n in vmemfft._PLANS:
+        tb = vmemfft._PLANS[n][3]
+        v += [f"l3_tb{tb}"]
+        if tb > 1:
+            v += [f"l3_tb{tb * 2}"]
+    return v
+
+
+def make_runner(logn: int, variant: str, iters: int):
+    n = 1 << logn
+    batch = max(1, (32 << 20) // (8 * n))
+    rng = np.random.default_rng(1)
+    re = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
+    im = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
+    scale = 1.0 / np.sqrt(n)
+
+    if variant == "mm":
+        def one(x):
+            return F._fft_mm(x, -1)
+    else:
+        levels = int(variant[1])
+        tb = int(variant.split("_tb")[1])
+
+        def one(x):
+            return vmemfft.fft_vmem(x, -1, tb_override=tb, levels=levels)
+
+    @partial(jax.jit, static_argnums=1)
+    def run(x, k):
+        def body(i, x):
+            r, i_ = one(x)
+            return r * scale, i_ * scale
+        return jax.lax.fori_loop(0, k, body, x)
+
+    def sync(o):
+        return float(jnp.sum(o[0][..., :1]))
+
+    t0 = time.time()
+    sync(run((re, im), 1))
+    compile_s = time.time() - t0
+    sync(run((re, im), iters))
+
+    def timed(k):
+        t0 = time.time(); sync(run((re, im), k)); return time.time() - t0
+
+    return timed, batch, compile_s
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="10,11,12,13,14",
+                    help="comma-separated log2 sizes")
+    ap.add_argument("--variants", default="",
+                    help="override variant list (comma-separated)")
+    ap.add_argument("--rounds", type=int, default=4)
+    args = ap.parse_args()
+
+    results = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            results = json.load(f)
+
+    for logn in [int(s) for s in args.sizes.split(",")]:
+        n = 1 << logn
+        iters = 200 if logn <= 14 else (50 if logn <= 18 else 25)
+        variants = (args.variants.split(",") if args.variants
+                    else default_variants(logn))
+        runners = {}
+        for v in variants:
+            try:
+                runners[v] = make_runner(logn, v, iters)
+            except Exception as e:
+                print(f"2^{logn} {v}: SKIP ({str(e)[:100]})",
+                      file=sys.stderr, flush=True)
+        if not runners:
+            continue
+        best = {v: float("inf") for v in runners}
+        wins = {v: 0 for v in runners}
+        floor = runners[next(iter(runners))][1] * n * 8 * 2 / 3e12
+        for r in range(args.rounds):
+            rnd = {}
+            for v, (timed, batch, _) in runners.items():
+                dt = (min(timed(iters) for _ in range(2))
+                      - min(timed(1) for _ in range(2))) / (iters - 1)
+                if dt > floor:
+                    best[v] = min(best[v], dt)
+                    rnd[v] = dt
+            if rnd:
+                wins[min(rnd, key=rnd.get)] += 1
+        batch = runners[next(iter(runners))][1]
+        row = {}
+        for v in runners:
+            if not np.isfinite(best[v]):
+                print(f"2^{logn} {v}: UNMEASURABLE", file=sys.stderr,
+                      flush=True)
+                continue
+            gf = 5 * n * logn * batch / best[v] / 1e9
+            row[f"{v}_us"] = round(best[v] * 1e6, 1)
+            row[f"{v}_gflops"] = round(gf)
+            print(f"2^{logn} {v}: {best[v]*1e6:9.1f} us {gf:8.1f} GFLOP/s "
+                  f"(won {wins[v]}/{args.rounds} rounds, compile "
+                  f"{runners[v][2]:.0f}s)", file=sys.stderr, flush=True)
+        if row:
+            finite = {v: t for v, t in best.items() if np.isfinite(t)}
+            row["winner"] = min(finite, key=finite.get)
+            row["round_wins"] = {v: wins[v] for v in finite}
+            results[f"2^{logn}"] = row
+    with open(OUT, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"merged -> {OUT}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
