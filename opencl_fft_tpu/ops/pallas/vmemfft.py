@@ -70,17 +70,16 @@ _PLANS = {
 }
 
 # Two-level plans n = f1 * f2 (f2 = 128 lanes) for small transforms,
-# where the mm path's ~4 HBM passes dominate: one level fewer of
-# stack6/twiddle VPU work and 1R+1W HBM traffic. TB is large (the
-# per-grid-step fixed cost needs >= ~1MB of rows to amortize); the
-# broadcast leaf tables cost tb * (2*128) * (6*128) * 2B, affordable
-# under the raised 100MB scoped-vmem cap on this chip.
+# where the mm path's ~4 HBM passes dominate. TB (row block per grid
+# step) is the LANE dimension of the kernel's transposed output, so it
+# wants >= 128; its ceiling is the ~6x-canvas VMEM chain (tb * n * 8B
+# per plane).
 _PLANS2 = {
-    1 << 10: (8, 128, 128),
-    1 << 11: (16, 128, 64),
-    1 << 12: (32, 128, 64),
-    1 << 13: (64, 128, 32),
-    1 << 14: (128, 128, 16),
+    1 << 10: (8, 128, 512),
+    1 << 11: (16, 128, 256),
+    1 << 12: (32, 128, 128),
+    1 << 13: (64, 128, 128),
+    1 << 14: (128, 128, 128),
 }
 
 _VMEM_LIMIT = 100 * 1024 * 1024
@@ -97,14 +96,14 @@ def supported(n: int) -> bool:
 
 
 @functools.lru_cache(maxsize=None)
-def _leaf_stacked_np(f: int, sign: int, tb: int) -> np.ndarray:
-    """(tb, 2f, 6f) bf16 stacked block matrix [Bh | Bl | Bh].
+def _leaf_stacked_np(f: int, sign: int, tb: int = 0) -> np.ndarray:
+    """(2f, 6f) bf16 stacked block matrix [Bh | Bl | Bh] (or (tb, 2f, 6f)
+    broadcast when tb > 0, for the batched-dot legacy path).
 
     B = [[U, -V], [V, U]] (column form) with U + iV the f-point DFT
     matrix; Bh/Bl are its Dekker bf16 hi/lo parts. Contracting against
     the stacked operand [zh; zh; zl] yields Bh@zh + Bl@zh + Bh@zl — the
-    bf16x3 product — in a single MXU pass. Broadcast to the TB batch dim
-    (dot_general batch dims must appear on both operands).
+    bf16x3 product — in a single MXU pass.
     """
     import ml_dtypes                       # pure-numpy bf16: this builder
     # can run inside a jit trace (lru miss), so no jnp ops here.
@@ -115,6 +114,8 @@ def _leaf_stacked_np(f: int, sign: int, tb: int) -> np.ndarray:
     hi = b.astype(ml_dtypes.bfloat16)
     lo = (b - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
     stk = np.concatenate([hi, lo, hi], axis=1)            # (2f, 6f)
+    if not tb:
+        return stk
     return np.broadcast_to(stk, (tb,) + stk.shape).copy()
 
 
@@ -176,23 +177,123 @@ def _vmemfft_kernel(f1, f2, f3, tb, in_r, in_i, w1, w2, w3, t1r, t1i,
 
 def _vmemfft2_kernel(f1, f2, tb, in_r, in_i, w1, w2, t1r, t1i,
                      out_r, out_i):
-    """Two-level variant: L1 contracts f1 over sublanes, twiddle, L2
-    contracts f2 over lanes — same operand-order tricks as the 3-level
-    kernel, one fewer stack/twiddle pass."""
-    # L1 — contract f1 over sublanes: (tb,2f1,6f1) x (tb,6f1,f2)
+    """Two-level variant with NO batched dots.
+
+    Batch-dim dot_generals lower in Mosaic as per-row loops of tiny
+    matmuls (measured r3: 3.5 ms vs mm's 0.25 ms at 2^10) — so here the
+    shared leaf is the LHS of a plain contraction and the row block tb
+    rides along as an rhs free dimension. Each level is ONE big MXU
+    matmul. The price: the output lands freq-major, i.e. TRANSPOSED
+    ((f2, f1, tb) = X^T) — the wrapper restores row-major with one XLA
+    transpose pass, still a net win for sizes where the mm path is
+    multi-pass-bound."""
+    # L1 — contract f1: (2f1, 6f1) x (tb, 6f1, f2) -> (2f1, tb, f2)
     z = _stack6(in_r[:], in_i[:], axis=1)               # (tb, 6f1, f2)
-    y = jax.lax.dot_general(w1[:], z, (((2,), (1,)), ((0,), (0,))),
+    y = jax.lax.dot_general(w1[:], z, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    re, im = y[:, :f1, :], y[:, f1:, :]                 # (tb, k1, f2)
-    tr, ti = t1r[:], t1i[:]
+    re, im = y[:f1], y[f1:]                             # (k1, tb, f2)
+    tr, ti = t1r[:], t1i[:]                             # (f1, 1, f2)
     re, im = re * tr - im * ti, re * ti + im * tr
 
-    # L2 — contract f2 (lanes); MXU emits (tb, k2, k1) == natural order
-    z = _stack6(re, im, axis=2)                         # (tb, k1, 6f2)
-    y = jax.lax.dot_general(w2[:], z, (((2,), (2,)), ((0,), (0,))),
+    # L2 — contract f2 (lanes): (2f2, 6f2) x (f1, tb, 6f2) -> (2f2, f1, tb)
+    z = _stack6(re, im, axis=2)                         # (k1, tb, 6f2)
+    y = jax.lax.dot_general(w2[:], z, (((1,), (2,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    out_r[:] = y[:, :f2, :]
-    out_i[:] = y[:, f2:, :]
+    if out_r.shape[0] == tb:                # row-major out: in-kernel
+        y = jnp.transpose(y, (2, 0, 1))     # relayout of one (2f2,f1,tb)
+        out_r[:] = y[:, :f2]                # block per step
+        out_i[:] = y[:, f2:]
+    else:
+        out_r[:] = y[:f2]
+        out_i[:] = y[f2:]
+
+
+def _vmemfft3h_kernel(f1, f2, f3, tb, in_r, in_i, w1, w2, w3, t1r, t1i,
+                      t2r, t2i, out_r, out_i):
+    """Hybrid three-level kernel: L1 keeps the tb-batched dot (few
+    iterations, each with a large streaming dimension), then (tb, f1)
+    merge (outer-into-sublane, free for f1 % 8 == 0) makes L2 and L3
+    single no-batch matmuls — avoiding Mosaic's per-row lowering of
+    batched dots (measured r3), at the price of a freq-major output
+    ((f3, f2, rows*f1) with (row, k1) interleaved lanes) that the
+    wrapper restores with one XLA transpose pass."""
+    z = _stack6(in_r[:], in_i[:], axis=1)               # (tb, 6f1, R1)
+    y = jax.lax.dot_general(w1[:], z, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    re, im = y[:, :f1], y[:, f1:]                       # (tb, k1, R1)
+    tr, ti = t1r[:], t1i[:]                             # (1, f1, R1)
+    re, im = re * tr - im * ti, re * ti + im * tr
+
+    re = re.reshape(tb * f1, f2, f3)                    # outer/sublane merge
+    im = im.reshape(tb * f1, f2, f3)
+    z = _stack6(re, im, axis=1)                         # (tbf1, 6f2, f3)
+    y = jax.lax.dot_general(w2[:], z, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    re, im = y[:f2], y[f2:]                             # (k2, tbf1, f3)
+    tr, ti = t2r[:], t2i[:]                             # (f2, 1, f3)
+    re, im = re * tr - im * ti, re * ti + im * tr
+
+    z = _stack6(re, im, axis=2)                         # (k2, tbf1, 6f3)
+    y = jax.lax.dot_general(w3[:], z, (((1,), (2,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    out_r[:] = y[:f3]                                   # (k3, k2, tbf1)
+    out_i[:] = y[f3:]
+
+
+# Hybrid-kernel plans: n -> (f1, f2, f3, tb) with f3 = 128 lanes and
+# f1 * tb >= 128 (the merged (row, k1) lane dimension of the output).
+_PLANS3H = {
+    1 << 15: (32, 8, 128, 8),
+    1 << 16: (32, 16, 128, 8),
+    1 << 17: (64, 16, 128, 4),
+    1 << 18: (64, 32, 128, 2),
+    1 << 19: (128, 32, 128, 1),
+    1 << 20: (128, 64, 128, 1),
+}
+
+
+@functools.lru_cache(maxsize=None)
+def _build3h(n: int, sign: int, rows: int, interpret: bool, tb_override=None):
+    f1, f2, f3, tb = _PLANS3H[n]
+    if tb_override:
+        tb = tb_override
+    while rows % tb:
+        tb //= 2
+    t1r, t1i = _twiddle_np(f1, f2 * f3, sign)
+    t2r, t2i = _twiddle_np(f2, f3, sign)
+    tables = [
+        _leaf_stacked_np(f1, sign, tb),
+        _leaf_stacked_np(f2, sign),
+        _leaf_stacked_np(f3, sign),
+        t1r.reshape(1, f1, f2 * f3), t1i.reshape(1, f1, f2 * f3),
+        t2r.reshape(f2, 1, f3), t2i.reshape(f2, 1, f3),
+    ]
+    kern = functools.partial(_vmemfft3h_kernel, f1, f2, f3, tb)
+    table_specs = [pl.BlockSpec(t.shape, (lambda nd: lambda b: (0,) * nd)(t.ndim),
+                                memory_space=pltpu.VMEM) for t in tables]
+    call = pl.pallas_call(
+        kern,
+        grid=(rows // tb,),
+        out_shape=(                # (k3, k2, (row, k1)) freq-major layout
+            jax.ShapeDtypeStruct((f3, f2, rows * f1), jnp.float32),
+            jax.ShapeDtypeStruct((f3, f2, rows * f1), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((tb, f1, f2 * f3), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, f1, f2 * f3), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + table_specs,
+        out_specs=(
+            pl.BlockSpec((f3, f2, tb * f1), lambda b: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f3, f2, tb * f1), lambda b: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )
+    return call, tables, (f1, f2, f3)
 
 
 # ---------------------------------------------------------------------------
@@ -201,39 +302,46 @@ def _vmemfft2_kernel(f1, f2, tb, in_r, in_i, w1, w2, t1r, t1i,
 
 
 @functools.lru_cache(maxsize=None)
-def _build2(n: int, sign: int, rows: int, interpret: bool, tb_override=None):
+def _build2(n: int, sign: int, rows: int, interpret: bool, tb_override=None,
+            rowmajor_out: bool = False):
     f1, f2, tb = _PLANS2[n]
     if tb_override:
         tb = tb_override
     while rows % tb:
         tb //= 2
+    t1r, t1i = _twiddle_np(f1, f2, sign)
     tables = [
-        _leaf_stacked_np(f1, sign, tb),
-        _leaf_stacked_np(f2, sign, tb),
-        *_twiddle_np(f1, f2, sign),
+        _leaf_stacked_np(f1, sign),
+        _leaf_stacked_np(f2, sign),
+        t1r.reshape(f1, 1, f2),
+        t1i.reshape(f1, 1, f2),
     ]
     kern = functools.partial(_vmemfft2_kernel, f1, f2, tb)
     table_specs = [pl.BlockSpec(t.shape, (lambda nd: lambda b: (0,) * nd)(t.ndim),
                                 memory_space=pltpu.VMEM) for t in tables]
+    if rowmajor_out:
+        out_shape = tuple(jax.ShapeDtypeStruct((rows, f2, f1), jnp.float32)
+                          for _ in range(2))
+        out_specs = tuple(pl.BlockSpec((tb, f2, f1), lambda b: (b, 0, 0),
+                                       memory_space=pltpu.VMEM)
+                          for _ in range(2))
+    else:
+        out_shape = tuple(jax.ShapeDtypeStruct((f2, f1, rows), jnp.float32)
+                          for _ in range(2))
+        out_specs = tuple(pl.BlockSpec((f2, f1, tb), lambda b: (0, 0, b),
+                                       memory_space=pltpu.VMEM)
+                          for _ in range(2))
     call = pl.pallas_call(
         kern,
         grid=(rows // tb,),
-        out_shape=(
-            jax.ShapeDtypeStruct((rows, f2, f1), jnp.float32),
-            jax.ShapeDtypeStruct((rows, f2, f1), jnp.float32),
-        ),
+        out_shape=out_shape,
         in_specs=[
             pl.BlockSpec((tb, f1, f2), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, f1, f2), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + table_specs,
-        out_specs=(
-            pl.BlockSpec((tb, f2, f1), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, f2, f1), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=out_specs,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )
@@ -241,8 +349,9 @@ def _build2(n: int, sign: int, rows: int, interpret: bool, tb_override=None):
 
 
 @functools.lru_cache(maxsize=None)
-def _build(n: int, sign: int, rows: int, interpret: bool, tb_override=None):
-    f1, f2, f3, tb = _PLANS[n]
+def _build(n: int, sign: int, rows: int, interpret: bool, tb_override=None,
+           plan_override=None):
+    f1, f2, f3, tb = plan_override or _PLANS[n]
     if tb_override:
         tb = tb_override
     while rows % tb:
@@ -293,7 +402,8 @@ _LEVELS = {
 
 
 def fft_vmem(x: Cplx, sign: int, interpret: bool = False,
-             tb_override: int = 0, levels: int = 0) -> Cplx:
+             tb_override: int = 0, levels: int = 0,
+             rowmajor_out: bool = True) -> Cplx:
     """Unnormalized DFT over the last axis, whole transform in VMEM.
 
     x: split (re, im) float32 planes, shape (..., n) with n in the plan
@@ -311,13 +421,28 @@ def fft_vmem(x: Cplx, sign: int, interpret: bool = False,
         levels = _LEVELS.get(n, 2 if n in _PLANS2 else 3)
     if levels == 2 and n in _PLANS2:
         call, tables, (f1, f2) = _build2(n, sign, rows, interpret,
-                                         tb_override or None)
+                                         tb_override or None,
+                                         rowmajor_out=rowmajor_out)
         re3 = re.reshape(rows, f1, f2)
         im3 = im.reshape(rows, f1, f2)
+        out_r, out_i = call(re3, im3, *tables)
+        if not rowmajor_out:
+            # kernel emitted X^T (k2, k1, rows); one XLA transpose pass
+            out_r = jnp.transpose(out_r, (2, 0, 1))
+            out_i = jnp.transpose(out_i, (2, 0, 1))
+    elif levels == 4 and n in _PLANS3H:
+        call, tables, (f1, f2, f3) = _build3h(n, sign, rows, interpret,
+                                              tb_override or None)
+        re3 = re.reshape(rows, f1, f2 * f3)
+        im3 = im.reshape(rows, f1, f2 * f3)
+        out_r, out_i = call(re3, im3, *tables)
+        # (k3, k2, rows*k1) -> row-major (rows, n): one XLA transpose pass
+        out_r = jnp.transpose(out_r.reshape(f3, f2, rows, f1), (2, 0, 1, 3))
+        out_i = jnp.transpose(out_i.reshape(f3, f2, rows, f1), (2, 0, 1, 3))
     else:
         call, tables, (f1, f2, f3) = _build(n, sign, rows, interpret,
                                             tb_override or None)
         re3 = re.reshape(rows, f1, f2 * f3)
         im3 = im.reshape(rows, f1, f2 * f3)
-    out_r, out_i = call(re3, im3, *tables)
+        out_r, out_i = call(re3, im3, *tables)
     return out_r.reshape(lead + (n,)), out_i.reshape(lead + (n,))

@@ -66,6 +66,36 @@ def test_sharded_lti_matches_unsharded(shape):
                                    atol=1e-4, rtol=0)
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2), (1, 8), (8, 1)])
+def test_sharded_lti_deployment_shape(shape):
+    """Deployment-scale sharding (VERDICT r2 #6): the headline config —
+    pts=512, nparts=256 (2^17-tap IR), batch=8 — must compile and match
+    the single-device engine on every mesh factorization, not just the
+    toy pts=32/nparts=8 shapes."""
+    mesh = make_mesh(shape)
+    pts, nparts, batch = 512, 256, 8
+    cfg = P.PconvConfig.for_ir_length(pts * nparts, pts)
+    ir = (RNG.standard_normal((batch, cfg.cvs)) * 0.05).astype(np.float32)
+
+    state = _put_state(sharded.sharded_pconv_init(cfg, batch), mesh)
+    ir_dev = jax.device_put(jnp.asarray(ir), NamedSharding(mesh, P_("dp", None)))
+    state = sharded.sharded_push_ir(cfg, mesh, state, ir_dev)
+    step = sharded.make_sharded_pconv_step(cfg, mesh, tv=False)
+
+    refs = [P.push_ir(cfg, P.pconv_init(cfg), ir[b]) for b in range(batch)]
+    for _ in range(2):
+        blocks = RNG.standard_normal((batch, pts)).astype(np.float32)
+        state, out = step(state, blocks)
+        expect = []
+        for b in range(batch):
+            refs[b], o = P.pconv_step(cfg, refs[b], blocks[b])
+            expect.append(np.asarray(o))
+        scale = np.max(np.abs(np.stack(expect))) + 1e-9
+        np.testing.assert_allclose(np.asarray(out), np.stack(expect),
+                                   atol=1e-4 * scale, rtol=0)
+
+
 def test_sharded_tv_matches_unsharded():
     mesh = make_mesh((2, 4))
     pts, nparts = 16, 8

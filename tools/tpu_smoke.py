@@ -46,6 +46,18 @@ def main():
         ref = np.fft.fft(x + 1j * y)
         check(f"cfft n={n}", np.max(np.abs(got - ref)) / np.max(np.abs(ref)), 3e-5)
 
+    # VMEM-resident kernels compiled on-chip (2-level transposed-out at a
+    # bench-sweep working set; 3-level at its smallest auto size)
+    from opencl_fft_tpu.ops.pallas.vmemfft import fft_vmem
+    n2 = 1 << 12
+    xb = rng.standard_normal((1024, n2)).astype(np.float32)
+    yb = rng.standard_normal((1024, n2)).astype(np.float32)
+    re, im = fft_vmem((jnp.asarray(xb), jnp.asarray(yb)), -1, levels=2)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    ref = np.fft.fft(xb + 1j * yb)
+    check("vmemfft l2 n=4096", np.max(np.abs(got - ref)) / np.max(np.abs(ref)),
+          1e-4)
+
     # fast-math (auto leaf precision) error budget: bf16x3 leaves for
     # radix >= 64 must keep the large-size roundtrip inside 1e-4 relative
     # and cost vs full-f32 mode no more than ~3x the f32 epsilon
@@ -171,6 +183,14 @@ def main():
         scale = np.max(np.abs(outs["off"])) + 1e-9
         check(f"pallas '{mode}' == xla @ ({nparts_w},{bins_w})",
               err / scale, 1e-5)
+
+    # offline render (chunk-MAC kernel) == sequential streaming
+    st_e = P.push_ir(cfg2, P.pconv_init(cfg2), jnp.asarray(irc))
+    if P._use_chunkmac(cfg2):
+        st_e, off_out = P.pconv_offline(cfg2, st_e, jnp.asarray(bx))
+        d = np.max(np.abs(np.asarray(off_out) - np.stack(seq)))
+        check("pconv_offline == sequential", d / (np.max(np.abs(seq)) + 1e-9),
+              1e-5)
 
     st_c = P.pconv_init(cfg2)
     seq_tv = []

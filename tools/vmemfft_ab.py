@@ -40,12 +40,15 @@ def default_variants(logn: int):
     n = 1 << logn
     if n in vmemfft._PLANS2:
         tb = vmemfft._PLANS2[n][2]
-        v += [f"l2_tb{tb}", f"l2_tb{max(8, tb // 2)}"]
+        v += [f"l2_tb{tb}"]
+        if 2 * tb * n * 8 * 6 <= 96 << 20:     # ~6x-canvas VMEM chain
+            v += [f"l2_tb{2 * tb}"]
     if n in vmemfft._PLANS:
         tb = vmemfft._PLANS[n][3]
         v += [f"l3_tb{tb}"]
-        if tb > 1:
-            v += [f"l3_tb{tb * 2}"]
+    if n in vmemfft._PLANS3H:
+        tb = vmemfft._PLANS3H[n][3]
+        v += [f"h3_tb{tb}"]
     return v
 
 
@@ -61,11 +64,13 @@ def make_runner(logn: int, variant: str, iters: int):
         def one(x):
             return F._fft_mm(x, -1)
     else:
-        levels = int(variant[1])
+        levels = 4 if variant.startswith("h3") else int(variant[1])
+        rowmajor = not variant.startswith("l2x")   # l2x = XLA-transpose out
         tb = int(variant.split("_tb")[1])
 
         def one(x):
-            return vmemfft.fft_vmem(x, -1, tb_override=tb, levels=levels)
+            return vmemfft.fft_vmem(x, -1, tb_override=tb, levels=levels,
+                                    rowmajor_out=rowmajor)
 
     @partial(jax.jit, static_argnums=1)
     def run(x, k):
