@@ -17,10 +17,10 @@ kernels, and split planes keep 128-lane-friendly layouts. Three paths:
               MXU work, O(log_r N) HBM passes instead of log2 N.
 ``stockham``  Radix-2 Stockham autosort: log2(N) fused self-sorting vector
               stages on the VPU. Small-N path and exactness cross-check.
-``vmem``      Pallas kernel (pallas/vmemfft.py): three-level mixed-radix
-              decomposition entirely in VMEM — one HBM read + one write
-              per row. Auto mode routes 2^16 <= n <= 2^18 here on TPU
-              (measured 1.16-1.8x over ``mm`` in interleaved A/Bs).
+``vmem``      Pallas kernels (pallas/vmemfft.py): whole transform in VMEM
+              (2- or 3-level mixed-radix) — one HBM read + one write per
+              row. Auto mode routes the sizes where the interleaved A/B
+              beats the (re-tuned) ``mm`` path (_VMEM_AUTO_SIZES).
 ``xla``       ``jnp.fft`` builtin — host/CPU comparison only (the axon TPU
               backend does not implement the FFT op).
 
@@ -410,14 +410,16 @@ _IMPLS = ("auto", "mm", "stockham", "xla", "vmem")
 
 # Auto-mode routing set for the VMEM-resident Pallas kernel, from
 # interleaved A/B vs the mm path on the target chip
-# (tools/vmemfft_ab.py -> bench_results/vmemfft_ab.json). r2 baseline:
-# the 3-level kernel wins 1.16-1.8x at 2^16..2^18; at 2^19 the A/B was
-# a wash and at 2^20 ambiguous with a ~10 min Mosaic compile, so those
-# stay on mm unless re-measured otherwise; impl="vmem" opts in
-# explicitly. r3 adds the 2-level kernel sizes (2^10..2^14) when the
-# A/B shows them beating mm's ~4 HBM passes.
-_VMEM_AUTO_SIZES = {1 << 10, 1 << 11, 1 << 12, 1 << 13,
-                    1 << 16, 1 << 17, 1 << 18}
+# (tools/vmemfft_ab.py -> bench_results/vmemfft_ab.json). r3: after the
+# plan-table re-tune (see _fft_plans.py) mm closed most of the r2 gap,
+# but the 3-level kernel still won the interleaved A/B at 2^16 (243.8
+# vs 258.7 us, 3/3 rounds); at 2^17 it is a wash (315.9 vs 319.9, mm by
+# a hair -> simpler path wins) and at 2^18 the re-tuned mm wins
+# outright (307.1 vs 448.5 us, 3/3 rounds), likewise 2^19/2^20
+# (n1=128). The 2-level small-size kernels LOSE to the re-tuned mm
+# everywhere (e.g. 2^12: mm-n1=64 168 us vs kernel 434) and stay
+# opt-in via impl="vmem".
+_VMEM_AUTO_SIZES = {1 << 16}
 
 # Below this size, one matmul leaf is a full transform; the Stockham path
 # wins only for tiny batch*N where matmul setup dominates.

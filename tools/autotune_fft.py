@@ -33,8 +33,13 @@ import jax.numpy as jnp
 from opencl_fft_tpu.ops import fft as F
 
 
-def measure(n: int, batch: int, iters: int) -> float:
-    """us per batched transform with the CURRENT plan tables."""
+def make_timer(n: int, batch: int, iters: int):
+    """Compile a fori-chain runner for the CURRENT plan tables; returns
+    timed(k) -> wall seconds. Compilation happens here, ONCE, so that all
+    candidates can then be timed round-robin inside the same drift
+    window (the r2 table was tuned candidate-by-candidate sequentially,
+    and windows drifting 2-3x between candidates picked plans that left
+    2-3x on the table — bench_results/fft_plan_sweep.json)."""
     rng = np.random.default_rng(0)
     re = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
     im = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
@@ -54,17 +59,25 @@ def measure(n: int, batch: int, iters: int) -> float:
     sync(run((re, im), 1))
     sync(run((re, im), iters))
 
-    def best(k, tries=3):
-        ts = []
-        for _ in range(tries):
-            t0 = time.time(); sync(run((re, im), k)); ts.append(time.time() - t0)
-        return min(ts)                         # min masks relay jitter
+    def timed(k):
+        t0 = time.time()
+        sync(run((re, im), k))
+        return time.time() - t0
 
-    for _ in range(3):                         # relay noise can swamp deltas
-        dt = (best(iters) - best(1)) / (iters - 1) * 1e6
-        if dt > 0:
-            return dt
-    return float("inf")                        # unmeasurable: reject candidate
+    return timed
+
+
+def measure_interleaved(timers: dict, iters: int, floor_s: float,
+                        rounds: int = 3) -> dict:
+    """{cand: us} — min over round-robin rounds, floor-guarded."""
+    best = {c: float("inf") for c in timers}
+    for _ in range(rounds):
+        for c, timed in timers.items():
+            dt = (min(timed(iters) for _ in range(2))
+                  - min(timed(1) for _ in range(2))) / (iters - 1)
+            if dt > floor_s:
+                best[c] = min(best[c], dt)
+    return {c: t * 1e6 for c, t in best.items()}
 
 
 def candidates(n: int):
@@ -101,28 +114,38 @@ def tune_bucket(bucket: str, iters: int, max_log2: int) -> dict:
         n = 1 << k
         batch = batch_for(n)
         it = iters if bucket == "large" else max(iters, 200)
-        best, best_t = None, float("inf")
+        # compile ALL candidates first, then time them round-robin so every
+        # candidate shares the same relay-drift window
+        timers = {}
         for n1 in candidates(n):
             live.clear()
             live.update(table)
             live[n] = n1
             try:
-                t = measure(n, batch, it)
+                timers[n1] = make_timer(n, batch, it)
             except Exception as e:                  # oversize leaf etc.
                 print(f"  [{bucket}] n=2^{k} n1={n1}: FAILED {str(e)[:60]}",
+                      file=sys.stderr, flush=True)
+        if not timers:
+            continue
+        floor = batch * n * 8 * 2 / 3e12
+        times = measure_interleaved(timers, it, floor)
+        for n1, t in sorted(times.items(), key=lambda kv: kv[1]):
+            if not np.isfinite(t):
+                print(f"  [{bucket}] n=2^{k} n1={n1}: unmeasurable",
                       file=sys.stderr, flush=True)
                 continue
             gf = 5 * n * k * batch / t / 1e3
             print(f"  [{bucket}] n=2^{k} n1={n1 or 'direct':>6}: {t:9.1f} us "
                   f"{gf:8.1f} GFLOP/s", file=sys.stderr, flush=True)
-            if t < best_t:
-                best, best_t = n1, t
-        if best is None or best_t == float("inf"):
+        finite = {c: t for c, t in times.items() if np.isfinite(t)}
+        if not finite:
             print(f"[{bucket}] n=2^{k}: all candidates unmeasurable, "
                   f"keeping default", file=sys.stderr, flush=True)
             continue
+        best = min(finite, key=finite.get)
         table[n] = best
-        print(f"[{bucket}] n=2^{k}: best n1={best} ({best_t:.1f} us)",
+        print(f"[{bucket}] n=2^{k}: best n1={best} ({finite[best]:.1f} us)",
               file=sys.stderr, flush=True)
     live.clear()
     live.update(table)
