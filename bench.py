@@ -356,6 +356,11 @@ def main():
     _measure(details, "serving_64ch_audio_seconds_per_second",
              bench_batched_serving,
              "serving 64ch 2^17-tap: {:.0f} aggregate audio-s/s")
+    _measure(details, "pconv_offline_rt_factor", bench_pconv_offline,
+             "pconv offline render: {:.0f}x real time")
+    _measure(details, "serving_offline_64ch_audio_seconds_per_second",
+             bench_serving_offline,
+             "serving-offline 64ch: {:.0f} aggregate audio-s/s")
     _measure(details, "pconv_chunk8_rt_factor", bench_pconv_chunk,
              "pconv chunked K=8: {:.1f}x real time")
     _measure(details, "pconv_chunk8_bf16_rt_factor",
