@@ -624,8 +624,10 @@ def _offline_batched(cfg: PconvConfig, state: PconvState, blocks: Float
         state.spec_x_im, (z, state.wp + 1, z),
         (B, np_ - 1, cfg.bins)).astype(f32)
 
-    groups = -(-nb // 8)
-    rows = np_ + 8 * groups
+    from .pallas.chunkmac import pick_group_blocks
+    gb = pick_group_blocks(np_, cfg.bins)
+    groups = -(-nb // gb)
+    rows = np_ + gb * groups
     pad = rows - (np_ - 1) - nb
     tl_r = jnp.concatenate(
         [old_r, fr, jnp.zeros((B, pad, cfg.bins), f32)], axis=1)
@@ -722,7 +724,10 @@ def convolve_oneshot(signal: Float, ir: Float, impl: str = "auto") -> Float:
     yi = xr * hi + xi * hr
     yr = yr.at[..., 0].set(2.0 * xr[..., 0] * hr[..., 0])
     yi = yi.at[..., 0].set(2.0 * xi[..., 0] * hi[..., 0])
-    y = irfft_split((yr, yi), impl) / m
+    # /m rides the transform's fused scale epilogue: at these sizes the
+    # inverse can land on the vmem pallas kernel, where an outside
+    # divide costs a full extra HBM pass
+    y = irfft_split((yr, yi), impl, scale=1.0 / m)
     return y[..., :out_len]
 
 

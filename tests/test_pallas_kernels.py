@@ -188,10 +188,12 @@ def test_fwd_dft_matrix_matches_forward_partition():
 @pytest.mark.parametrize("batch", [1, 3])
 @pytest.mark.parametrize("nparts,bins,k", [(8, 128, 8), (16, 128, 20)])
 def test_chunkmac_matches_sliding_window(batch, nparts, bins, k):
-    from opencl_fft_tpu.ops.pallas.chunkmac import chunk_mac
+    from opencl_fft_tpu.ops.pallas.chunkmac import (chunk_mac,
+                                                    pick_group_blocks)
 
-    groups = -(-k // 8)
-    rows = nparts + 8 * groups
+    gb = pick_group_blocks(nparts, bins)
+    groups = -(-k // gb)
+    rows = nparts + gb * groups
     real = nparts - 1 + k
     tl = RNG.standard_normal((2, batch, rows, bins)).astype(np.float32)
     tl[:, :, real:] = 0.0
