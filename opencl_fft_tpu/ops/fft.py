@@ -381,30 +381,43 @@ def _use_vmem_kernel(x: Cplx, sign: int) -> bool:
     return jax.default_backend() != "cpu"
 
 
-def _fft_vmem(x: Cplx, sign: int) -> Cplx:
+def _fft_vmem(x: Cplx, sign: int, scale: float = 1.0) -> Cplx:
     from .pallas import vmemfft
     if x[0].dtype != jnp.float32:
         raise ValueError("impl='vmem' is float32-only (bf16x3 MXU kernel)")
     interpret = jax.default_backend() == "cpu"
-    return vmemfft.fft_vmem(x, sign, interpret=interpret)
+    return vmemfft.fft_vmem(x, sign, interpret=interpret, scale=scale)
 
 
-def _fft_dispatch(x: Cplx, sign: int, impl: str) -> Cplx:
-    """Power-of-two dispatch (impl already validated)."""
+def _fft_dispatch(x: Cplx, sign: int, impl: str, scale: float = 1.0) -> Cplx:
+    """Power-of-two dispatch (impl already validated).
+
+    ``scale`` semantics: result is scale * DFT(x). On the vmem kernel
+    path it is applied in the kernel epilogue (an outside multiply would
+    cost a full extra HBM pass — XLA cannot fuse into a pallas_call
+    output); on the XLA paths a trailing multiply fuses into the last
+    matmul/transpose for free.
+    """
     if impl == "vmem":
-        return _fft_vmem(x, sign)
+        return _fft_vmem(x, sign, scale)
+    out = None
     if impl in ("auto", "mm"):
         if impl == "auto" and x[0].shape[-1] <= _STOCKHAM_MAX:
-            return _fft_stockham(x, sign)
-        if impl == "auto" and _use_vmem_kernel(x, sign):
-            return _fft_vmem(x, sign)
-        return _fft_mm(x, sign)
-    if impl == "stockham":
-        return _fft_stockham(x, sign)
-    z = to_complex(x)
-    n = x[0].shape[-1]
-    z = jnp.fft.fft(z) if sign == -1 else jnp.fft.ifft(z) * n
-    return from_complex(z)
+            out = _fft_stockham(x, sign)
+        elif impl == "auto" and _use_vmem_kernel(x, sign):
+            return _fft_vmem(x, sign, scale)
+        else:
+            out = _fft_mm(x, sign)
+    elif impl == "stockham":
+        out = _fft_stockham(x, sign)
+    else:
+        z = to_complex(x)
+        n = x[0].shape[-1]
+        z = jnp.fft.fft(z) if sign == -1 else jnp.fft.ifft(z) * n
+        out = from_complex(z)
+    if scale != 1.0:
+        out = (out[0] * scale, out[1] * scale)
+    return out
 
 _IMPLS = ("auto", "mm", "stockham", "xla", "vmem")
 
@@ -440,8 +453,15 @@ _AXIS2_MIN_N1 = 64
 _OUT_T_MIN_N2 = 1 << 30
 
 
-def fft_split(x: Cplx, sign: int, impl: str = "auto") -> Cplx:
+def fft_split(x: Cplx, sign: int, impl: str = "auto",
+              scale: float = 1.0) -> Cplx:
     """Unnormalized DFT over the last axis on a split (re, im) pair.
+
+    ``scale`` returns scale * DFT(x) with the multiply fused into the
+    transform (kernel epilogue on the vmem path, last-matmul epilogue on
+    the XLA paths) — callers normalizing a large transform should pass
+    it here instead of multiplying the result, which costs a full extra
+    HBM pass when the pallas kernel carries the size.
 
     This is the jit-facing core. sign = -1: forward; +1: inverse (sum
     convention). Data dtype is preserved for float32/float64 inputs
@@ -469,7 +489,7 @@ def fft_split(x: Cplx, sign: int, impl: str = "auto") -> Cplx:
     if n < 1:
         raise ValueError("empty transform")
     if n == 1:
-        return re, im
+        return (re, im) if scale == 1.0 else (re * scale, im * scale)
     if not is_pow2(n):
         # beyond-parity: arbitrary sizes via Bluestein (power-of-two core)
         if impl == "vmem":
@@ -479,9 +499,12 @@ def fft_split(x: Cplx, sign: int, impl: str = "auto") -> Cplx:
                 f"impl='vmem' needs a power-of-two size in the kernel "
                 f"plan table, got {n}; use impl='auto'")
         if impl == "xla":
-            return _fft_dispatch((re, im), sign, impl)
-        return _fft_bluestein((re, im), sign, impl)
-    return _fft_dispatch((re, im), sign, impl)
+            return _fft_dispatch((re, im), sign, impl, scale)
+        out = _fft_bluestein((re, im), sign, impl)
+        if scale != 1.0:
+            out = (out[0] * scale, out[1] * scale)
+        return out
+    return _fft_dispatch((re, im), sign, impl, scale)
 
 
 def fft_unnormalized(x: jax.Array, sign: int, impl: str = "auto") -> jax.Array:
@@ -499,11 +522,11 @@ def cfft_split(x: Cplx, forward: bool = True, impl: str = "auto") -> Cplx:
 
     Roundtrip cfft(cfft(x, True), False) == x.
     """
-    re, im = fft_split(x, -1 if forward else +1, impl)
-    if forward:
-        n = re.shape[-1]
-        re, im = re / n, im / n
-    return re, im
+    n = jnp.shape(x[0])[-1]
+    # the 1/N rides in the transform epilogue (free on every path; an
+    # outside divide costs an extra HBM pass on the vmem kernel path)
+    return fft_split(x, -1 if forward else +1, impl,
+                     scale=1.0 / n if forward else 1.0)
 
 
 def cfft(x: jax.Array, forward: bool = True, impl: str = "auto") -> jax.Array:

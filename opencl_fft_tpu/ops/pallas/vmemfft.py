@@ -142,7 +142,7 @@ def _stack6(re, im, axis):
     return jnp.concatenate([reh, imh, reh, imh, rel, iml], axis=axis)
 
 
-def _vmemfft_kernel(f1, f2, f3, tb, in_r, in_i, w1, w2, w3, t1r, t1i,
+def _vmemfft_kernel(f1, f2, f3, tb, scale, in_r, in_i, w1, w2, w3, t1r, t1i,
                     t2r, t2i, out_r, out_i):
     # L1 — contract f1 over sublanes: (tb,2f1,6f1) x (tb,6f1,R1)
     z = _stack6(in_r[:], in_i[:], axis=1)               # (tb, 6f1, R1)
@@ -171,11 +171,16 @@ def _vmemfft_kernel(f1, f2, f3, tb, in_r, in_i, w1, w2, w3, t1r, t1i,
     z = _stack6(re, im, axis=2)                         # (tb, k2k1, 6f3)
     y = jax.lax.dot_general(w3[:], z, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
+    if scale != 1.0:
+        # epilogue scale on VMEM-resident data: a normalization applied
+        # OUTSIDE the pallas_call costs a full extra HBM read+write pass
+        # (XLA cannot fuse into a kernel output); here it is free
+        y = y * scale
     out_r[:] = y[:, :f3, :]
     out_i[:] = y[:, f3:, :]
 
 
-def _vmemfft2_kernel(f1, f2, tb, in_r, in_i, w1, w2, t1r, t1i,
+def _vmemfft2_kernel(f1, f2, tb, scale, in_r, in_i, w1, w2, t1r, t1i,
                      out_r, out_i):
     """Two-level variant with NO batched dots.
 
@@ -199,6 +204,8 @@ def _vmemfft2_kernel(f1, f2, tb, in_r, in_i, w1, w2, t1r, t1i,
     z = _stack6(re, im, axis=2)                         # (k1, tb, 6f2)
     y = jax.lax.dot_general(w2[:], z, (((1,), (2,)), ((), ())),
                             preferred_element_type=jnp.float32)
+    if scale != 1.0:
+        y = y * scale                       # free epilogue (see 3-level)
     if out_r.shape[0] == tb:                # row-major out: in-kernel
         y = jnp.transpose(y, (2, 0, 1))     # relayout of one (2f2,f1,tb)
         out_r[:] = y[:, :f2]                # block per step
@@ -208,7 +215,7 @@ def _vmemfft2_kernel(f1, f2, tb, in_r, in_i, w1, w2, t1r, t1i,
         out_i[:] = y[f2:]
 
 
-def _vmemfft3h_kernel(f1, f2, f3, tb, in_r, in_i, w1, w2, w3, t1r, t1i,
+def _vmemfft3h_kernel(f1, f2, f3, tb, scale, in_r, in_i, w1, w2, w3, t1r, t1i,
                       t2r, t2i, out_r, out_i):
     """Hybrid three-level kernel: L1 keeps the tb-batched dot (few
     iterations, each with a large streaming dimension), then (tb, f1)
@@ -236,6 +243,8 @@ def _vmemfft3h_kernel(f1, f2, f3, tb, in_r, in_i, w1, w2, w3, t1r, t1i,
     z = _stack6(re, im, axis=2)                         # (k2, tbf1, 6f3)
     y = jax.lax.dot_general(w3[:], z, (((1,), (2,)), ((), ())),
                             preferred_element_type=jnp.float32)
+    if scale != 1.0:
+        y = y * scale                       # free epilogue (see 3-level)
     out_r[:] = y[:f3]                                   # (k3, k2, tbf1)
     out_i[:] = y[f3:]
 
@@ -253,7 +262,8 @@ _PLANS3H = {
 
 
 @functools.lru_cache(maxsize=None)
-def _build3h(n: int, sign: int, rows: int, interpret: bool, tb_override=None):
+def _build3h(n: int, sign: int, rows: int, interpret: bool, tb_override=None,
+             scale: float = 1.0):
     f1, f2, f3, tb = _PLANS3H[n]
     if tb_override:
         tb = tb_override
@@ -268,7 +278,7 @@ def _build3h(n: int, sign: int, rows: int, interpret: bool, tb_override=None):
         t1r.reshape(1, f1, f2 * f3), t1i.reshape(1, f1, f2 * f3),
         t2r.reshape(f2, 1, f3), t2i.reshape(f2, 1, f3),
     ]
-    kern = functools.partial(_vmemfft3h_kernel, f1, f2, f3, tb)
+    kern = functools.partial(_vmemfft3h_kernel, f1, f2, f3, tb, scale)
     table_specs = [pl.BlockSpec(t.shape, (lambda nd: lambda b: (0,) * nd)(t.ndim),
                                 memory_space=pltpu.VMEM) for t in tables]
     call = pl.pallas_call(
@@ -303,7 +313,7 @@ def _build3h(n: int, sign: int, rows: int, interpret: bool, tb_override=None):
 
 @functools.lru_cache(maxsize=None)
 def _build2(n: int, sign: int, rows: int, interpret: bool, tb_override=None,
-            rowmajor_out: bool = False):
+            rowmajor_out: bool = False, scale: float = 1.0):
     f1, f2, tb = _PLANS2[n]
     if tb_override:
         tb = tb_override
@@ -316,7 +326,7 @@ def _build2(n: int, sign: int, rows: int, interpret: bool, tb_override=None,
         t1r.reshape(f1, 1, f2),
         t1i.reshape(f1, 1, f2),
     ]
-    kern = functools.partial(_vmemfft2_kernel, f1, f2, tb)
+    kern = functools.partial(_vmemfft2_kernel, f1, f2, tb, scale)
     table_specs = [pl.BlockSpec(t.shape, (lambda nd: lambda b: (0,) * nd)(t.ndim),
                                 memory_space=pltpu.VMEM) for t in tables]
     if rowmajor_out:
@@ -350,7 +360,7 @@ def _build2(n: int, sign: int, rows: int, interpret: bool, tb_override=None,
 
 @functools.lru_cache(maxsize=None)
 def _build(n: int, sign: int, rows: int, interpret: bool, tb_override=None,
-           plan_override=None):
+           plan_override=None, scale: float = 1.0):
     f1, f2, f3, tb = plan_override or _PLANS[n]
     if tb_override:
         tb = tb_override
@@ -365,7 +375,7 @@ def _build(n: int, sign: int, rows: int, interpret: bool, tb_override=None,
         *_twiddle_np(f1, f2 * f3, sign),
         *_twiddle_np(f2, f3, sign),
     ]
-    kern = functools.partial(_vmemfft_kernel, f1, f2, f3, tb)
+    kern = functools.partial(_vmemfft_kernel, f1, f2, f3, tb, scale)
     table_specs = [pl.BlockSpec(t.shape, (lambda nd: lambda b: (0,) * nd)(t.ndim),
                                 memory_space=pltpu.VMEM) for t in tables]
     call = pl.pallas_call(
@@ -403,13 +413,16 @@ _LEVELS = {
 
 def fft_vmem(x: Cplx, sign: int, interpret: bool = False,
              tb_override: int = 0, levels: int = 0,
-             rowmajor_out: bool = True) -> Cplx:
+             rowmajor_out: bool = True, scale: float = 1.0) -> Cplx:
     """Unnormalized DFT over the last axis, whole transform in VMEM.
 
     x: split (re, im) float32 planes, shape (..., n) with n in the plan
     tables. Matches fft_split(x, sign, "mm") within the bf16x3 error
     budget (~5e-5 relative over the matmul levels). ``levels`` forces the
     2- or 3-level kernel for sizes in both tables (0 = measured default).
+    ``scale`` multiplies the result INSIDE the kernel epilogue — a
+    normalization applied outside a pallas_call cannot be fused by XLA
+    and costs a full extra HBM pass over the working set.
     """
     re, im = x
     n = re.shape[-1]
@@ -422,7 +435,8 @@ def fft_vmem(x: Cplx, sign: int, interpret: bool = False,
     if levels == 2 and n in _PLANS2:
         call, tables, (f1, f2) = _build2(n, sign, rows, interpret,
                                          tb_override or None,
-                                         rowmajor_out=rowmajor_out)
+                                         rowmajor_out=rowmajor_out,
+                                         scale=scale)
         re3 = re.reshape(rows, f1, f2)
         im3 = im.reshape(rows, f1, f2)
         out_r, out_i = call(re3, im3, *tables)
@@ -432,7 +446,8 @@ def fft_vmem(x: Cplx, sign: int, interpret: bool = False,
             out_i = jnp.transpose(out_i, (2, 0, 1))
     elif levels == 4 and n in _PLANS3H:
         call, tables, (f1, f2, f3) = _build3h(n, sign, rows, interpret,
-                                              tb_override or None)
+                                              tb_override or None,
+                                              scale=scale)
         re3 = re.reshape(rows, f1, f2 * f3)
         im3 = im.reshape(rows, f1, f2 * f3)
         out_r, out_i = call(re3, im3, *tables)
@@ -441,7 +456,8 @@ def fft_vmem(x: Cplx, sign: int, interpret: bool = False,
         out_i = jnp.transpose(out_i.reshape(f3, f2, rows, f1), (2, 0, 1, 3))
     else:
         call, tables, (f1, f2, f3) = _build(n, sign, rows, interpret,
-                                            tb_override or None)
+                                            tb_override or None,
+                                            scale=scale)
         re3 = re.reshape(rows, f1, f2 * f3)
         im3 = im.reshape(rows, f1, f2 * f3)
         out_r, out_i = call(re3, im3, *tables)

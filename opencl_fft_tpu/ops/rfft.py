@@ -154,22 +154,23 @@ def rfft_split(r: Float, impl: str = "auto", unnormalized: bool = False) -> Cplx
             f"real FFT size must be a multiple of 4 (even complex bin "
             f"count) and >= 4, got {n}")
     z = deinterleave(r)
-    cr, ci = fft_split(z, -1, impl)
-    if not unnormalized:
-        m = n // 2
-        cr, ci = cr / m, ci / m
+    # the 1/M normalization rides the transform's fused scale epilogue
+    # (free on all paths; avoids an extra HBM pass on the vmem kernel)
+    cr, ci = fft_split(z, -1, impl,
+                       scale=1.0 if unnormalized else 2.0 / n)
     return pack_forward((cr, ci))
 
 
-def irfft_split(c: Cplx, impl: str = "auto") -> Float:
+def irfft_split(c: Cplx, impl: str = "auto", scale: float = 1.0) -> Float:
     """Inverse real FFT, packed convention (Clrfft inverse parity).
 
     c: split (..., M) packed spectrum -> (..., 2M) float32 time data.
     Unnormalized inverse (reference convention): irfft(rfft(x)) == x when
-    rfft used the default 1/M scaling.
+    rfft used the default 1/M scaling. ``scale`` multiplies the result
+    inside the transform's fused epilogue (see fft_split).
     """
     z = unpack_inverse(c)
-    z = fft_split(z, +1, impl)
+    z = fft_split(z, +1, impl, scale=scale)
     return interleave(z)
 
 

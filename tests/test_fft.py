@@ -167,3 +167,35 @@ def test_vmem_impl_rejects_f64():
     with jax.enable_x64():
         with pytest.raises(ValueError, match="float32-only"):
             fft.fft_unnormalized(x.astype(np.complex128), -1, "vmem")
+
+
+@pytest.mark.parametrize("impl", IMPLS + ["auto"])
+@pytest.mark.parametrize("n", [8, 96, 1024])
+def test_fused_scale_matches_explicit_multiply(impl, n):
+    """fft_split(..., scale=s) == s * fft_split(...) on every path
+    (including the Bluestein non-pow2 core at n=96)."""
+    x = randc((3, n))
+    s = 0.37
+    base = np.asarray(fft.fft_unnormalized(x, -1, impl))
+    got = to_complex(fft.fft_split(from_complex(x), -1, impl, scale=s))
+    np.testing.assert_allclose(
+        np.asarray(got), s * base, atol=1e-6 * np.max(np.abs(base)), rtol=0)
+
+
+def test_fused_scale_vmem_kernel_epilogue():
+    """The pallas kernels apply scale inside the epilogue (interpret
+    mode exercises the same kernel body)."""
+    n = 1 << 13
+    x = randc((2, n))
+    s = 1.0 / n
+    base = np.fft.fft(x) * s
+    got = to_complex(fft.fft_split(from_complex(x), -1, "vmem", scale=s))
+    np.testing.assert_allclose(
+        np.asarray(got), base, atol=1e-4 * np.max(np.abs(base)) * n * s, rtol=0)
+
+
+def test_fused_scale_scalar_size_one():
+    got = fft.fft_split((np.float32([2.0]), np.float32([3.0])), -1,
+                        scale=0.5)
+    np.testing.assert_allclose(np.asarray(got[0]), [1.0])
+    np.testing.assert_allclose(np.asarray(got[1]), [1.5])
