@@ -201,16 +201,20 @@ def bench_pconv_offline(pts=512, ir_len=1 << 17, scan_blocks=1880):
     return (pts / SR) / per_block
 
 
-def bench_serving_offline(batch=64, pts=512, ir_len=1 << 17, scan_blocks=470):
+def bench_serving_offline(batch=16, pts=512, ir_len=1 << 17, scan_blocks=470):
     """Offline serving throughput: `batch` channels rendered through the
-    chunk-MAC kernel's channel grid. Aggregate audio-s/s."""
+    chunk-MAC kernel's channel grid. Aggregate audio-s/s. batch=16 is
+    the measured crossover sweet spot (chunkmac.CHUNKMAC_MAX_BATCH):
+    above it the per-program window DMAs contend and the streaming scan
+    (bench_batched_serving) wins."""
     import jax
     import jax.numpy as jnp
     from opencl_fft_tpu.models.convolver import batched_state, _vmapped_push
     from opencl_fft_tpu.ops import pconv as P
+    from opencl_fft_tpu.ops.pallas.chunkmac import CHUNKMAC_MAX_BATCH
 
     cfg = P.PconvConfig.for_ir_length(ir_len, pts)
-    if not P._use_chunkmac(cfg):
+    if not P._use_chunkmac(cfg) or batch > CHUNKMAC_MAX_BATCH:
         raise Unmeasurable("chunk-MAC kernel ineligible on this backend")
     rng = np.random.default_rng(3)
     irs = jnp.asarray(rng.standard_normal((batch, ir_len)) * 0.05, jnp.float32)
@@ -366,9 +370,9 @@ def main():
              "serving 64ch 2^17-tap: {:.0f} aggregate audio-s/s")
     _measure(details, "pconv_offline_rt_factor", bench_pconv_offline,
              "pconv offline render: {:.0f}x real time")
-    _measure(details, "serving_offline_64ch_audio_seconds_per_second",
+    _measure(details, "serving_offline_16ch_audio_seconds_per_second",
              bench_serving_offline,
-             "serving-offline 64ch: {:.0f} aggregate audio-s/s")
+             "serving-offline 16ch: {:.0f} aggregate audio-s/s")
     _measure(details, "pconv_chunk8_rt_factor", bench_pconv_chunk,
              "pconv chunked K=8: {:.1f}x real time")
     _measure(details, "pconv_chunk8_bf16_rt_factor",

@@ -140,9 +140,12 @@ class Convolver:
         spectra, so the whole render is batched transforms + one kernel —
         no sequential scan. Output matches stream() within f32 tolerance;
         latency is the full render length (use step()/stream() for
-        bounded latency). Falls back to stream() off the kernel path."""
+        bounded latency). Falls back to stream() off the kernel path and
+        above the measured channel-count crossover
+        (chunkmac.CHUNKMAC_MAX_BATCH)."""
+        from ..ops.pallas.chunkmac import CHUNKMAC_MAX_BATCH
         blocks = jnp.asarray(blocks, jnp.float32)
-        if not _p._use_chunkmac(self.cfg):
+        if not _p._use_chunkmac(self.cfg) or self.batch > CHUNKMAC_MAX_BATCH:
             return self.stream(blocks)
         fn = jax.jit(functools.partial(_p._offline_batched, self.cfg),
                      donate_argnums=(0,))

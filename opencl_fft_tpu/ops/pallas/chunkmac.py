@@ -9,21 +9,41 @@ forward spectra are known: the ring at block t holds exactly the last
 is a pure sliding-window complex correlation over the frame TIMELINE
 (prior ring content + this call's batched-forward spectra). This kernel
 computes K consecutive acc rows per call with the timeline in HBM/ANY
-and only one (nparts+8)-row window in VMEM per 8-block group — per-block
+and only one (nparts+gb)-row window in VMEM per gb-block group — per-block
 HBM traffic drops from the per-step path's ~4 ring planes + ~10MB of
-constant tables to ~(nparts*bins)/8 bytes.
+constant tables to ~(nparts*bins)/gb bytes.
 
 Semantics per row are identical to the reference ``convol`` kernel
 (cl_conv_kernels.h:102-118): bin 0 is the packed (DC, Nyq) pair and
 multiplies componentwise (b0_scale implements bin0_mode); accumulation
-over partitions is a deterministic in-register reduction.
+over partitions is a deterministic reduction.
+
+Kernel evolution (all measured on-chip, r3):
+  v1 rotated the window gb times per group with pltpu.roll — Mosaic
+     lowers those as VMEM copies that dominated (~45 us/group).
+  v2 moved the shifts into a host-built zero-padded h stack (window row
+     u contributes to output j as win[u] * h[u - j], so h_shift[j] is h
+     at row offset j, zero elsewhere) — plain FMAs, but the per-j
+     cross-sublane jnp.sum reductions and bin-0 where-masks still ran
+     on the VPU (~37 us/program fixed cost at nparts=256).
+  v3 removes both: the bin-0 component-wise scaling is BAKED into the
+     shifted stacks' column 0 (three stacks: hrA with col0 *= b0_scale
+     for the real product, hiZ with col0 zeroed shared by both
+     products, hrB with col0 = b0_scale * hi for the imag product — no
+     masks in the loop), and the row reduction is ONE ones-vector
+     dot_general per plane pair (the MXU contracts all gb output rows
+     in a single pass; "reductions belong on the MXU"). Measured
+     single-stream: 0.24 us/block (~45000x RT), at the HBM window-read
+     bound — vs v2's 1.2-3.2.
+  v4 (this file) moves the h stacks from manual g==0 scratch DMA to
+     pipelined per-channel VMEM input blocks: pallas double-buffers the
+     ~13MB fetch behind the previous channel's compute instead of
+     stalling each channel's first group on it.
 
 Mosaic constraints (CLAUDE.md landmines): window DMA row offsets are
-8*g (aligned); the eight intra-group window starts come from static
-sublane rotates of the one DMA'd window (roll shifts non-negative). The
-leading CHANNEL grid dimension gives the batched/serving regime a real
-kernel path — ``vmap`` over ANY-space refs is rejected by Mosaic, an
-explicit grid dimension is not.
+gb*g (8-aligned); the leading CHANNEL grid dimension gives the
+batched/serving regime a real kernel path — ``vmap`` over ANY-space
+refs is rejected by Mosaic, an explicit grid dimension is not.
 """
 
 from __future__ import annotations
@@ -39,10 +59,19 @@ from ..cplx import Cplx
 
 _VMEM_LIMIT = 100 * 1024 * 1024
 
+# Largest channel count where the kernel beats a scan of the batched
+# XLA step (interleaved A/B, r3, nparts=256/bins=512: 24x faster at
+# batch=1, 4x at 4, +8% at 16, 1.6x SLOWER at 64 — the per-program
+# window DMAs saturate HBM once many channels contend). Callers route
+# larger batches to the streaming scan.
+CHUNKMAC_MAX_BATCH = 16
+
 
 def _gb_vmem_est(nparts: int, bins: int, gb: int) -> int:
-    # window (2 planes) + pre-shifted h scratch (2 * gb planes)
-    return (2 + 2 * gb) * (nparts + gb) * bins * 4
+    # window (2 planes) + 3 shifted-h stacks double-buffered by the
+    # pallas pipeline (6*gb planes) + the two live (gb, rows, bins)
+    # product values feeding the reduction dots
+    return (2 + 8 * gb) * (nparts + gb) * bins * 4
 
 
 def pick_group_blocks(nparts: int, bins: int) -> int:
@@ -53,7 +82,10 @@ def pick_group_blocks(nparts: int, bins: int) -> int:
     1.2-3.2 us/block single-stream vs gb=32 2.8; serving-offline 64ch
     gb=8 never slower)."""
     gb = 8
-    return gb if _gb_vmem_est(nparts, bins, gb) <= 56 * 1024 * 1024 else 0
+    # budget: the raised 100MB scoped cap minus out-block double
+    # buffers and headroom (keeps (512,512)/(256,1024) eligible, which
+    # the kernel serves at ~67MB)
+    return gb if _gb_vmem_est(nparts, bins, gb) <= 88 * 1024 * 1024 else 0
 
 
 def fits_vmem_chunkmac(nparts: int, bins: int) -> bool:
@@ -62,32 +94,17 @@ def fits_vmem_chunkmac(nparts: int, bins: int) -> bool:
     return pick_group_blocks(nparts, bins) > 0
 
 
-def _chunkmac_kernel(nparts, b0_scale, gb, tr_ref, ti_ref, hr_ref, hi_ref,
-                     or_ref, oi_ref, tr_s, ti_s, hr_s, hi_s, sems):
-    """Per (channel, group) program: one aligned window DMA + eight
-    roll-FREE masked MACs against the pre-shifted h copies.
-
-    The first chunkmac design rotated the window 8 times per group
-    (pltpu.roll of the full (nparts+8, bins) planes); Mosaic lowers
-    those as VMEM copies that dominated the kernel (~45 us/group
-    measured r3). The shifted-h formulation moves the 8 shifts to a
-    HOST-side zero-padded stack built ONCE per call: window row u
-    contributes to output j as win[u] * h[u - j], so h_shift[j] is h
-    placed at row offset j with zero rows elsewhere — the MAC is then 8
-    plain elementwise FMAs over the SAME unrotated window (the zero
-    rows contribute nothing). h_shift is DMA'd into scratch once per
-    CHANNEL (g == 0), not per group."""
+def _chunkmac_kernel(nparts, gb, tr_ref, ti_ref, hra_ref, hiz_ref, hrb_ref,
+                     or_ref, oi_ref, tr_s, ti_s, sems):
+    """Per (channel, group) program: one aligned window DMA, broadcast
+    complex products against the pre-shifted h stacks, one MXU
+    ones-contraction per output plane. The stacks arrive as PIPELINED
+    VMEM blocks indexed on the channel only — pallas double-buffers
+    the fetch behind the previous channel's compute and skips the
+    re-fetch while the channel is unchanged (a manual scratch DMA at
+    g == 0 serialized ~13MB per channel on the critical path)."""
     b = pl.program_id(0)
     g = pl.program_id(1)
-
-    @pl.when(g == 0)
-    def _():
-        cp_hr = pltpu.make_async_copy(hr_ref.at[b], hr_s, sems.at[2])
-        cp_hi = pltpu.make_async_copy(hi_ref.at[b], hi_s, sems.at[3])
-        cp_hr.start()
-        cp_hi.start()
-        cp_hr.wait()
-        cp_hi.wait()
 
     row0 = pl.multiple_of(g * gb, 8)
     cp_r = pltpu.make_async_copy(
@@ -98,22 +115,25 @@ def _chunkmac_kernel(nparts, b0_scale, gb, tr_ref, ti_ref, hr_ref, hi_ref,
     cp_i.start()
     cp_r.wait()
     cp_i.wait()
-    xr = tr_s[:]
-    xi = ti_s[:]
-    col0 = jax.lax.broadcasted_iota(jnp.int32, xr.shape, 1) == 0
-    acc_r = []
-    acc_i = []
-    for j in range(gb):                     # static offsets within the group
-        hr = hr_s[j]
-        hi = hi_s[j]
-        prod_r = xr * hr - xi * hi
-        prod_i = xr * hi + xi * hr
-        prod_r = jnp.where(col0, b0_scale * xr * hr, prod_r)
-        prod_i = jnp.where(col0, b0_scale * xi * hi, prod_i)
-        acc_r.append(jnp.sum(prod_r, axis=0, keepdims=True))
-        acc_i.append(jnp.sum(prod_i, axis=0, keepdims=True))
-    or_ref[0] = jnp.concatenate(acc_r, axis=0)
-    oi_ref[0] = jnp.concatenate(acc_i, axis=0)
+    xr = tr_s[:][None]                       # (1, rows, bins)
+    xi = ti_s[:][None]
+    # bin-0 componentwise semantics ride the stacks' column 0 (see
+    # module docstring) — no masks here
+    pr = xr * hra_ref[0] - xi * hiz_ref[0]   # (gb, rows, bins)
+    pi = xr * hiz_ref[0] + xi * hrb_ref[0]
+    rows = nparts + gb
+    ones = jnp.ones((1, rows), jnp.float32)
+    # HIGHEST: the MXU otherwise truncates the f32 products to bf16
+    # (measured 1.6e-3 rel err vs the 2e-5 budget); the f32 pass costs
+    # nothing at this size (rows x gb x bins MACs)
+    or_ref[0] = jax.lax.dot_general(
+        ones, pr, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)[0]
+    oi_ref[0] = jax.lax.dot_general(
+        ones, pi, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)[0]
 
 
 def _shift_h(h: jax.Array, gb: int) -> jax.Array:
@@ -124,14 +144,25 @@ def _shift_h(h: jax.Array, gb: int) -> jax.Array:
         [jnp.pad(h, ((0, 0), (j, gb - j), (0, 0))) for j in range(gb)], axis=1)
 
 
+def _shift_stacks(hr: jax.Array, hi: jax.Array, b0_scale: float, gb: int):
+    """The three shifted stacks with bin-0 componentwise scaling baked
+    into column 0: prod_r = x_r*hrA - x_i*hiZ and prod_i = x_r*hiZ +
+    x_i*hrB reproduce the masked complex MAC exactly (col0: hrA =
+    b0*hr, hiZ = 0, hrB = b0*hi -> b0*xr*hr and b0*xi*hi)."""
+    hra = jnp.concatenate([b0_scale * hr[..., :1], hr[..., 1:]], axis=-1)
+    hiz = jnp.concatenate([jnp.zeros_like(hi[..., :1]), hi[..., 1:]], axis=-1)
+    hrb = jnp.concatenate([b0_scale * hi[..., :1], hr[..., 1:]], axis=-1)
+    return _shift_h(hra, gb), _shift_h(hiz, gb), _shift_h(hrb, gb)
+
+
 def chunk_mac(timeline: Cplx, h: Cplx, b0_scale: float,
               interpret: bool = False) -> Cplx:
-    """acc[b, k] = sum_q timeline[b, k + q] (*) h[b, q], for k < 8*G.
+    """acc[b, k] = sum_q timeline[b, k + q] (*) h[b, q], for k < gb*G.
 
-    timeline: split (batch, nparts + 8*G, bins) — prior frames then fresh
+    timeline: split (batch, nparts + gb*G, bins) — prior frames then fresh
     ones, zero-padded to the group grid (rows beyond nparts-1+K only feed
     discarded output rows); h: split (batch, nparts, bins) coefficient
-    frames in ring order. Returns split (batch, 8*G, bins); the caller
+    frames in ring order. Returns split (batch, gb*G, bins); the caller
     slices [:K].
     """
     tr, ti = timeline
@@ -144,7 +175,7 @@ def chunk_mac(timeline: Cplx, h: Cplx, b0_scale: float,
             f"timeline rows {rows} must be nparts + {gb}*G "
             f"(group_blocks({nparts}, {bins}) = {gb})")
     groups = (rows - nparts) // gb
-    kern = functools.partial(_chunkmac_kernel, nparts, float(b0_scale), gb)
+    kern = functools.partial(_chunkmac_kernel, nparts, gb)
     out_r, out_i = pl.pallas_call(
         kern,
         grid=(batch, groups),
@@ -155,8 +186,13 @@ def chunk_mac(timeline: Cplx, h: Cplx, b0_scale: float,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # timeline stays off-VMEM
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # shifted h: DMA'd into
-            pl.BlockSpec(memory_space=pltpu.ANY),   # scratch once per channel
+            # shifted h stacks: pipelined per-channel VMEM blocks
+            pl.BlockSpec((1, gb, nparts + gb, bins),
+                         lambda b, g: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gb, nparts + gb, bins),
+                         lambda b, g: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gb, nparts + gb, bins),
+                         lambda b, g: (b, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, gb, bins), lambda b, g: (b, g, 0),
@@ -167,11 +203,9 @@ def chunk_mac(timeline: Cplx, h: Cplx, b0_scale: float,
         scratch_shapes=[
             pltpu.VMEM((nparts + gb, bins), jnp.float32),
             pltpu.VMEM((nparts + gb, bins), jnp.float32),
-            pltpu.VMEM((gb, nparts + gb, bins), jnp.float32),
-            pltpu.VMEM((gb, nparts + gb, bins), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(tr, ti, _shift_h(hr, gb), _shift_h(hi, gb))
+    )(tr, ti, *_shift_stacks(hr, hi, float(b0_scale), gb))
     return out_r, out_i

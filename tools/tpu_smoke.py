@@ -86,10 +86,14 @@ def main():
     ref = np.fft.fft(x)
     check("bluestein n=1000", np.max(np.abs(got - ref)) / np.max(np.abs(ref)), 5e-5)
 
-    # rfft roundtrip
+    # rfft roundtrip — auto mode runs the bf16x3 leaves, so the bar is
+    # the fast-math budget (~1.5e-5/matmul, same 3e-5 as the cfft
+    # checks above; the old 1e-5 pin only held for plans with fewer
+    # levels at this size and broke on the r3 plan re-tune — verified
+    # bit-identical against the pre-fused-scale formulation)
     r = rng.standard_normal((2, 4096)).astype(np.float32)
     back = np.asarray(irfft_split(rfft_split(jnp.asarray(r))))
-    check("rfft roundtrip", np.max(np.abs(back - r)) / np.max(np.abs(r)), 1e-5)
+    check("rfft roundtrip", np.max(np.abs(back - r)) / np.max(np.abs(r)), 3e-5)
 
     # partitioned convolution vs scipy
     pts = 256
@@ -184,13 +188,24 @@ def main():
         check(f"pallas '{mode}' == xla @ ({nparts_w},{bins_w})",
               err / scale, 1e-5)
 
-    # offline render (chunk-MAC kernel) == sequential streaming
-    st_e = P.push_ir(cfg2, P.pconv_init(cfg2), jnp.asarray(irc))
-    if P._use_chunkmac(cfg2):
-        st_e, off_out = P.pconv_offline(cfg2, st_e, jnp.asarray(bx))
-        d = np.max(np.abs(np.asarray(off_out) - np.stack(seq)))
-        check("pconv_offline == sequential", d / (np.max(np.abs(seq)) + 1e-9),
-              1e-5)
+    # offline render (chunk-MAC kernel) == sequential streaming.
+    # cfg2 (bins=64) is NOT kernel-eligible (bins % 128), so build a
+    # dedicated eligible config — otherwise the kernel has no on-chip
+    # coverage at all.
+    cfg3 = P.PconvConfig.for_ir_length(128 * 16, 128)
+    assert P._use_chunkmac(cfg3), "chunkmac gate unexpectedly closed"
+    irc3 = rng.standard_normal(128 * 16).astype(np.float32)
+    bx3 = rng.standard_normal((16, 128)).astype(np.float32)
+    st_e = P.push_ir(cfg3, P.pconv_init(cfg3), jnp.asarray(irc3))
+    seq3 = []
+    for b in bx3:
+        st_e, o = P.pconv_step(cfg3, st_e, jnp.asarray(b))
+        seq3.append(np.asarray(o))
+    st_f = P.push_ir(cfg3, P.pconv_init(cfg3), jnp.asarray(irc3))
+    st_f, off_out = P.pconv_offline(cfg3, st_f, jnp.asarray(bx3))
+    d = np.max(np.abs(np.asarray(off_out) - np.stack(seq3)))
+    check("pconv_offline == sequential", d / (np.max(np.abs(seq3)) + 1e-9),
+          1e-5)
 
     st_c = P.pconv_init(cfg2)
     seq_tv = []
