@@ -284,8 +284,8 @@ def bench_fft_sweep():
         @partial(jax.jit, static_argnums=1)
         def run(x, iters):
             def body(i, x):
-                # auto: four-step mm, or the VMEM-resident Pallas kernel
-                # at n >= 2^16 (ops/fft.py _use_vmem_kernel). The chain
+                # auto: four-step mm at every size after the r3 re-tune
+                # (ops/fft.py _VMEM_AUTO_SIZES is empty). The chain
                 # normalization rides the fused scale epilogue — outside
                 # the kernel it would cost an extra HBM pass per
                 # iteration that the mm path fuses but pallas cannot.
@@ -365,9 +365,33 @@ def main():
              "tvconv 2^17-tap @512: {:.1f}x real time")
     _measure(details, "dconv_rt_factor_512tap", bench_dconv,
              "dconv 512-tap: {:.1f}x real time")
-    _measure(details, "serving_64ch_audio_seconds_per_second",
-             bench_batched_serving,
-             "serving 64ch 2^17-tap: {:.0f} aggregate audio-s/s")
+    # serving gets the same multi-window treatment as the headline: the
+    # relay drifts 2-3x between ~10-min windows, so a single reading
+    # under- or over-states aggregate throughput by the window it lands
+    # in. Publish max + full spread.
+    sv_attempts = []
+    for attempt in range(3):
+        try:
+            sv_attempts.append(bench_batched_serving())
+        except Unmeasurable as e:
+            print(f"serving attempt {attempt}: {e}", file=sys.stderr)
+    if sv_attempts:
+        sv_attempts.sort()
+        details["serving_64ch_audio_seconds_per_second"] = round(
+            sv_attempts[-1], 1)
+        details["serving_64ch_spread"] = {
+            "min": round(sv_attempts[0], 1),
+            "median": round(sv_attempts[len(sv_attempts) // 2], 1),
+            "max": round(sv_attempts[-1], 1),
+            "windows": len(sv_attempts),
+        }
+        print(f"serving 64ch 2^17-tap: {sv_attempts[-1]:.0f} aggregate "
+              f"audio-s/s (spread {sv_attempts[0]:.0f}/"
+              f"{sv_attempts[len(sv_attempts)//2]:.0f}/{sv_attempts[-1]:.0f} "
+              f"over {len(sv_attempts)} windows)", file=sys.stderr)
+    else:
+        print("OMITTED serving_64ch: unmeasurable in all windows",
+              file=sys.stderr)
     _measure(details, "pconv_offline_rt_factor", bench_pconv_offline,
              "pconv offline render: {:.0f}x real time")
     _measure(details, "serving_offline_16ch_audio_seconds_per_second",

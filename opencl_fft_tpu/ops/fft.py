@@ -20,7 +20,8 @@ kernels, and split planes keep 128-lane-friendly layouts. Three paths:
 ``vmem``      Pallas kernels (pallas/vmemfft.py): whole transform in VMEM
               (2- or 3-level mixed-radix) — one HBM read + one write per
               row. Auto mode routes the sizes where the interleaved A/B
-              beats the (re-tuned) ``mm`` path (_VMEM_AUTO_SIZES).
+              beats the (re-tuned) ``mm`` path (_VMEM_AUTO_SIZES —
+              currently none after the r3 re-tune; opt-in only).
 ``xla``       ``jnp.fft`` builtin — host/CPU comparison only (the axon TPU
               backend does not implement the FFT op).
 
@@ -361,10 +362,11 @@ def _fft_bluestein(x: Cplx, sign: int, impl: str) -> Cplx:
 def _use_vmem_kernel(x: Cplx, sign: int) -> bool:
     """auto-mode gate for the VMEM-resident Pallas FFT (pallas/vmemfft.py).
 
-    Measured policy (interleaved A/B on the target chip, r2): the kernel
-    wins over the four-step mm path at n >= 2^16 with large working sets
-    (one HBM read + one write per row vs ~6 passes); mm wins at 2^14 and
-    below, and at tiny batches (per-grid-step fixed cost dominates). The
+    Measured policy (interleaved A/B on the target chip): r2 had the
+    kernel winning at n >= 2^16 with large working sets, but the r3
+    plan-table re-tune plus the fused-scale epilogue flipped every size
+    to the four-step mm path (_VMEM_AUTO_SIZES is currently empty; see
+    the table comment there and bench_results/vmemfft_ab.json). The
     kernel is inherently bf16x3, so it is skipped when exact f32 leaves
     are in force (exact_precision() / set_fast_math(False))."""
     if _FAST_MODE == "off":
@@ -424,15 +426,18 @@ _IMPLS = ("auto", "mm", "stockham", "xla", "vmem")
 # Auto-mode routing set for the VMEM-resident Pallas kernel, from
 # interleaved A/B vs the mm path on the target chip
 # (tools/vmemfft_ab.py -> bench_results/vmemfft_ab.json). r3: after the
-# plan-table re-tune (see _fft_plans.py) mm closed most of the r2 gap,
-# but the 3-level kernel still won the interleaved A/B at 2^16 (243.8
-# vs 258.7 us, 3/3 rounds); at 2^17 it is a wash (315.9 vs 319.9, mm by
-# a hair -> simpler path wins) and at 2^18 the re-tuned mm wins
-# outright (307.1 vs 448.5 us, 3/3 rounds), likewise 2^19/2^20
-# (n1=128). The 2-level small-size kernels LOSE to the re-tuned mm
-# everywhere (e.g. 2^12: mm-n1=64 168 us vs kernel 434) and stay
-# opt-in via impl="vmem".
-_VMEM_AUTO_SIZES = {1 << 16}
+# plan-table re-tune (see _fft_plans.py) mm closed the r2 gap at every
+# size. 2^16 was the last holdout (kernel won 243.8 vs 258.7 us before
+# the fused-scale epilogue landed), but the final production-context
+# probe — auto(vmem)+scale vs mm+scale, interleaved, 4 rounds — went
+# to mm 4/4 (best 183.1 vs 243.5 us; bench_results/vmemfft_ab.json
+# "2^16" entry). At 2^17 mm by a hair (315.9 vs 319.9), 2^18 outright
+# (307.1 vs 448.5, 3/3), likewise 2^19/2^20 (n1=128). The 2-level
+# small-size kernels LOSE to the re-tuned mm everywhere (e.g. 2^12:
+# mm-n1=64 168 us vs kernel 434). The kernels stay available via
+# impl="vmem"; auto routes mm everywhere until a measurement says
+# otherwise.
+_VMEM_AUTO_SIZES: set = set()
 
 # Below this size, one matmul leaf is a full transform; the Stockham path
 # wins only for tiny batch*N where matmul setup dominates.
