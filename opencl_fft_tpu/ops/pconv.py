@@ -213,15 +213,38 @@ def pconv_init(cfg: PconvConfig) -> PconvState:
     )
 
 
+# Above this partition size the one-matmul forward's (pts, 2*pts) table
+# (8*pts^2 bytes) stops fitting VMEM as a hoisted loop invariant and the
+# per-block table traffic exceeds the transform chain's cost.
+_FWD_MM_MAX_PTS = 2048
+
+
 def _forward_partition(cfg: PconvConfig, block: Float) -> Cplx:
     """Zero-padded unnormalized forward real FFT of (..., pts) blocks.
 
     The reference zero-pads implicitly: the reorder kernel zeroes the input
     buffer as it reads (cl_conv_kernels.h:51), so the second half of every
     2*pts-point frame is zero. Here the pad is explicit.
+
+    For f32 engines with pts <= _FWD_MM_MAX_PTS the whole chain
+    (zero-pad -> deinterleave -> half-size complex DFT -> pack) collapses
+    into ONE f64-precomputed (pts, 2*bins) matmul — the same fused table
+    the blockf kernel uses (pallas/blockstep._wfwd_np). XLA hoists the
+    loop-invariant table into VMEM across streaming scans, so the
+    per-block cost is one tiny MXU dot: measured 0.9 us/block vs 13.1 for
+    the factored transform chain at the headline config
+    (bench_results/fwd_mm_ab.json). Matches the chain to ~1e-6 relative.
     """
     from .fft import exact_precision
 
+    if (cfg.bins == cfg.pts and cfg._jdtype == jnp.float32
+            and cfg.pts <= _FWD_MM_MAX_PTS):
+        from .pallas.blockstep import _wfwd_np
+
+        w = jnp.asarray(_wfwd_np(cfg.pts))
+        z = jnp.dot(jnp.asarray(block, jnp.float32), w,
+                    precision=jax.lax.Precision.HIGHEST)
+        return z[..., :cfg.bins], z[..., cfg.bins:]
     pad = jnp.zeros(block.shape[:-1] + (cfg.pts,), cfg._jdtype)
     frame = jnp.concatenate([jnp.asarray(block, cfg._jdtype), pad], axis=-1)
     with exact_precision():
