@@ -1,0 +1,187 @@
+"""Pallas TPU kernel: GRID-STREAMED partitioned-convolution scan — the
+whole multi-block stream as ONE device launch.
+
+The per-launch block-step kernels (blockstep.py) still pay, every block,
+for (a) the pallas launch + XLA glue and (b) DMA-ing the fused tables
+(wfwd/wpost, ~6 MB at the headline shape) from HBM into VMEM. Across a
+streamed scan those costs dominate: the measured headline block spends
+~10 of its ~13 us on them (bench_results/fwd_mm_ab.json).
+
+This kernel runs the scan as a sequential grid over blocks (TPU grids
+execute in order), keeping EVERYTHING resident in VMEM across steps:
+
+  * the sliding spectral window W (the ring, re-based so the MAC needs
+    no rotate-switch: row q is always frame (rp+q) — one static
+    ``pltpu.roll`` by nparts-1 per step slides it, replacing the
+    doubled-ring dynamic-slice of mac.py entirely),
+  * the IR spectra h (constant-index input block, loaded once),
+  * both fused tables (wfwd: forward rFFT of the zero-padded frame as
+    one matmul; wpost: unpack + inverse DFT + deinterleave as one
+    matmul — blockstep._wfwd_np/_wpost_np),
+  * the overlap-add tail and the window state, carried in the OUTPUT
+    refs (constant index map => flushed to HBM once, at the end).
+
+Per step the only HBM traffic is the (1, pts) input block in and the
+(1, pts) output block out (both auto-pipelined by the grid BlockSpecs) —
+the stream state never leaves the chip, which is the design the
+reference's per-kernel-launch + blocking-copy loop (cl_conv.cpp:393-458)
+could not express. Per-block semantics (MAC window contents, bin-0
+handling, /pts OLA, one-block latency) are IDENTICAL to pconv_step; the
+wrapper in ops/pconv.py translates PconvState's doubled ring to/from the
+window layout with one dynamic_slice / roll per SCAN (not per block).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..cplx import Cplx
+
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def fits_vmem_streamstep(nparts: int, bins: int) -> bool:
+    """VMEM budget: wfwd (b, 2b) + wpost (2b, 2b) + h planes + window
+    in/out planes + the pipelined block slices, with margin under the
+    raised scoped cap (the grid pipeline double-buffers the small
+    per-step blocks only)."""
+    if nparts < 8 or bins % 128:
+        return False
+    tables = (2 * bins * bins + 4 * bins * bins) * 4
+    planes = 6 * nparts * bins * 4          # h + W_in + W_out, re/im each
+    return tables + planes <= 80 * 1024 * 1024
+
+
+# Blocks processed per grid step: Mosaic requires block sublane dims
+# divisible by 8, so the (G, pts) input slice carries 8 blocks and the
+# kernel walks them with a static inner loop. The wrapper routes any
+# remainder (nblocks % 8) through the per-block scan path.
+_STEP_GROUP = 8
+
+
+def _stream_kernel(nparts, bins, b0_scale, pts, nsteps,
+                   blk_ref, w0r_ref, w0i_ref, hr_ref, hi_ref,
+                   wfwd_ref, wpost_ref, tail0_ref,
+                   out_ref, wfr_ref, wfi_ref, tailf_ref,
+                   wr_s, wi_s, tl_s):
+    """Carried state (window planes, OLA tail) lives in SCRATCH — scratch
+    is guaranteed to persist across the sequential grid, while output
+    blocks may be double-buffered by the pipeline. The final state is
+    flushed to the state outputs on the last step only."""
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():
+        wr_s[:] = w0r_ref[:]
+        wi_s[:] = w0i_ref[:]
+        tl_s[:] = tail0_ref[:]
+
+    hp = jax.lax.Precision.HIGHEST
+    # forward rFFT of the zero-padded frames: one matmul for the whole
+    # group (table resident)
+    zf = jax.lax.dot(blk_ref[:], wfwd_ref[:], precision=hp)    # (G, 2b)
+
+    lastrow = jax.lax.broadcasted_iota(jnp.int32, (nparts, bins), 0) \
+        == nparts - 1
+    col0 = jax.lax.broadcasted_iota(jnp.int32, (nparts, bins), 1) == 0
+    hr = hr_ref[:]
+    hi = hi_ref[:]
+
+    for g in range(_STEP_GROUP):                   # static unroll
+        fr, fi = zf[g:g + 1, :bins], zf[g:g + 1, bins:]
+        # slide the window one block: row q <- row q+1, freshest into
+        # the last row (static shift, static row — no dynamic indexing)
+        wr = jnp.where(lastrow, fr, pltpu.roll(wr_s[:], nparts - 1, 0))
+        wi = jnp.where(lastrow, fi, pltpu.roll(wi_s[:], nparts - 1, 0))
+        wr_s[:] = wr
+        wi_s[:] = wi
+
+        # frequency-delay-line MAC (identical math/order to blockstep's
+        # _window_mac: elementwise products, bin-0 componentwise with
+        # the b0 scale, deterministic sum over the partition axis)
+        prod_r = wr * hr - wi * hi
+        prod_i = wr * hi + wi * hr
+        prod_r = jnp.where(col0, b0_scale * wr * hr, prod_r)
+        prod_i = jnp.where(col0, b0_scale * wi * hi, prod_i)
+        re = jnp.sum(prod_r, axis=0, keepdims=True)
+        im = jnp.sum(prod_i, axis=0, keepdims=True)
+
+        # unpack + inverse DFT + deinterleave: one matmul; overlap-add
+        z = jnp.concatenate([re, im], axis=1)                  # (1, 2b)
+        y = jax.lax.dot(z, wpost_ref[:], precision=hp)
+        out_ref[g:g + 1, :] = (y[:, :pts] + tl_s[:]) / float(pts)
+        tl_s[:] = y[:, pts:]
+
+    @pl.when(j == nsteps - 1)
+    def _flush():
+        wfr_ref[:] = wr_s[:]
+        wfi_ref[:] = wi_s[:]
+        tailf_ref[:] = tl_s[:]
+
+
+def stream_steps_fused(blocks, w0: Cplx, h: Cplx, b0_scale: float,
+                       tail, pts: int, interpret: bool = False):
+    """Run an entire LTI streaming scan in one launch.
+
+    blocks: (nblocks, pts), nblocks a multiple of _STEP_GROUP; w0: split
+    (nparts, bins) initial window in MAC layout (row q = frame (rp0+q),
+    i.e. doubled-ring rows [wp0, wp0+nparts)); h: split (nparts, bins)
+    IR spectra (stored reversed, as in PconvState); tail: (bins,).
+    Returns (outs (nblocks, pts), w_fin: Cplx, tail_fin (bins,)) — w_fin
+    row q holds frame (rp_last+q), rp_last = wp0 + nblocks.
+    """
+    from .blockstep import _fused_tables
+
+    w0r, w0i = w0
+    hr, hi = h
+    nparts, bins = hr.shape
+    nblocks = blocks.shape[0]
+    if nblocks % _STEP_GROUP:
+        raise ValueError(
+            f"nblocks must be a multiple of {_STEP_GROUP}, got {nblocks} "
+            f"(the pconv_stream wrapper handles remainders)")
+    nsteps = nblocks // _STEP_GROUP
+    kern = functools.partial(_stream_kernel, nparts, bins,
+                             float(b0_scale), int(pts), int(nsteps))
+    plane = jax.ShapeDtypeStruct((nparts, bins), jnp.float32)
+    grid = (nsteps,)
+    const = lambda j: (0, 0)
+    outs, wfr, wfi, tailf = pl.pallas_call(
+        kern,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((nblocks, pts), jnp.float32),
+            plane, plane,
+            jax.ShapeDtypeStruct((1, bins), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((_STEP_GROUP, pts), lambda j: (j, 0)),  # group j
+            pl.BlockSpec((nparts, bins), const),               # W0 re
+            pl.BlockSpec((nparts, bins), const),               # W0 im
+            pl.BlockSpec((nparts, bins), const),               # h re
+            pl.BlockSpec((nparts, bins), const),               # h im
+            pl.BlockSpec((pts, 2 * bins), const),              # wfwd
+            pl.BlockSpec((2 * bins, 2 * bins), const),         # wpost
+            pl.BlockSpec((1, bins), const),                    # tail0
+        ],
+        out_specs=(
+            pl.BlockSpec((_STEP_GROUP, pts), lambda j: (j, 0)),
+            pl.BlockSpec((nparts, bins), const),
+            pl.BlockSpec((nparts, bins), const),
+            pl.BlockSpec((1, bins), const),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nparts, bins), jnp.float32),
+            pltpu.VMEM((nparts, bins), jnp.float32),
+            pltpu.VMEM((1, bins), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(jnp.asarray(blocks, jnp.float32), w0r, w0i, hr, hi,
+      *_fused_tables(bins), jnp.asarray(tail).reshape(1, bins))
+    return outs, (wfr, wfi), tailf[0]

@@ -79,10 +79,11 @@ class PconvConfig:
             raise ValueError(f"need at least one partition, got {self.nparts}")
         if self.bin0_mode not in ("exact", "compat"):
             raise ValueError(f"bin0_mode must be 'exact' or 'compat', got {self.bin0_mode}")
-        if self.pallas not in ("auto", "on", "off", "block", "blockf"):
+        if self.pallas not in ("auto", "on", "off", "block", "blockf",
+                               "stream"):
             raise ValueError(
-                f"pallas must be 'auto'|'on'|'off'|'block'|'blockf', "
-                f"got {self.pallas}")
+                f"pallas must be 'auto'|'on'|'off'|'block'|'blockf'|"
+                f"'stream', got {self.pallas}")
         if self.ring_dtype not in ("f32", "bf16"):
             raise ValueError(f"ring_dtype must be 'f32'|'bf16', got {self.ring_dtype}")
         if self.dtype not in ("f32", "f64"):
@@ -158,6 +159,26 @@ class PconvConfig:
         if self.pallas == "auto":
             from .pallas import _tuned
             return _tuned.WINNERS.get((self.nparts, self.bins)) == "blockf"
+        return False
+
+    def _use_stream_kernel(self) -> bool:
+        """GRID-STREAMED scan kernel (ops/pallas/streamstep.py): the whole
+        multi-block stream as one launch, window/tables/tail VMEM-resident
+        across sequential grid steps.
+
+        Only reachable through ``pconv_stream`` (it needs the whole block
+        batch). "stream" opts in explicitly; "auto" follows the measured
+        winners table like the other kernel modes."""
+        from .pallas.streamstep import fits_vmem_streamstep
+        if not self._kernel_eligible():
+            return False
+        if not fits_vmem_streamstep(self.nparts, self.bins):
+            return False
+        if self.pallas == "stream":
+            return True
+        if self.pallas == "auto":
+            from .pallas import _tuned
+            return _tuned.WINNERS.get((self.nparts, self.bins)) == "stream"
         return False
 
     @property
@@ -588,12 +609,59 @@ def pconv_chunk_tv(cfg: PconvConfig, state: PconvState, blocks_x: Float,
 # benchmarks and the models layer.
 # ---------------------------------------------------------------------------
 
+def _pconv_stream_kernel(cfg: PconvConfig, state: PconvState, blocks: Float
+                         ) -> Tuple[PconvState, Float]:
+    """Whole-scan grid kernel: translate the doubled ring to the kernel's
+    window layout (one dynamic_slice), run every block in ONE launch with
+    all state VMEM-resident (pallas/streamstep.py), translate back (one
+    dynamic roll). Per-block semantics identical to pconv_step."""
+    import jax as _jax
+
+    from .pallas.streamstep import stream_steps_fused
+
+    from .pallas.streamstep import _STEP_GROUP
+
+    nb = blocks.shape[0]
+    nb_k = nb - nb % _STEP_GROUP           # kernel takes whole groups
+    np_, b = cfg.nparts, cfg.bins
+    b0 = 2.0 if cfg.bin0_mode == "exact" else 1.0
+    z = jnp.asarray(0, state.wp.dtype)
+    # window row q = frame (wp0 + q): doubled-ring rows [wp0, wp0+nparts)
+    w0r = jax.lax.dynamic_slice(state.spec_x_re, (state.wp, z), (np_, b))
+    w0i = jax.lax.dynamic_slice(state.spec_x_im, (state.wp, z), (np_, b))
+    outs, (wfr, wfi), tailf = stream_steps_fused(
+        blocks[:nb_k], (w0r, w0i), (state.spec_h_re, state.spec_h_im), b0,
+        state.tail, cfg.pts, interpret=_jax.default_backend() == "cpu")
+    wp_out = (state.wp + nb_k) % np_
+    # final window row q holds frame (wp_out + q): ring[r] = W[(r - wp_out)]
+    ring_r = jnp.roll(wfr, wp_out, axis=0)
+    ring_i = jnp.roll(wfi, wp_out, axis=0)
+    state = state._replace(
+        spec_x_re=jnp.concatenate([ring_r, ring_r], axis=0),
+        spec_x_im=jnp.concatenate([ring_i, ring_i], axis=0),
+        tail=tailf, wp=wp_out)
+    if nb_k == nb:
+        return state, outs
+    # remainder blocks (< _STEP_GROUP) through the per-block step
+    def body(st, blk):
+        return pconv_step(cfg, st, blk)
+    state, rest = jax.lax.scan(body, state, blocks[nb_k:])
+    return state, jnp.concatenate([outs, rest], axis=0)
+
+
 def pconv_stream(cfg: PconvConfig, state: PconvState, blocks: Float,
                  unroll: int = 8) -> Tuple[PconvState, Float]:
     """Run many LTI blocks through a lax.scan. blocks: (nblocks, pts).
 
-    unroll amortizes this backend's ~15 us loop-iteration overhead over
-    several blocks (the per-block math itself is ~5 us at 2^17 taps)."""
+    When the grid-streamed kernel is selected (cfg._use_stream_kernel —
+    explicit pallas="stream" or a measured auto win), the whole scan runs
+    as ONE pallas launch instead. Otherwise: unroll amortizes this
+    backend's ~15 us loop-iteration overhead over several blocks."""
+    from .pallas.streamstep import _STEP_GROUP
+    if (jnp.ndim(blocks) == 2 and jnp.shape(blocks)[0] >= _STEP_GROUP
+            and cfg._use_stream_kernel()):
+        return _pconv_stream_kernel(cfg, state, blocks)
+
     def body(st, blk):
         return pconv_step(cfg, st, blk)
     return jax.lax.scan(body, state, blocks, unroll=unroll)

@@ -312,3 +312,57 @@ def test_deinterleave_matrices_are_exact_partition():
         time = np.concatenate([y @ m1, y @ m2], axis=1)[0]
         np.testing.assert_array_equal(time[0::2], y[0, :b])
         np.testing.assert_array_equal(time[1::2], y[0, b:])
+
+
+@pytest.mark.parametrize("bin0_mode", ["exact", "compat"])
+def test_stream_kernel_matches_scan(bin0_mode):
+    """The grid-streamed whole-scan kernel (pallas='stream') produces the
+    same outputs and the same continued state as the per-block scan,
+    including across chained calls (state round-trips through the
+    ring <-> window translation)."""
+    from opencl_fft_tpu.ops import pconv as P
+
+    pts, nparts, nb = 128, 8, 20
+    cfg_s = P.PconvConfig(pts=pts, nparts=nparts, pallas="stream",
+                          bin0_mode=bin0_mode)
+    cfg_o = P.PconvConfig(pts=pts, nparts=nparts, pallas="off",
+                          bin0_mode=bin0_mode)
+    assert cfg_s._use_stream_kernel()
+    ir = RNG.standard_normal(pts * nparts).astype(np.float32) * 0.2
+    blocks = jnp.asarray(RNG.standard_normal((2, nb, pts)), jnp.float32)
+    st_s = P.push_ir(cfg_s, P.pconv_init(cfg_s), ir)
+    st_o = P.push_ir(cfg_o, P.pconv_init(cfg_o), ir)
+    st_s, o_s1 = P.pconv_stream(cfg_s, st_s, blocks[0])
+    st_o, o_o1 = P.pconv_stream(cfg_o, st_o, blocks[0])
+    st_s, o_s2 = P.pconv_stream(cfg_s, st_s, blocks[1])
+    st_o, o_o2 = P.pconv_stream(cfg_o, st_o, blocks[1])
+    scale = float(jnp.abs(o_o1).max()) + 1e-9
+    np.testing.assert_allclose(np.asarray(o_s1), np.asarray(o_o1),
+                               atol=2e-5 * scale, rtol=0)
+    np.testing.assert_allclose(np.asarray(o_s2), np.asarray(o_o2),
+                               atol=2e-5 * scale, rtol=0)
+    assert int(st_s.wp) == int(st_o.wp)
+    # the ring holds forward spectra only; both paths compute them with
+    # the same one-matmul forward, so the reconstructed ring is bit-exact
+    np.testing.assert_array_equal(np.asarray(st_s.spec_x_re),
+                                  np.asarray(st_o.spec_x_re))
+    np.testing.assert_array_equal(np.asarray(st_s.spec_x_im),
+                                  np.asarray(st_o.spec_x_im))
+
+
+def test_stream_kernel_gate():
+    from opencl_fft_tpu.ops import pconv as P
+    from opencl_fft_tpu.ops.pallas.streamstep import fits_vmem_streamstep
+
+    assert fits_vmem_streamstep(256, 512)          # headline shape
+    assert fits_vmem_streamstep(128, 1024)
+    assert not fits_vmem_streamstep(64, 2048)      # tables blow the budget
+    assert not fits_vmem_streamstep(4, 128)        # nparts too small
+    # stream mode never engages the per-block kernel gates
+    cfg = P.PconvConfig(pts=512, nparts=256, pallas="stream")
+    assert not cfg._use_pallas_blockstep()
+    assert not cfg._use_pallas_blockstep_fwd()
+    assert not cfg._use_pallas_mac()
+    # bf16 rings and f64 stay off the kernel
+    assert not P.PconvConfig(pts=512, nparts=256, pallas="stream",
+                             ring_dtype="bf16")._use_stream_kernel()

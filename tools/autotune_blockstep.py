@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from opencl_fft_tpu.ops import pconv as P
 from opencl_fft_tpu.ops.pallas.blockstep import fits_vmem_blockstep
 from opencl_fft_tpu.ops.pallas.mac import fits_vmem
+from opencl_fft_tpu.ops.pallas.streamstep import fits_vmem_streamstep
 from opencl_fft_tpu.utils.profiling import median_chain_delta
 
 CONFIGS = [                     # (pts, ir_len): headline + the full
@@ -76,6 +77,8 @@ def main():
     for pts, ir_len in CONFIGS:
         nparts = ir_len // pts
         modes = ["off"]
+        if fits_vmem_streamstep(nparts, pts):
+            modes.append("stream")          # whole-scan grid kernel
         if fits_vmem_blockstep(nparts, pts):
             modes.append("block")
             modes.append("blockf")          # fully fused (forward inside)
@@ -99,11 +102,17 @@ def main():
         # min over interleaved rounds.
         nb = runners[modes[0]][1]
         floor = max(nb * 4 * nparts * pts * 4 / 3e12, 0.2e-6 * nb)
+        # the stream kernel's only per-block HBM traffic is the block
+        # in/out — the MAC-plane floor would reject its legitimate speed
+        floor_by_mode = {m: floor for m in modes}
+        floor_by_mode["stream"] = max(nb * 2 * pts * 4 * 2 / 3e12,
+                                      0.02e-6 * nb)
         best = {m: float("inf") for m in modes}
         for _ in range(args.rounds):            # interleave over drift
             for m in modes:
                 run, nb = runners[m]
-                dt, _nv = median_chain_delta(run, args.reps, floor, short=1)
+                dt, _nv = median_chain_delta(run, args.reps,
+                                             floor_by_mode[m], short=1)
                 if dt is not None:
                     best[m] = min(best[m], dt / nb)
         measured = {m: t for m, t in best.items() if t < float("inf")}
