@@ -185,3 +185,144 @@ def stream_steps_fused(blocks, w0: Cplx, h: Cplx, b0_scale: float,
     )(jnp.asarray(blocks, jnp.float32), w0r, w0i, hr, hi,
       *_fused_tables(bins), jnp.asarray(tail).reshape(1, bins))
     return outs, (wfr, wfi), tailf[0]
+
+
+def _stream_tv_kernel(nparts, bins, b0_scale, pts, nsteps,
+                      blk_ref, w0r_ref, w0i_ref, h0r_ref, h0i_ref,
+                      wfwd_ref, wpost_ref, tail0_ref, wp2_ref,
+                      out_ref, wfr_ref, wfi_ref, hfr_ref, hfi_ref,
+                      tailf_ref, wr_s, wi_s, hr_s, hi_s, tl_s):
+    """TIME-VARYING whole-scan step: both operands stream. The x window
+    slides exactly as the LTI kernel; the h ring updates IN PLACE at the
+    decrementing absolute slot wp2 (an iota-mask row select — h rows are
+    indexed by MAC position, they do not slide), replacing the dual
+    command queues + per-block launches of cl_conv.cpp:460-548 with one
+    resident launch for the whole stream."""
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():
+        wr_s[:] = w0r_ref[:]
+        wi_s[:] = w0i_ref[:]
+        hr_s[:] = h0r_ref[:]
+        hi_s[:] = h0i_ref[:]
+        tl_s[:] = tail0_ref[:]
+
+    hp = jax.lax.Precision.HIGHEST
+    # both forwards for the whole group in one matmul: rows 2t / 2t+1
+    # hold block t's input / coefficient frames
+    zf = jax.lax.dot(blk_ref[:], wfwd_ref[:], precision=hp)  # (2G, 2b)
+
+    lastrow = jax.lax.broadcasted_iota(jnp.int32, (nparts, bins), 0) \
+        == nparts - 1
+    col0 = jax.lax.broadcasted_iota(jnp.int32, (nparts, bins), 1) == 0
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (nparts, bins), 0)
+    wp2_0 = wp2_ref[0]
+
+    for g in range(_STEP_GROUP):                   # static unroll
+        fxr = zf[2 * g:2 * g + 1, :bins]
+        fxi = zf[2 * g:2 * g + 1, bins:]
+        fhr = zf[2 * g + 1:2 * g + 2, :bins]
+        fhi = zf[2 * g + 1:2 * g + 2, bins:]
+
+        # fresh coefficient frame lands at slot wp2 (pre-decrement) and
+        # participates in this block's MAC (cl_conv.cpp:510-519)
+        idx = jnp.mod(wp2_0 - (j * _STEP_GROUP + g), nparts)
+        hrow = rowid == idx
+        hr = jnp.where(hrow, fhr, hr_s[:])
+        hi = jnp.where(hrow, fhi, hi_s[:])
+        hr_s[:] = hr
+        hi_s[:] = hi
+
+        wr = jnp.where(lastrow, fxr, pltpu.roll(wr_s[:], nparts - 1, 0))
+        wi = jnp.where(lastrow, fxi, pltpu.roll(wi_s[:], nparts - 1, 0))
+        wr_s[:] = wr
+        wi_s[:] = wi
+
+        prod_r = wr * hr - wi * hi
+        prod_i = wr * hi + wi * hr
+        prod_r = jnp.where(col0, b0_scale * wr * hr, prod_r)
+        prod_i = jnp.where(col0, b0_scale * wi * hi, prod_i)
+        re = jnp.sum(prod_r, axis=0, keepdims=True)
+        im = jnp.sum(prod_i, axis=0, keepdims=True)
+
+        z = jnp.concatenate([re, im], axis=1)
+        y = jax.lax.dot(z, wpost_ref[:], precision=hp)
+        out_ref[g:g + 1, :] = (y[:, :pts] + tl_s[:]) / float(pts)
+        tl_s[:] = y[:, pts:]
+
+    @pl.when(j == nsteps - 1)
+    def _flush():
+        wfr_ref[:] = wr_s[:]
+        wfi_ref[:] = wi_s[:]
+        hfr_ref[:] = hr_s[:]
+        hfi_ref[:] = hi_s[:]
+        tailf_ref[:] = tl_s[:]
+
+
+def stream_steps_fused_tv(blocks2, w0: Cplx, h0: Cplx, wp2, b0_scale: float,
+                          tail, pts: int, interpret: bool = False):
+    """Run an entire TIME-VARYING streaming scan in one launch.
+
+    blocks2: (2*nblocks, pts) — rows 2t / 2t+1 are block t's input /
+    coefficient frames (nblocks a multiple of _STEP_GROUP); w0 as in
+    stream_steps_fused; h0: split (nparts, bins) coefficient ring (MAC
+    layout, updated at the decrementing slot wp2); tail: (bins,).
+    Returns (outs (nblocks, pts), w_fin, h_fin, tail_fin).
+    """
+    from .blockstep import _fused_tables
+
+    w0r, w0i = w0
+    h0r, h0i = h0
+    nparts, bins = h0r.shape
+    nblocks = blocks2.shape[0] // 2
+    if blocks2.shape[0] % (2 * _STEP_GROUP):
+        raise ValueError(
+            f"need 2*nblocks rows with nblocks a multiple of "
+            f"{_STEP_GROUP}, got {blocks2.shape[0]} rows")
+    nsteps = nblocks // _STEP_GROUP
+    kern = functools.partial(_stream_tv_kernel, nparts, bins,
+                             float(b0_scale), int(pts), int(nsteps))
+    plane = jax.ShapeDtypeStruct((nparts, bins), jnp.float32)
+    grid = (nsteps,)
+    const = lambda j: (0, 0)
+    outs, wfr, wfi, hfr, hfi, tailf = pl.pallas_call(
+        kern,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((nblocks, pts), jnp.float32),
+            plane, plane, plane, plane,
+            jax.ShapeDtypeStruct((1, bins), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((2 * _STEP_GROUP, pts), lambda j: (j, 0)),
+            pl.BlockSpec((nparts, bins), const),               # W0 re
+            pl.BlockSpec((nparts, bins), const),               # W0 im
+            pl.BlockSpec((nparts, bins), const),               # h0 re
+            pl.BlockSpec((nparts, bins), const),               # h0 im
+            pl.BlockSpec((pts, 2 * bins), const),              # wfwd
+            pl.BlockSpec((2 * bins, 2 * bins), const),         # wpost
+            pl.BlockSpec((1, bins), const),                    # tail0
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # wp2
+        ],
+        out_specs=(
+            pl.BlockSpec((_STEP_GROUP, pts), lambda j: (j, 0)),
+            pl.BlockSpec((nparts, bins), const),
+            pl.BlockSpec((nparts, bins), const),
+            pl.BlockSpec((nparts, bins), const),
+            pl.BlockSpec((nparts, bins), const),
+            pl.BlockSpec((1, bins), const),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nparts, bins), jnp.float32),
+            pltpu.VMEM((nparts, bins), jnp.float32),
+            pltpu.VMEM((nparts, bins), jnp.float32),
+            pltpu.VMEM((nparts, bins), jnp.float32),
+            pltpu.VMEM((1, bins), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(jnp.asarray(blocks2, jnp.float32), w0r, w0i, h0r, h0i,
+      *_fused_tables(bins), jnp.asarray(tail).reshape(1, bins),
+      jnp.asarray(wp2, jnp.int32).reshape(1))
+    return outs, (wfr, wfi), (hfr, hfi), tailf[0]

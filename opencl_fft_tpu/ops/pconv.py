@@ -667,9 +667,59 @@ def pconv_stream(cfg: PconvConfig, state: PconvState, blocks: Float,
     return jax.lax.scan(body, state, blocks, unroll=unroll)
 
 
+def _pconv_stream_tv_kernel(cfg: PconvConfig, state: PconvState,
+                            blocks_x: Float, blocks_h: Float
+                            ) -> Tuple[PconvState, Float]:
+    """Whole-scan TV grid kernel (see _pconv_stream_kernel): x ring in
+    window layout, h ring passed directly (it is indexed by MAC position,
+    so it needs no translation), wp2 threaded as a scalar."""
+    import jax as _jax
+
+    from .pallas.streamstep import _STEP_GROUP, stream_steps_fused_tv
+
+    nb = blocks_x.shape[0]
+    nb_k = nb - nb % _STEP_GROUP
+    np_, b = cfg.nparts, cfg.bins
+    b0 = 2.0 if cfg.bin0_mode == "exact" else 1.0
+    z = jnp.asarray(0, state.wp.dtype)
+    w0r = jax.lax.dynamic_slice(state.spec_x_re, (state.wp, z), (np_, b))
+    w0i = jax.lax.dynamic_slice(state.spec_x_im, (state.wp, z), (np_, b))
+    # rows 2t / 2t+1 = block t's input / coefficient frames
+    blocks2 = jnp.stack(
+        [jnp.asarray(blocks_x[:nb_k], jnp.float32),
+         jnp.asarray(blocks_h[:nb_k], jnp.float32)],
+        axis=1).reshape(2 * nb_k, cfg.pts)
+    outs, (wfr, wfi), (hfr, hfi), tailf = stream_steps_fused_tv(
+        blocks2, (w0r, w0i), (state.spec_h_re, state.spec_h_im),
+        state.wp2, b0, state.tail, cfg.pts,
+        interpret=_jax.default_backend() == "cpu")
+    wp_out = (state.wp + nb_k) % np_
+    ring_r = jnp.roll(wfr, wp_out, axis=0)
+    ring_i = jnp.roll(wfi, wp_out, axis=0)
+    state = state._replace(
+        spec_x_re=jnp.concatenate([ring_r, ring_r], axis=0),
+        spec_x_im=jnp.concatenate([ring_i, ring_i], axis=0),
+        spec_h_re=hfr, spec_h_im=hfi,
+        tail=tailf, wp=wp_out, wp2=(state.wp2 - nb_k) % np_)
+    if nb_k == nb:
+        return state, outs
+
+    def body(st, blks):
+        return pconv_step_tv(cfg, st, blks[0], blks[1])
+    rest_in = jnp.stack([blocks_x[nb_k:], blocks_h[nb_k:]], axis=1)
+    state, rest = jax.lax.scan(body, state, rest_in)
+    return state, jnp.concatenate([outs, rest], axis=0)
+
+
 def pconv_stream_tv(cfg: PconvConfig, state: PconvState, blocks_x: Float,
                     blocks_h: Float, unroll: int = 8) -> Tuple[PconvState, Float]:
-    """Run many TV blocks through a lax.scan."""
+    """Run many TV blocks through a lax.scan (or, when the grid-streamed
+    kernel is selected, as one launch — see pconv_stream)."""
+    from .pallas.streamstep import _STEP_GROUP
+    if (jnp.ndim(blocks_x) == 2 and jnp.shape(blocks_x)[0] >= _STEP_GROUP
+            and cfg._use_stream_kernel()):
+        return _pconv_stream_tv_kernel(cfg, state, blocks_x, blocks_h)
+
     def body(st, blks):
         return pconv_step_tv(cfg, st, blks[0], blks[1])
     stacked = jnp.stack([blocks_x, blocks_h], axis=1)  # (nblocks, 2, pts)

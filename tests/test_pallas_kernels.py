@@ -366,3 +366,32 @@ def test_stream_kernel_gate():
     # bf16 rings and f64 stay off the kernel
     assert not P.PconvConfig(pts=512, nparts=256, pallas="stream",
                              ring_dtype="bf16")._use_stream_kernel()
+
+
+def test_stream_tv_kernel_matches_scan():
+    """TV whole-scan kernel == per-block TV scan (outputs + continued
+    state, including the in-kernel h-ring updates at decrementing wp2
+    and the sub-group remainder path)."""
+    from opencl_fft_tpu.ops import pconv as P
+
+    pts, nparts, nb = 128, 8, 21       # 2 groups + 5 remainder
+    cfg_s = P.PconvConfig(pts=pts, nparts=nparts, pallas="stream")
+    cfg_o = P.PconvConfig(pts=pts, nparts=nparts, pallas="off")
+    bx = jnp.asarray(RNG.standard_normal((nb, pts)), jnp.float32)
+    bh = jnp.asarray(RNG.standard_normal((nb, pts)) * 0.3, jnp.float32)
+    st_s, o_s = P.pconv_stream_tv(cfg_s, P.pconv_init(cfg_s), bx, bh)
+    st_o, o_o = P.pconv_stream_tv(cfg_o, P.pconv_init(cfg_o), bx, bh)
+    scale = float(jnp.abs(o_o).max()) + 1e-9
+    np.testing.assert_allclose(np.asarray(o_s), np.asarray(o_o),
+                               atol=2e-5 * scale, rtol=0)
+    assert int(st_s.wp) == int(st_o.wp)
+    assert int(st_s.wp2) == int(st_o.wp2)
+    np.testing.assert_array_equal(np.asarray(st_s.spec_h_re),
+                                  np.asarray(st_o.spec_h_re))
+    np.testing.assert_array_equal(np.asarray(st_s.spec_x_re),
+                                  np.asarray(st_o.spec_x_re))
+    # continuation across calls
+    st_s, o_s2 = P.pconv_stream_tv(cfg_s, st_s, bx, bh)
+    st_o, o_o2 = P.pconv_stream_tv(cfg_o, st_o, bx, bh)
+    np.testing.assert_allclose(np.asarray(o_s2), np.asarray(o_o2),
+                               atol=2e-5 * scale, rtol=0)
