@@ -250,7 +250,7 @@ def bench_batched_serving(batch=64, pts=512, ir_len=1 << 17, scan_blocks=470):
     (channels x per-channel RT factor)."""
     import jax
     import jax.numpy as jnp
-    from opencl_fft_tpu.models.convolver import batched_state, _vmapped, _vmapped_push
+    from opencl_fft_tpu.models.convolver import batched_state, _vmapped_push
     from opencl_fft_tpu.ops import pconv as P
 
     cfg = P.PconvConfig.for_ir_length(ir_len, pts)
@@ -262,17 +262,17 @@ def bench_batched_serving(batch=64, pts=512, ir_len=1 << 17, scan_blocks=470):
     def make_state():
         return jax.tree.map(jnp.asarray, base)
 
-    step = _vmapped(P.pconv_step, cfg)
-
-    def stream(st, blocks):
-        return jax.lax.scan(lambda s, b: step(s, b), st, blocks)
-
     blocks = jnp.asarray(rng.standard_normal((scan_blocks, batch, pts)) * 0.1,
                          jnp.float32)
-    fn = jax.jit(stream, donate_argnums=(0,))
-    per_scan = _time_chained(
-        fn, make_state, (blocks,),
-        floor_s=_mac_floor_s(cfg.nparts, cfg.bins, scan_blocks, batch=batch))
+    # routes through the batched grid-streamed kernel when measured-on
+    # (channel groups VMEM-resident); falls back to the vmapped scan
+    fn = jax.jit(partial(P.pconv_stream_batched, cfg), donate_argnums=(0,))
+    if cfg._use_stream_kernel():
+        floor = max(scan_blocks * 2 * pts * 4 * batch / 3e12,
+                    0.02e-6 * scan_blocks)
+    else:
+        floor = _mac_floor_s(cfg.nparts, cfg.bins, scan_blocks, batch=batch)
+    per_scan = _time_chained(fn, make_state, (blocks,), floor_s=floor)
     per_block = per_scan / scan_blocks
     return batch * (pts / SR) / per_block
 

@@ -122,12 +122,12 @@ class Convolver:
             out = out.swapaxes(1, 2).reshape(n, b, pts)
             return out
 
-        step = _vmapped(_p.pconv_step, self.cfg)
-
+        # pconv_stream_batched routes through the batched grid-streamed
+        # kernel when measured-on and falls back to the vmapped scan
         @functools.partial(jax.jit, static_argnums=2, donate_argnums=0)
         def run(state, blocks, unroll):
-            return jax.lax.scan(lambda s, b: step(s, b), state, blocks,
-                                unroll=unroll)
+            return _p.pconv_stream_batched(self.cfg, state, blocks,
+                                           unroll=unroll)
 
         self.state, out = run(self.state, blocks, unroll)
         return out

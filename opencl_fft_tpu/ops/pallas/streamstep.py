@@ -326,3 +326,165 @@ def stream_steps_fused_tv(blocks2, w0: Cplx, h0: Cplx, wp2, b0_scale: float,
       *_fused_tables(bins), jnp.asarray(tail).reshape(1, bins),
       jnp.asarray(wp2, jnp.int32).reshape(1))
     return outs, (wfr, wfi), (hfr, hfi), tailf[0]
+
+
+# ---------------------------------------------------------------------------
+# Batched (multi-channel serving) variant: C independent channels stacked
+# along the sublane axis, each with its own window/h/tail — the serving
+# regime's per-channel rings never touch HBM during the stream.
+# ---------------------------------------------------------------------------
+
+def fits_vmem_streamstep_batched(nparts: int, bins: int, batch: int) -> bool:
+    """Stacked planes scale the budget by the channel count: W scratch +
+    W in/out + h, each (batch*nparts, bins) f32 re/im, plus the shared
+    tables and the one-hot selector matrices."""
+    if nparts < 8 or bins % 128 or batch < 1:
+        return False
+    tables = (2 * bins * bins + 4 * bins * bins) * 4
+    planes = 8 * batch * nparts * bins * 4
+    onehot = 2 * batch * nparts * batch * 4
+    return tables + planes + onehot <= 80 * 1024 * 1024
+
+
+@functools.lru_cache(maxsize=None)
+def _channel_onehots_np(nparts: int, batch: int):
+    """S (C*np, C): S @ fresh places channel c's fresh row at c*np+np-1
+    (zeros elsewhere); R (C, C*np): R @ prod sums each channel's np rows.
+    One-hot MXU matmuls are bit-exact (cf. blockstep flip matrix)."""
+    import numpy as np
+    s = np.zeros((batch * nparts, batch), np.float32)
+    r = np.zeros((batch, batch * nparts), np.float32)
+    for c in range(batch):
+        s[c * nparts + nparts - 1, c] = 1.0
+        r[c, c * nparts:(c + 1) * nparts] = 1.0
+    return s, r
+
+
+def _stream_batched_kernel(nparts, bins, batch, b0_scale, pts, nsteps,
+                           blk_ref, w0r_ref, w0i_ref, hr_ref, hi_ref,
+                           wfwd_ref, wpost_ref, tail0_ref, sel_ref, red_ref,
+                           out_ref, wfr_ref, wfi_ref, tailf_ref,
+                           wr_s, wi_s, tl_s):
+    """Per grid step: G blocks x C channels. The stacked window rolls as
+    ONE (C*np, bins) plane — the roll wraps channel boundaries, but every
+    wrapped row is exactly a fresh-frame row and is overwritten by the
+    one-hot scatter before the MAC reads it."""
+    j = pl.program_id(0)
+    cnp = batch * nparts
+
+    @pl.when(j == 0)
+    def _init():
+        wr_s[:] = w0r_ref[:]
+        wi_s[:] = w0i_ref[:]
+        tl_s[:] = tail0_ref[:]
+
+    hp = jax.lax.Precision.HIGHEST
+    zf = jax.lax.dot(blk_ref[:], wfwd_ref[:], precision=hp)  # (G*C, 2b)
+
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (cnp, bins), 0)
+    lastrow = rowid % nparts == nparts - 1
+    col0 = jax.lax.broadcasted_iota(jnp.int32, (cnp, bins), 1) == 0
+    hr = hr_ref[:]
+    hi = hi_ref[:]
+    sel = sel_ref[:]
+    red = red_ref[:]
+
+    for g in range(_STEP_GROUP):                   # static unroll
+        fr = zf[g * batch:(g + 1) * batch, :bins]   # (C, b)
+        fi = zf[g * batch:(g + 1) * batch, bins:]
+        fresh_r = jax.lax.dot(sel, fr, precision=hp)   # (C*np, b) scatter
+        fresh_i = jax.lax.dot(sel, fi, precision=hp)
+        wr = jnp.where(lastrow, fresh_r, pltpu.roll(wr_s[:], cnp - 1, 0))
+        wi = jnp.where(lastrow, fresh_i, pltpu.roll(wi_s[:], cnp - 1, 0))
+        wr_s[:] = wr
+        wi_s[:] = wi
+
+        prod_r = wr * hr - wi * hi
+        prod_i = wr * hi + wi * hr
+        prod_r = jnp.where(col0, b0_scale * wr * hr, prod_r)
+        prod_i = jnp.where(col0, b0_scale * wi * hi, prod_i)
+        re = jax.lax.dot(red, prod_r, precision=hp)    # (C, b) per-channel
+        im = jax.lax.dot(red, prod_i, precision=hp)
+
+        z = jnp.concatenate([re, im], axis=1)          # (C, 2b)
+        y = jax.lax.dot(z, wpost_ref[:], precision=hp)
+        out_ref[g * batch:(g + 1) * batch, :] = \
+            (y[:, :pts] + tl_s[:]) / float(pts)
+        tl_s[:] = y[:, pts:]
+
+    @pl.when(j == nsteps - 1)
+    def _flush():
+        wfr_ref[:] = wr_s[:]
+        wfi_ref[:] = wi_s[:]
+        tailf_ref[:] = tl_s[:]
+
+
+def stream_steps_fused_batched(blocks, w0: Cplx, h: Cplx, b0_scale: float,
+                               tails, pts: int, batch: int,
+                               interpret: bool = False):
+    """Batched LTI whole-scan: C channels, each with its own window / IR
+    spectra / tail, stacked along the sublane axis.
+
+    blocks: (nblocks*batch, pts) — row t*batch + c is block t of channel
+    c (nblocks a multiple of _STEP_GROUP); w0/h: split (batch*nparts,
+    bins) stacked planes (channel c occupies rows [c*np, (c+1)*np), each
+    in the single-channel MAC layout); tails: (batch, bins). Returns
+    (outs (nblocks*batch, pts), w_fin, tails_fin).
+    """
+    from .blockstep import _fused_tables
+
+    w0r, w0i = w0
+    hr, hi = h
+    cnp, bins = hr.shape
+    nparts = cnp // batch
+    rows = blocks.shape[0]
+    nblocks = rows // batch
+    if rows % (batch * _STEP_GROUP):
+        raise ValueError(
+            f"need nblocks*batch rows with nblocks a multiple of "
+            f"{_STEP_GROUP}, got {rows} rows for batch {batch}")
+    nsteps = nblocks // _STEP_GROUP
+    sel, red = _channel_onehots_np(nparts, batch)
+    kern = functools.partial(_stream_batched_kernel, nparts, bins, batch,
+                             float(b0_scale), int(pts), int(nsteps))
+    plane = jax.ShapeDtypeStruct((cnp, bins), jnp.float32)
+    grid = (nsteps,)
+    const = lambda j: (0, 0)
+    gc = _STEP_GROUP * batch
+    outs, wfr, wfi, tailf = pl.pallas_call(
+        kern,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, pts), jnp.float32),
+            plane, plane,
+            jax.ShapeDtypeStruct((batch, bins), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((gc, pts), lambda j: (j, 0)),
+            pl.BlockSpec((cnp, bins), const),              # W0 re
+            pl.BlockSpec((cnp, bins), const),              # W0 im
+            pl.BlockSpec((cnp, bins), const),              # h re
+            pl.BlockSpec((cnp, bins), const),              # h im
+            pl.BlockSpec((pts, 2 * bins), const),          # wfwd
+            pl.BlockSpec((2 * bins, 2 * bins), const),     # wpost
+            pl.BlockSpec((batch, bins), const),            # tails
+            pl.BlockSpec((cnp, batch), const),             # scatter
+            pl.BlockSpec((batch, cnp), const),             # reduce
+        ],
+        out_specs=(
+            pl.BlockSpec((gc, pts), lambda j: (j, 0)),
+            pl.BlockSpec((cnp, bins), const),
+            pl.BlockSpec((cnp, bins), const),
+            pl.BlockSpec((batch, bins), const),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((cnp, bins), jnp.float32),
+            pltpu.VMEM((cnp, bins), jnp.float32),
+            pltpu.VMEM((batch, bins), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(jnp.asarray(blocks, jnp.float32), w0r, w0i, hr, hi,
+      *_fused_tables(bins), jnp.asarray(tails),
+      jnp.asarray(sel), jnp.asarray(red))
+    return outs, (wfr, wfi), tailf

@@ -726,6 +726,93 @@ def pconv_stream_tv(cfg: PconvConfig, state: PconvState, blocks_x: Float,
     return jax.lax.scan(body, state, stacked, unroll=unroll)
 
 
+def pconv_stream_batched(cfg: PconvConfig, state: PconvState, blocks: Float,
+                         unroll: int = 8) -> Tuple[PconvState, Float]:
+    """Batched (multi-channel) LTI streaming: blocks (nblocks, B, pts),
+    state fields with a leading channel axis and SHARED scalar ring
+    pointers (models.convolver.batched_state layout).
+
+    Routes through the batched grid-streamed kernel when selected —
+    channels stack along the kernel's sublane axis, in VMEM-budget-sized
+    groups — otherwise falls back to the vmapped per-block scan."""
+    from .pallas.streamstep import (_STEP_GROUP, fits_vmem_streamstep_batched,
+                                    stream_steps_fused_batched)
+
+    nb, nch = blocks.shape[0], blocks.shape[1]
+    if (jnp.ndim(blocks) != 3 or nb < _STEP_GROUP
+            or not cfg._use_stream_kernel()
+            or not fits_vmem_streamstep_batched(cfg.nparts, cfg.bins, 1)
+            or jnp.ndim(state.wp) != 0):
+        # vmapped per-block scan; the per-launch kernels are
+        # single-stream designs (Mosaic rejects vmapped ANY blocks)
+        import dataclasses as _dc
+        scfg = (_dc.replace(cfg, pallas="off")
+                if cfg.pallas != "off" else cfg)
+
+        def body(st, blks):
+            def one(xr, xi, hr, hi, tl, blk):
+                sub = st._replace(spec_x_re=xr, spec_x_im=xi, spec_h_re=hr,
+                                  spec_h_im=hi, tail=tl)
+                out_st, out = pconv_step(scfg, sub, blk)
+                return (out_st.spec_x_re, out_st.spec_x_im, out_st.spec_h_re,
+                        out_st.spec_h_im, out_st.tail, out_st.wp, out_st.wp2,
+                        out)
+            xr, xi, hr, hi, tl, wp, wp2, out = jax.vmap(one)(
+                st.spec_x_re, st.spec_x_im, st.spec_h_re, st.spec_h_im,
+                st.tail, blks)
+            return st._replace(spec_x_re=xr, spec_x_im=xi, spec_h_re=hr,
+                               spec_h_im=hi, tail=tl, wp=wp[0],
+                               wp2=wp2[0]), out
+        return jax.lax.scan(body, state, blocks, unroll=unroll)
+
+    # largest channel-group size the VMEM budget takes
+    cmax = nch
+    while cmax > 1 and not fits_vmem_streamstep_batched(
+            cfg.nparts, cfg.bins, cmax):
+        cmax = (cmax + 1) // 2
+
+    nb_k = nb - nb % _STEP_GROUP
+    np_, b = cfg.nparts, cfg.bins
+    b0 = 2.0 if cfg.bin0_mode == "exact" else 1.0
+    z = jnp.asarray(0, state.wp.dtype)
+    wp_out = (state.wp + nb_k) % np_
+    outs_parts, ring_r_parts, ring_i_parts, tail_parts = [], [], [], []
+    for c0 in range(0, nch, cmax):
+        c1 = min(nch, c0 + cmax)
+        C = c1 - c0
+        w0r = jax.lax.dynamic_slice(
+            state.spec_x_re[c0:c1], (0, state.wp, z), (C, np_, b)
+        ).reshape(C * np_, b)
+        w0i = jax.lax.dynamic_slice(
+            state.spec_x_im[c0:c1], (0, state.wp, z), (C, np_, b)
+        ).reshape(C * np_, b)
+        rows = jnp.asarray(blocks[:nb_k, c0:c1], jnp.float32
+                           ).reshape(nb_k * C, cfg.pts)
+        outs, (wfr, wfi), tails = stream_steps_fused_batched(
+            rows, (w0r, w0i),
+            (state.spec_h_re[c0:c1].reshape(C * np_, b),
+             state.spec_h_im[c0:c1].reshape(C * np_, b)),
+            b0, state.tail[c0:c1], cfg.pts, C,
+            interpret=jax.default_backend() == "cpu")
+        outs_parts.append(outs.reshape(nb_k, C, cfg.pts))
+        ring_r_parts.append(
+            jnp.roll(wfr.reshape(C, np_, b), wp_out, axis=1))
+        ring_i_parts.append(
+            jnp.roll(wfi.reshape(C, np_, b), wp_out, axis=1))
+        tail_parts.append(tails)
+    ring_r = jnp.concatenate(ring_r_parts, axis=0)
+    ring_i = jnp.concatenate(ring_i_parts, axis=0)
+    state = state._replace(
+        spec_x_re=jnp.concatenate([ring_r, ring_r], axis=1),
+        spec_x_im=jnp.concatenate([ring_i, ring_i], axis=1),
+        tail=jnp.concatenate(tail_parts, axis=0), wp=wp_out)
+    outs = jnp.concatenate(outs_parts, axis=1)
+    if nb_k == nb:
+        return state, outs
+    state, rest = pconv_stream_batched(cfg, state, blocks[nb_k:])
+    return state, jnp.concatenate([outs, rest], axis=0)
+
+
 def _use_chunkmac(cfg: PconvConfig) -> bool:
     from .pallas.chunkmac import fits_vmem_chunkmac
     return (cfg.pallas != "off" and cfg._kernel_eligible()

@@ -1,5 +1,6 @@
 """Pallas kernel tests (interpret mode on CPU; compiled path runs on TPU)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -393,5 +394,38 @@ def test_stream_tv_kernel_matches_scan():
     # continuation across calls
     st_s, o_s2 = P.pconv_stream_tv(cfg_s, st_s, bx, bh)
     st_o, o_o2 = P.pconv_stream_tv(cfg_o, st_o, bx, bh)
+    np.testing.assert_allclose(np.asarray(o_s2), np.asarray(o_o2),
+                               atol=2e-5 * scale, rtol=0)
+
+
+def test_stream_batched_kernel_matches_vmapped_scan():
+    """Batched (multi-channel) whole-scan kernel == vmapped per-block
+    scan: outputs, shared ring pointer, per-channel rings and tails,
+    chained continuation."""
+    from opencl_fft_tpu.models.convolver import (_vmapped, _vmapped_push,
+                                                 batched_state)
+    from opencl_fft_tpu.ops import pconv as P
+
+    pts, nparts, nb, B = 128, 8, 21, 3
+    cfg_s = P.PconvConfig(pts=pts, nparts=nparts, pallas="stream")
+    cfg_o = P.PconvConfig(pts=pts, nparts=nparts, pallas="off")
+    irs = jnp.asarray(RNG.standard_normal((B, pts * nparts)) * 0.1,
+                      jnp.float32)
+    blocks = jnp.asarray(RNG.standard_normal((nb, B, pts)), jnp.float32)
+    st_s = _vmapped_push(cfg_s)(batched_state(cfg_s, B), irs)
+    st_o = _vmapped_push(cfg_o)(batched_state(cfg_o, B), irs)
+    st_s, o_s = P.pconv_stream_batched(cfg_s, st_s, blocks)
+    step = _vmapped(P.pconv_step, cfg_o)
+    st_o, o_o = jax.lax.scan(lambda s, b: step(s, b), st_o, blocks)
+    scale = float(jnp.abs(o_o).max()) + 1e-9
+    np.testing.assert_allclose(np.asarray(o_s), np.asarray(o_o),
+                               atol=2e-5 * scale, rtol=0)
+    assert int(st_s.wp) == int(st_o.wp)
+    np.testing.assert_array_equal(np.asarray(st_s.spec_x_re),
+                                  np.asarray(st_o.spec_x_re))
+    np.testing.assert_array_equal(np.asarray(st_s.tail),
+                                  np.asarray(st_o.tail))
+    st_s, o_s2 = P.pconv_stream_batched(cfg_s, st_s, blocks)
+    st_o, o_o2 = jax.lax.scan(lambda s, b: step(s, b), st_o, blocks)
     np.testing.assert_allclose(np.asarray(o_s2), np.asarray(o_o2),
                                atol=2e-5 * scale, rtol=0)

@@ -165,28 +165,61 @@ def main():
     d = np.max(np.abs(np.concatenate(ch) - np.stack(seq)))
     check("pconv_chunk == sequential", d / (np.max(np.abs(seq)) + 1e-9), 1e-6)
 
-    # the measured-winner Pallas block-step paths (_tuned.WINNERS) must
-    # agree with the XLA step at the configs auto-mode routes to them
+    # the measured-winner Pallas paths (_tuned.WINNERS) must agree with
+    # the XLA step at the configs auto-mode routes to them. 'stream'
+    # winners are whole-scan kernels — drive them through pconv_stream
+    # (>= 8 blocks engages the grid kernel; 14 covers the remainder path)
+    import jax as _jax
     from opencl_fft_tpu.ops.pallas import _tuned
     for (nparts_w, bins_w), mode in sorted(_tuned.WINNERS.items()):
         if mode == "xla" or bins_w > 1024:     # keep smoke light
             continue
         pts_w, ir_w = bins_w, nparts_w * bins_w
         irw = rng.standard_normal(ir_w).astype(np.float32)
-        bxw = rng.standard_normal((6, pts_w)).astype(np.float32)
+        nblk = 14 if mode == "stream" else 6
+        bxw = rng.standard_normal((nblk, pts_w)).astype(np.float32)
         outs = {}
         for m in ("off", mode):
             cfgm = P.PconvConfig.for_ir_length(ir_w, pts_w, pallas=m)
             stm = P.push_ir(cfgm, P.pconv_init(cfgm), jnp.asarray(irw))
-            ys = []
-            for b in bxw:
-                stm, o = P.pconv_step(cfgm, stm, jnp.asarray(b))
-                ys.append(np.asarray(o))
-            outs[m] = np.stack(ys)
+            if m == "stream":
+                _, ys = _jax.jit(lambda s, b, c=cfgm: P.pconv_stream(c, s, b)
+                                 )(stm, jnp.asarray(bxw))
+                outs[m] = np.asarray(ys)
+            else:
+                ys = []
+                for b in bxw:
+                    stm, o = P.pconv_step(cfgm, stm, jnp.asarray(b))
+                    ys.append(np.asarray(o))
+                outs[m] = np.stack(ys)
         err = np.max(np.abs(outs[mode] - outs["off"]))
         scale = np.max(np.abs(outs["off"])) + 1e-9
         check(f"pallas '{mode}' == xla @ ({nparts_w},{bins_w})",
               err / scale, 1e-5)
+
+    # batched serving path: the channel-stacked stream kernel vs the
+    # vmapped XLA scan, multi-group channel chunking exercised on-chip
+    from opencl_fft_tpu.models.convolver import (_vmapped, _vmapped_push,
+                                                 batched_state)
+    cfgb = P.PconvConfig.for_ir_length(1 << 15, 512)
+    if cfgb._use_stream_kernel():
+        Bs = 3
+        irsb = rng.standard_normal((Bs, 1 << 15)).astype(np.float32) * 0.1
+        bxb = rng.standard_normal((14, Bs, 512)).astype(np.float32)
+        stb = _jax.jit(_vmapped_push(cfgb))(batched_state(cfgb, Bs),
+                                            jnp.asarray(irsb))
+        _, ob_k = _jax.jit(lambda s, b: P.pconv_stream_batched(cfgb, s, b)
+                           )(stb, jnp.asarray(bxb))
+        cfgo = P.PconvConfig.for_ir_length(1 << 15, 512, pallas="off")
+        sto = _jax.jit(_vmapped_push(cfgo))(batched_state(cfgo, Bs),
+                                            jnp.asarray(irsb))
+        stepo = _vmapped(P.pconv_step, cfgo)
+        _, ob_x = _jax.jit(lambda s, b: _jax.lax.scan(
+            lambda st, blk: stepo(st, blk), s, b))(sto, jnp.asarray(bxb))
+        err = np.max(np.abs(np.asarray(ob_k) - np.asarray(ob_x)))
+        scale = np.max(np.abs(np.asarray(ob_x))) + 1e-9
+        check("batched stream == vmapped xla @ (64,512)x3ch", err / scale,
+              1e-5)
 
     # offline render (chunk-MAC kernel) == sequential streaming.
     # cfg2 (bins=64) is NOT kernel-eligible (bins % 128), so build a
