@@ -87,12 +87,12 @@ def _mac_floor_s(nparts, bins, blocks, batch=1, bw=3e12):
     return max(blocks * bytes_per_block / bw, 0.2e-6 * blocks)
 
 
-def _stream_floor_s(cfg, blocks, batch=1, bw=3e12):
+def _stream_floor_s(cfg, blocks, batch=1, bw=3e12, tv=False):
     """Physical floor for the streaming engine, aware of the grid-streamed
     kernel: when it carries the scan the ring planes stay VMEM-resident
     across blocks, so the only per-block HBM traffic is the (pts,) block
     in and out — the MAC-plane floor would reject its legitimate speed."""
-    if cfg._use_stream_kernel():
+    if cfg._use_stream_kernel(tv=tv):
         return max(blocks * 2 * cfg.pts * 4 * batch / bw, 0.02e-6 * blocks)
     return _mac_floor_s(cfg.nparts, cfg.bins, blocks, batch=batch, bw=bw)
 
@@ -122,7 +122,7 @@ def bench_pconv_rt(pts=512, ir_len=1 << 17, tv=False, scan_blocks=1880):
 
     per_scan = _time_chained(
         fn, make_state, args,
-        floor_s=_stream_floor_s(cfg, scan_blocks))
+        floor_s=_stream_floor_s(cfg, scan_blocks, tv=tv))
     per_block = per_scan / scan_blocks
     return (pts / SR) / per_block, per_block
 

@@ -84,7 +84,7 @@ def rt_ratio(pts: int, ir_len: int, scan_blocks: int = 512, reps: int = 4,
     # floor-guarded deltas; see its docstring for the drift rationale).
     from ..utils.profiling import median_chain_delta
 
-    if cfg._use_stream_kernel():
+    if cfg._use_stream_kernel(tv=tv):
         # grid-streamed kernel: ring planes stay VMEM-resident across the
         # scan; per-block HBM traffic is only the (pts,) block in/out
         floor_block = max(2 * cfg.pts * 4 * 2 / 3e12, 0.02e-6)

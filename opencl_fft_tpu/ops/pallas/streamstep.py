@@ -46,14 +46,26 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def fits_vmem_streamstep(nparts: int, bins: int) -> bool:
-    """VMEM budget: wfwd (b, 2b) + wpost (2b, 2b) + h planes + window
-    in/out planes + the pipelined block slices, with margin under the
-    raised scoped cap (the grid pipeline double-buffers the small
-    per-step blocks only)."""
+    """VMEM budget for the LTI kernel: wfwd (b, 2b) + wpost (2b, 2b)
+    tables + 8 resident (nparts, bins) planes — h in (2), window in (2),
+    window out (2), window scratch (2) — plus the pipelined block slices,
+    with margin under the raised scoped cap (the grid pipeline
+    double-buffers the small per-step blocks only)."""
     if nparts < 8 or bins % 128:
         return False
     tables = (2 * bins * bins + 4 * bins * bins) * 4
-    planes = 6 * nparts * bins * 4          # h + W_in + W_out, re/im each
+    planes = 8 * nparts * bins * 4
+    return tables + planes <= 80 * 1024 * 1024
+
+
+def fits_vmem_streamstep_tv(nparts: int, bins: int) -> bool:
+    """VMEM budget for the TIME-VARYING kernel: the h ring streams too, so
+    it is 12 resident planes — in/out/scratch pairs for BOTH operands.
+    (nparts, bins) = (4096, 512) fits the LTI kernel but not this one."""
+    if not fits_vmem_streamstep(nparts, bins):
+        return False
+    tables = (2 * bins * bins + 4 * bins * bins) * 4
+    planes = 12 * nparts * bins * 4
     return tables + planes <= 80 * 1024 * 1024
 
 

@@ -161,18 +161,23 @@ class PconvConfig:
             return _tuned.WINNERS.get((self.nparts, self.bins)) == "blockf"
         return False
 
-    def _use_stream_kernel(self) -> bool:
+    def _use_stream_kernel(self, tv: bool = False) -> bool:
         """GRID-STREAMED scan kernel (ops/pallas/streamstep.py): the whole
         multi-block stream as one launch, window/tables/tail VMEM-resident
         across sequential grid steps.
 
         Only reachable through ``pconv_stream`` (it needs the whole block
         batch). "stream" opts in explicitly; "auto" follows the measured
-        winners table like the other kernel modes."""
-        from .pallas.streamstep import fits_vmem_streamstep
+        winners table like the other kernel modes. The TV kernel keeps the
+        h ring resident too, so it has a tighter VMEM gate — at shapes
+        where only the LTI kernel fits (e.g. nparts=4096, bins=512), TV
+        falls back to the scan."""
+        from .pallas.streamstep import (fits_vmem_streamstep,
+                                        fits_vmem_streamstep_tv)
         if not self._kernel_eligible():
             return False
-        if not fits_vmem_streamstep(self.nparts, self.bins):
+        fits = fits_vmem_streamstep_tv if tv else fits_vmem_streamstep
+        if not fits(self.nparts, self.bins):
             return False
         if self.pallas == "stream":
             return True
@@ -717,7 +722,7 @@ def pconv_stream_tv(cfg: PconvConfig, state: PconvState, blocks_x: Float,
     kernel is selected, as one launch — see pconv_stream)."""
     from .pallas.streamstep import _STEP_GROUP
     if (jnp.ndim(blocks_x) == 2 and jnp.shape(blocks_x)[0] >= _STEP_GROUP
-            and cfg._use_stream_kernel()):
+            and cfg._use_stream_kernel(tv=True)):
         return _pconv_stream_tv_kernel(cfg, state, blocks_x, blocks_h)
 
     def body(st, blks):

@@ -353,12 +353,21 @@ def test_stream_kernel_matches_scan(bin0_mode):
 
 def test_stream_kernel_gate():
     from opencl_fft_tpu.ops import pconv as P
-    from opencl_fft_tpu.ops.pallas.streamstep import fits_vmem_streamstep
+    from opencl_fft_tpu.ops.pallas.streamstep import (
+        fits_vmem_streamstep, fits_vmem_streamstep_tv)
 
     assert fits_vmem_streamstep(256, 512)          # headline shape
     assert fits_vmem_streamstep(128, 1024)
     assert not fits_vmem_streamstep(64, 2048)      # tables blow the budget
     assert not fits_vmem_streamstep(4, 128)        # nparts too small
+    # the TV kernel keeps the h ring resident too (12 planes vs 8): the
+    # L=2^21 @ 512 shape fits LTI only
+    assert fits_vmem_streamstep(4096, 512)
+    assert not fits_vmem_streamstep_tv(4096, 512)
+    assert fits_vmem_streamstep_tv(2048, 512)
+    cfg_big = P.PconvConfig(pts=512, nparts=4096, pallas="stream")
+    assert cfg_big._use_stream_kernel()
+    assert not cfg_big._use_stream_kernel(tv=True)
     # stream mode never engages the per-block kernel gates
     cfg = P.PconvConfig(pts=512, nparts=256, pallas="stream")
     assert not cfg._use_pallas_blockstep()

@@ -35,6 +35,9 @@ CONFIGS = [                     # (pts, ir_len): headline + the full
     (512, 1 << 17),             # benchmark-grid / serving shapes that
     (512, 1 << 16),             # pass the kernels' VMEM gates
     (512, 1 << 18),
+    (512, 1 << 19),             # M=512 benchmark row, long-IR points:
+    (512, 1 << 20),             # nparts 1024-4096 fit only the stream
+    (512, 1 << 21),             # kernel's budget
     (256, 1 << 16),
     (256, 1 << 15),
     (1024, 1 << 17),
@@ -71,10 +74,31 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rounds", type=int, default=4)
     ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--only", type=str, default=None,
+                    help="comma-separated pts:log2L pairs (e.g. "
+                         "'512:19,512:20') — tune only these and MERGE "
+                         "into the existing table instead of replacing it")
     args = ap.parse_args()
 
+    configs = CONFIGS
+    merge_existing = False
+    if args.only:
+        want = set()
+        for tok in args.only.split(","):
+            p, ll = tok.split(":")
+            want.add((int(p), 1 << int(ll)))
+        configs = [c for c in CONFIGS if c in want] + sorted(
+            want - set(CONFIGS))
+        merge_existing = True
+
     results = {}
-    for pts, ir_len in CONFIGS:
+    if merge_existing:
+        from opencl_fft_tpu.ops.pallas import _tuned
+        # keep prior measurements (tag only; the comment row is lost for
+        # merged-in entries, so re-cite the raw log)
+        for key, tag in _tuned.WINNERS.items():
+            results[key] = (tag if tag != "xla" else "off", None)
+    for pts, ir_len in configs:
         nparts = ir_len // pts
         modes = ["off"]
         if fits_vmem_streamstep(nparts, pts):
@@ -136,7 +160,9 @@ def main():
                 'this; unmeasured shapes use XLA."""\n\nWINNERS = {\n')
         for (nparts, bins), (winner, row) in sorted(results.items()):
             tag = winner if winner != "off" else "xla"
-            f.write(f"    ({nparts}, {bins}): {tag!r},  # us/block: {row}\n")
+            note = (f"  # us/block: {row}" if row is not None
+                    else "  # carried over (see prior tune logs)")
+            f.write(f"    ({nparts}, {bins}): {tag!r},{note}\n")
         f.write("}\n")
     print(f"wrote {out}", file=sys.stderr)
 
