@@ -1,13 +1,14 @@
-"""Interleaved on-chip A/B of 2^16 factorization-tree candidates.
+"""Interleaved on-chip A/B of four-step factorization-tree candidates.
 
-The 2^16 sweep point is the weakest FFT size: the tuned outer split
-(n1=128) recurses its n2=512 factor through PLANS[512]=8, and that inner
-8x64 tree routes through the swapaxes path (8 < _AXIS2_MIN_N1), paying
-transpose passes that the flop count hides. This tool times the full
-production path (fft_split impl="mm", fused 1/sqrt(N) scale — exactly
-what bench.py's sweep runs) with the candidate trees patched into
-_SPLIT_OVERRIDES at trace time, round-robin across candidates so every
-one sees the same relay-drift window; min over rounds.
+The tuned outer splits recurse their inner factors through the same
+PLANS table that was tuned for STANDALONE transforms — e.g. at 2^16 the
+n2=512 factor goes through PLANS[512]=8, and that inner 8x64 tree routes
+through the swapaxes path (8 < _AXIS2_MIN_N1), paying transpose passes
+the flop count hides. This tool times the full production path
+(fft_split impl="mm", fused 1/sqrt(N) scale — exactly what bench.py's
+sweep runs) with candidate trees patched into _SPLIT_OVERRIDES at trace
+time, round-robin across candidates so every one sees the same
+relay-drift window; min over rounds.
 
     python tools/fft_plan16.py [--rounds 4] [--logn 16]
 """
@@ -28,23 +29,34 @@ import jax.numpy as jnp
 
 from opencl_fft_tpu.ops import fft as F
 
-# candidate -> (override patch, out_t flag). Factor-sum in brackets is
-# the per-point leaf-MAC weight (n1+n2 summed down the tree) — the MXU
-# flop proxy; passes is the rough HBM-sweep count.
-CANDIDATES = {
-    # status quo: 128 x (8 x 64)            [200], transposes in the 8-leaf
-    "cur":     ({}, False),
-    # 128 x dense-512                       [640], 2 passes, flop-heavy
-    "i512d":   ({512: 0}, False),
-    # 128 x (64 x 8): axis-2 64-leaf first  [200], trailing 8-leaf
-    "i512_64": ({512: 64}, False),
-    # 256 x 256 both dense                  [512], 2 passes + final T
-    "b256":    ({65536: 256, 256: 0}, False),
-    # 256 x 256 dense, final T fused into the second leaf matmul
-    "b256t":   ({65536: 256, 256: 0}, True),
-    # dense-512 x 128                       [640], axis-2 512-leaf first
-    "o512":    ({65536: 512, 512: 0}, False),
-}
+
+def candidates(logn: int):
+    """Candidate trees for one size: name -> (override patch, out_t).
+
+    Always includes the status quo; adds inner-factor restructurings
+    (dense leaf, transpose-free >=64 splits) and the balanced
+    dense-dense split where both factors fit _MAX_DIRECT."""
+    n = 1 << logn
+    n1 = F._split_factors(n, 1 << 30)[0]
+    n2 = n // n1
+    cands = {"cur": ({}, False)}
+    for fac, tag in ((n1, "l"), (n2, "r")):
+        if F.MAX_RADIX < fac <= F._MAX_DIRECT:
+            # recursing factor as one dense leaf: flop-heavy,
+            # transpose-free
+            cands[f"{tag}{fac}d"] = ({fac: 0}, False)
+            # or split with a transpose-free (>=64) left leaf
+            if fac > 128:
+                cands[f"{tag}{fac}_64"] = ({fac: 64}, False)
+                if fac // 128 >= 8:
+                    cands[f"{tag}{fac}_128"] = ({fac: 128}, False)
+    h = 1 << (logn // 2)
+    if h <= F._MAX_DIRECT and h != n1:
+        # balanced dense x dense (fewest levels), +fused-transpose leaf
+        patch = {n: h, h: 0, n // h: 0}
+        cands[f"b{h}"] = (patch, False)
+        cands[f"b{h}t"] = (patch, True)
+    return cands
 
 
 def make_runner(logn: int, patch: dict, out_t: bool, iters: int):
@@ -95,8 +107,9 @@ def main():
     n = 1 << logn
     iters = 200 if logn <= 14 else 50
     runners = {}
-    for name, (patch, out_t) in CANDIDATES.items():
-        print(f"compiling {name} ...", file=sys.stderr, flush=True)
+    for name, (patch, out_t) in candidates(logn).items():
+        print(f"compiling {name} {patch} out_t={out_t} ...",
+              file=sys.stderr, flush=True)
         runners[name] = make_runner(logn, patch, out_t, iters)
 
     best = {v: float("inf") for v in runners}
@@ -120,10 +133,10 @@ def main():
     print("--- best (min over rounds) ---", file=sys.stderr)
     for v in runners:
         if not np.isfinite(best[v]):
-            print(f"{v:8s}: UNMEASURABLE", file=sys.stderr)
+            print(f"{v:10s}: UNMEASURABLE", file=sys.stderr)
             continue
         gf = 5 * n * logn * batch / best[v] / 1e9
-        print(f"{v:8s}: {best[v]*1e6:9.1f} us {gf:8.1f} GFLOP/s "
+        print(f"{v:10s}: {best[v]*1e6:9.1f} us {gf:8.1f} GFLOP/s "
               f"wins={wins[v]}", file=sys.stderr, flush=True)
 
 
