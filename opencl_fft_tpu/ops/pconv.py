@@ -80,10 +80,10 @@ class PconvConfig:
         if self.bin0_mode not in ("exact", "compat"):
             raise ValueError(f"bin0_mode must be 'exact' or 'compat', got {self.bin0_mode}")
         if self.pallas not in ("auto", "on", "off", "block", "blockf",
-                               "stream"):
+                               "stream", "split"):
             raise ValueError(
                 f"pallas must be 'auto'|'on'|'off'|'block'|'blockf'|"
-                f"'stream', got {self.pallas}")
+                f"'stream'|'split', got {self.pallas}")
         if self.ring_dtype not in ("f32", "bf16"):
             raise ValueError(f"ring_dtype must be 'f32'|'bf16', got {self.ring_dtype}")
         if self.dtype not in ("f32", "f64"):
@@ -161,30 +161,43 @@ class PconvConfig:
             return _tuned.WINNERS.get((self.nparts, self.bins)) == "blockf"
         return False
 
-    def _use_stream_kernel(self, tv: bool = False) -> bool:
-        """GRID-STREAMED scan kernel (ops/pallas/streamstep.py): the whole
-        multi-block stream as one launch, window/tables/tail VMEM-resident
-        across sequential grid steps.
+    def _stream_kernel_impl(self, tv: bool = False):
+        """Which grid-streamed scan kernel carries a whole-scan launch:
+        None (scan fallback), "classic" (dense-table streamstep.py) or
+        "split" (half-table splitstep.py — the factored tables fit
+        bins=2048 where the dense ones cannot).
 
-        Only reachable through ``pconv_stream`` (it needs the whole block
-        batch). "stream" opts in explicitly; "auto" follows the measured
-        winners table like the other kernel modes. The TV kernel keeps the
-        h ring resident too, so it has a tighter VMEM gate — at shapes
-        where only the LTI kernel fits (e.g. nparts=4096, bins=512), TV
-        falls back to the scan."""
+        Only reachable through ``pconv_stream``/``_tv`` (they need the
+        whole block batch). "stream"/"split" opt in explicitly; "auto"
+        follows the measured winners table like the other kernel modes.
+        The TV kernels keep the h ring resident too, so each impl has a
+        tighter TV gate — at shapes where only the LTI kernel fits
+        (e.g. nparts=4096, bins=512), TV falls back to the scan."""
+        from .pallas.splitstep import (fits_vmem_splitstep,
+                                       fits_vmem_splitstep_tv)
         from .pallas.streamstep import (fits_vmem_streamstep,
                                         fits_vmem_streamstep_tv)
         if not self._kernel_eligible():
-            return False
-        fits = fits_vmem_streamstep_tv if tv else fits_vmem_streamstep
-        if not fits(self.nparts, self.bins):
-            return False
+            return None
+        fits_c = fits_vmem_streamstep_tv if tv else fits_vmem_streamstep
+        fits_s = fits_vmem_splitstep_tv if tv else fits_vmem_splitstep
+        classic = fits_c(self.nparts, self.bins)
+        split = fits_s(self.nparts, self.bins)
         if self.pallas == "stream":
-            return True
+            return "classic" if classic else ("split" if split else None)
+        if self.pallas == "split":
+            return "split" if split else None
         if self.pallas == "auto":
             from .pallas import _tuned
-            return _tuned.WINNERS.get((self.nparts, self.bins)) == "stream"
-        return False
+            tag = _tuned.WINNERS.get((self.nparts, self.bins))
+            if tag == "stream" and classic:
+                return "classic"
+            if tag == "split" and split:
+                return "split"
+        return None
+
+    def _use_stream_kernel(self, tv: bool = False) -> bool:
+        return self._stream_kernel_impl(tv=tv) is not None
 
     @property
     def bins(self) -> int:
@@ -622,9 +635,11 @@ def _pconv_stream_kernel(cfg: PconvConfig, state: PconvState, blocks: Float
     dynamic roll). Per-block semantics identical to pconv_step."""
     import jax as _jax
 
-    from .pallas.streamstep import stream_steps_fused
+    from .pallas.splitstep import stream_steps_fused_split
+    from .pallas.streamstep import _STEP_GROUP, stream_steps_fused
 
-    from .pallas.streamstep import _STEP_GROUP
+    fused = (stream_steps_fused_split
+             if cfg._stream_kernel_impl() == "split" else stream_steps_fused)
 
     nb = blocks.shape[0]
     nb_k = nb - nb % _STEP_GROUP           # kernel takes whole groups
@@ -634,7 +649,7 @@ def _pconv_stream_kernel(cfg: PconvConfig, state: PconvState, blocks: Float
     # window row q = frame (wp0 + q): doubled-ring rows [wp0, wp0+nparts)
     w0r = jax.lax.dynamic_slice(state.spec_x_re, (state.wp, z), (np_, b))
     w0i = jax.lax.dynamic_slice(state.spec_x_im, (state.wp, z), (np_, b))
-    outs, (wfr, wfi), tailf = stream_steps_fused(
+    outs, (wfr, wfi), tailf = fused(
         blocks[:nb_k], (w0r, w0i), (state.spec_h_re, state.spec_h_im), b0,
         state.tail, cfg.pts, interpret=_jax.default_backend() == "cpu")
     wp_out = (state.wp + nb_k) % np_
@@ -680,7 +695,12 @@ def _pconv_stream_tv_kernel(cfg: PconvConfig, state: PconvState,
     so it needs no translation), wp2 threaded as a scalar."""
     import jax as _jax
 
+    from .pallas.splitstep import stream_steps_fused_split_tv
     from .pallas.streamstep import _STEP_GROUP, stream_steps_fused_tv
+
+    fused_tv = (stream_steps_fused_split_tv
+                if cfg._stream_kernel_impl(tv=True) == "split"
+                else stream_steps_fused_tv)
 
     nb = blocks_x.shape[0]
     nb_k = nb - nb % _STEP_GROUP
@@ -694,7 +714,7 @@ def _pconv_stream_tv_kernel(cfg: PconvConfig, state: PconvState,
         [jnp.asarray(blocks_x[:nb_k], jnp.float32),
          jnp.asarray(blocks_h[:nb_k], jnp.float32)],
         axis=1).reshape(2 * nb_k, cfg.pts)
-    outs, (wfr, wfi), (hfr, hfi), tailf = stream_steps_fused_tv(
+    outs, (wfr, wfi), (hfr, hfi), tailf = fused_tv(
         blocks2, (w0r, w0i), (state.spec_h_re, state.spec_h_im),
         state.wp2, b0, state.tail, cfg.pts,
         interpret=_jax.default_backend() == "cpu")
