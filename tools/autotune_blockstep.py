@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from opencl_fft_tpu.ops import pconv as P
 from opencl_fft_tpu.ops.pallas.blockstep import fits_vmem_blockstep
 from opencl_fft_tpu.ops.pallas.mac import fits_vmem
+from opencl_fft_tpu.ops.pallas.splitstep import fits_vmem_splitstep
 from opencl_fft_tpu.ops.pallas.streamstep import fits_vmem_streamstep
 from opencl_fft_tpu.utils.profiling import median_chain_delta
 
@@ -44,6 +45,9 @@ CONFIGS = [                     # (pts, ir_len): headline + the full
     (1024, 1 << 18),
     (2048, 1 << 18),
     (2048, 1 << 19),
+    (2048, 1 << 16),            # M=2048 benchmark row: only the
+    (2048, 1 << 17),            # half-table split kernel fits these
+    (2048, 1 << 20),            # (tables 2*bins^2 vs the dense 6*bins^2)
     (128, 1 << 14),
 ]
 
@@ -103,6 +107,8 @@ def main():
         modes = ["off"]
         if fits_vmem_streamstep(nparts, pts):
             modes.append("stream")          # whole-scan grid kernel
+        elif fits_vmem_splitstep(nparts, pts):
+            modes.append("split")           # half-table whole-scan kernel
         if fits_vmem_blockstep(nparts, pts):
             modes.append("block")
             modes.append("blockf")          # fully fused (forward inside)
