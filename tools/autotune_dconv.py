@@ -1,0 +1,109 @@
+"""Interleaved on-chip A/B: XLA direct-FIR scan vs the whole-scan kernel.
+
+Same estimator conventions as tools/autotune_blockstep.py (median of >= 2
+floor-guarded deltas per round, min over interleaved rounds). Merges the
+winners into _tuned.DCONV_WINNERS in place (the blockstep tuner's writer
+preserves this table when it regenerates the file).
+
+    python tools/autotune_dconv.py [--rounds 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+from opencl_fft_tpu.ops import dconv as D
+from opencl_fft_tpu.ops.pallas.dstream import fits_dstream
+from opencl_fft_tpu.utils.profiling import median_chain_delta
+
+CONFIGS = [                     # (irsize, vsize): the bench config + the
+    (512, 512),                 # common streaming shapes the gate admits
+    (1024, 512),
+    (512, 128),
+    (1024, 1024),
+]
+
+
+def make_runner(irsize, vsize, mode, scan_blocks=512):
+    cfg = D.DconvConfig(irsize=irsize, vsize=vsize, pallas=mode)
+    rng = np.random.default_rng(0)
+    ir = jnp.asarray(rng.standard_normal(irsize), jnp.float32)
+    base = jax.tree.map(np.asarray, D.push_ir(cfg, D.dconv_init(cfg), ir))
+    blocks = jnp.asarray(rng.standard_normal((scan_blocks, vsize)) * 0.1,
+                         jnp.float32)
+    fn = jax.jit(partial(D.dconv_stream, cfg), donate_argnums=(0,))
+
+    def run(reps):
+        st = jax.tree.map(jnp.asarray, base)
+        t0 = time.time()
+        out = None
+        for _ in range(reps):
+            st, out = fn(st, blocks)
+        float(jnp.sum(out[..., :1]))
+        return time.time() - t0
+
+    run(1)
+    return run, scan_blocks
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rounds", type=int, default=4)
+    ap.add_argument("--reps", type=int, default=4)
+    args = ap.parse_args()
+
+    results = {}
+    for irsize, vsize in CONFIGS:
+        if not fits_dstream(irsize, vsize):
+            continue
+        runners = {m: make_runner(irsize, vsize, m)
+                   for m in ("off", "stream")}
+        nb = runners["off"][1]
+        floor = max(nb * 2 * vsize * 4 / 3e12, 0.02e-6 * nb)
+        best = {m: float("inf") for m in runners}
+        for _ in range(args.rounds):
+            for m, (run, _) in runners.items():
+                dt, _n = median_chain_delta(
+                    lambda k: run(k), args.reps, floor)
+                if dt is not None:
+                    best[m] = min(best[m], dt / nb)
+        measured = {m: v for m, v in best.items() if np.isfinite(v)}
+        if not measured:
+            print(f"irsize={irsize} vsize={vsize}: UNMEASURABLE",
+                  file=sys.stderr, flush=True)
+            continue
+        winner = min(measured, key=measured.get)
+        row = {m: round(v * 1e6, 2) for m, v in measured.items()}
+        results[(irsize, vsize)] = winner
+        print(f"irsize={irsize} vsize={vsize}: "
+              + "  ".join(f"{m}={row[m]}us" for m in row)
+              + f"  -> {winner}", file=sys.stderr, flush=True)
+
+    # merge into _tuned.py in place: replace the DCONV_WINNERS body
+    path = "opencl_fft_tpu/ops/pallas/_tuned.py"
+    src = open(path).read()
+    from opencl_fft_tpu.ops.pallas import _tuned
+    table = dict(getattr(_tuned, "DCONV_WINNERS", {}))
+    for key, winner in results.items():
+        table[key] = "stream" if winner == "stream" else "xla"
+    body = "".join(f"    {k}: {v!r},\n" for k, v in sorted(table.items()))
+    new = re.sub(r"DCONV_WINNERS = \{[^}]*\}",
+                 "DCONV_WINNERS = {\n" + body + "}", src, flags=re.S)
+    with open(path, "w") as f:
+        f.write(new)
+    print(f"merged {len(results)} entries into {path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
