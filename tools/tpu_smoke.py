@@ -176,13 +176,13 @@ def main():
             continue
         pts_w, ir_w = bins_w, nparts_w * bins_w
         irw = rng.standard_normal(ir_w).astype(np.float32)
-        nblk = 14 if mode == "stream" else 6
+        nblk = 14 if mode in ("stream", "split") else 6
         bxw = rng.standard_normal((nblk, pts_w)).astype(np.float32)
         outs = {}
         for m in ("off", mode):
             cfgm = P.PconvConfig.for_ir_length(ir_w, pts_w, pallas=m)
             stm = P.push_ir(cfgm, P.pconv_init(cfgm), jnp.asarray(irw))
-            if m == "stream":
+            if m in ("stream", "split"):
                 _, ys = _jax.jit(lambda s, b, c=cfgm: P.pconv_stream(c, s, b)
                                  )(stm, jnp.asarray(bxw))
                 outs[m] = np.asarray(ys)
@@ -196,6 +196,40 @@ def main():
         scale = np.max(np.abs(outs["off"])) + 1e-9
         check(f"pallas '{mode}' == xla @ ({nparts_w},{bins_w})",
               err / scale, 1e-5)
+
+    # half-table split kernel on-chip (its reason to exist is bins=2048,
+    # but correctness is shape-independent — validate at a compile-light
+    # shape; the 2048-bin compile happens in autotune_blockstep)
+    cfg_sp = P.PconvConfig(pts=512, nparts=16, pallas="split")
+    if cfg_sp._stream_kernel_impl() == "split":
+        irw = rng.standard_normal(512 * 16).astype(np.float32)
+        bxw = rng.standard_normal((14, 512)).astype(np.float32)
+        cfg_of = P.PconvConfig(pts=512, nparts=16, pallas="off")
+        st_sp = P.push_ir(cfg_sp, P.pconv_init(cfg_sp), jnp.asarray(irw))
+        st_of = P.push_ir(cfg_of, P.pconv_init(cfg_of), jnp.asarray(irw))
+        _, y_sp = _jax.jit(lambda s, b: P.pconv_stream(cfg_sp, s, b)
+                           )(st_sp, jnp.asarray(bxw))
+        _, y_of = _jax.jit(lambda s, b: P.pconv_stream(cfg_of, s, b)
+                           )(st_of, jnp.asarray(bxw))
+        err = np.max(np.abs(np.asarray(y_sp) - np.asarray(y_of)))
+        check("pallas 'split' == xla @ (16,512)",
+              err / (np.max(np.abs(np.asarray(y_of))) + 1e-9), 1e-5)
+
+    # direct-FIR whole-scan kernel on-chip vs the XLA scan
+    cfg_dk = D.DconvConfig(irsize=512, vsize=512, pallas="stream")
+    if cfg_dk._use_stream_kernel():
+        ird = rng.standard_normal(512).astype(np.float32)
+        bxd = rng.standard_normal((14, 512)).astype(np.float32)
+        cfg_do = D.DconvConfig(irsize=512, vsize=512, pallas="off")
+        st_dk = D.push_ir(cfg_dk, D.dconv_init(cfg_dk), jnp.asarray(ird))
+        st_do = D.push_ir(cfg_do, D.dconv_init(cfg_do), jnp.asarray(ird))
+        _, y_dk = _jax.jit(lambda s, b: D.dconv_stream(cfg_dk, s, b)
+                           )(st_dk, jnp.asarray(bxd))
+        _, y_do = _jax.jit(lambda s, b: D.dconv_stream(cfg_do, s, b)
+                           )(st_do, jnp.asarray(bxd))
+        err = np.max(np.abs(np.asarray(y_dk) - np.asarray(y_do)))
+        check("dconv 'stream' == xla @ (512,512)",
+              err / (np.max(np.abs(np.asarray(y_do))) + 1e-9), 1e-5)
 
     # batched serving path: the channel-stacked stream kernel vs the
     # vmapped XLA scan, multi-group channel chunking exercised on-chip
