@@ -110,19 +110,33 @@ def exact_precision():
 # back to the large one, then to the balanced default.
 _SPLIT_OVERRIDES: dict = {}
 _SPLIT_OVERRIDES_SMALL: dict = {}
+_INNER_OVERRIDES: dict = {}         # non-root factors only (see
+#                                     _plan_lookup's docstring)
 _SMALL_WS_ELEMS = 1 << 18           # < 2MB split working set => "small"
 
 try:                                       # tuned tables are optional
     from . import _fft_plans as _P
     _SPLIT_OVERRIDES.update(getattr(_P, "PLANS", {}))
     _SPLIT_OVERRIDES_SMALL.update(getattr(_P, "PLANS_SMALL", {}))
+    _INNER_OVERRIDES.update(getattr(_P, "PLANS_INNER", {}))
 except ImportError:
     pass
 
 
-def _plan_lookup(n: int, elems: int):
+def _plan_lookup(n: int, elems: int, inner: bool = False):
     """Tuned left factor for an n-point transform over `elems` total
-    elements; None if untuned."""
+    elements; None if untuned.
+
+    ``inner`` marks a non-root factor inside a larger four-step tree.
+    The standalone tables were tuned at the ROOT operating point, where
+    the factor's own HBM passes dominate — but as an inner node the same
+    size sits between a digit transpose and a twiddle pass, so its best
+    split can differ (e.g. PLANS[512]=8 routes the 8-leaf through the
+    swapaxes path, fine standalone, transpose-heavy inside 2^16).
+    _INNER_OVERRIDES wins for inner nodes when present; it is filled by
+    on-chip A/Bs (tools/fft_plan16.py)."""
+    if inner and n in _INNER_OVERRIDES:
+        return _INNER_OVERRIDES[n]
     if elems < _SMALL_WS_ELEMS and n in _SPLIT_OVERRIDES_SMALL:
         return _SPLIT_OVERRIDES_SMALL[n]
     if n in _SPLIT_OVERRIDES:
@@ -177,13 +191,14 @@ def _stage_twiddle_np(m: int, sign: int, npdt=np.float32
     return w.real.astype(npdt), w.imag.astype(npdt)
 
 
-def _split_factors(n: int, elems: int) -> Tuple[int, int]:
+def _split_factors(n: int, elems: int, inner: bool = False
+                   ) -> Tuple[int, int]:
     """Power-of-two factorization n = n1 * n2 (tuned table, else balanced).
 
     The balanced default recurses both factors to leaves <= MAX_RADIX in
     O(log log n) levels (e.g. 2^20 -> (1024, 1024) -> (32, 32) leaves).
     """
-    n1 = _plan_lookup(n, elems)
+    n1 = _plan_lookup(n, elems, inner)
     if n1:
         return n1, n // n1
     k = ilog2(n)
@@ -191,10 +206,10 @@ def _split_factors(n: int, elems: int) -> Tuple[int, int]:
     return n1, n // n1
 
 
-def _is_leaf(n: int, elems: int) -> bool:
+def _is_leaf(n: int, elems: int, inner: bool = False) -> bool:
     if n <= MAX_RADIX:
         return True
-    return n <= _MAX_DIRECT and _plan_lookup(n, elems) == 0
+    return n <= _MAX_DIRECT and _plan_lookup(n, elems, inner) == 0
 
 
 # ---------------------------------------------------------------------------
@@ -235,15 +250,17 @@ def _leaf_dft_out_t(re, im, sign):
     return y[..., :n, :], y[..., n:, :]
 
 
-def _fft_mm(x: Cplx, sign: int) -> Cplx:
-    """Unnormalized DFT over the last axis via recursive four-step matmuls."""
+def _fft_mm(x: Cplx, sign: int, inner: bool = False) -> Cplx:
+    """Unnormalized DFT over the last axis via recursive four-step
+    matmuls. ``inner`` marks non-root calls (factor transforms inside a
+    larger tree) — they consult _INNER_OVERRIDES first."""
     re, im = x
     n = re.shape[-1]
     elems = re.size            # static at trace time; constant down the
     #                            recursion, so one plan bucket per call tree
-    if _is_leaf(n, elems):
+    if _is_leaf(n, elems, inner):
         return _leaf_dft(re, im, sign, -1)
-    n1, n2 = _split_factors(n, elems)
+    n1, n2 = _split_factors(n, elems, inner)
     batch = re.shape[:-1]
 
     def shape_to(a, trailing):
@@ -251,24 +268,24 @@ def _fft_mm(x: Cplx, sign: int) -> Cplx:
 
     re = shape_to(re, (n1, n2))
     im = shape_to(im, (n1, n2))
-    if _is_leaf(n1, elems) and n1 >= _AXIS2_MIN_N1:
+    if _is_leaf(n1, elems, True) and n1 >= _AXIS2_MIN_N1:
         # transpose-free first factor: contract n1 over axis -2 directly
         # (wins ~20% at 2^20; hurts small transforms, hence the gate)
         re, im = _leaf_dft(re, im, sign, -2)             # (..., k1, n2)
     else:
         re = jnp.swapaxes(re, -1, -2)                    # (..., n2, n1)
         im = jnp.swapaxes(im, -1, -2)
-        re, im = _fft_mm((re, im), sign)                 # DFT over n1
+        re, im = _fft_mm((re, im), sign, inner=True)     # DFT over n1
         re = jnp.swapaxes(re, -1, -2)                    # (..., k1, n2)
         im = jnp.swapaxes(im, -1, -2)
     twr, twi = _fourstep_twiddle_np(n1, n2, sign, k1_major=True,
                                     npdt=np.dtype(re.dtype))
     twr, twi = jnp.asarray(twr), jnp.asarray(twi)
     re, im = re * twr - im * twi, re * twi + im * twr
-    if _is_leaf(n2, elems) and n2 >= _OUT_T_MIN_N2:
+    if _is_leaf(n2, elems, True) and n2 >= _OUT_T_MIN_N2:
         re, im = _leaf_dft_out_t(re, im, sign)           # (..., k2, k1)
     else:
-        re, im = _fft_mm((re, im), sign)                 # DFT over n2
+        re, im = _fft_mm((re, im), sign, inner=True)     # DFT over n2
         re = jnp.swapaxes(re, -1, -2)                    # (..., k2, k1)
         im = jnp.swapaxes(im, -1, -2)
     return shape_to(re, (n,)), shape_to(im, (n,))

@@ -199,3 +199,29 @@ def test_fused_scale_scalar_size_one():
                         scale=0.5)
     np.testing.assert_allclose(np.asarray(got[0]), [1.0])
     np.testing.assert_allclose(np.asarray(got[1]), [1.5])
+
+
+def test_inner_plan_overrides_scope():
+    """_INNER_OVERRIDES applies to non-root factors only: a dense-leaf
+    override for 512 changes the tree inside a 2^16 transform but leaves
+    the standalone 512 plan (and its numerics) untouched."""
+    import numpy as np
+
+    import jax.numpy as jnp
+    from opencl_fft_tpu.ops import fft as F
+
+    rng = np.random.default_rng(5)
+    assert not F._is_leaf(512, 1 << 20)            # PLANS[512] recurses
+    F._INNER_OVERRIDES[512] = 0
+    try:
+        assert F._is_leaf(512, 1 << 20, inner=True)
+        assert not F._is_leaf(512, 1 << 20)        # root unaffected
+        n = 1 << 13                                # contains a 512 inner?
+        x = rng.standard_normal(n).astype(np.float32)
+        re, im = F.fft_split((jnp.asarray(x), jnp.zeros(n, jnp.float32)),
+                             -1, "mm")
+        ref = np.fft.fft(x)
+        err = np.abs(np.asarray(re) + 1j * np.asarray(im) - ref).max()
+        assert err / np.abs(ref).max() < 1e-4
+    finally:
+        del F._INNER_OVERRIDES[512]
