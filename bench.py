@@ -268,9 +268,16 @@ def bench_batched_serving(batch=64, pts=512, ir_len=1 << 17, scan_blocks=470):
     blocks = jnp.asarray(rng.standard_normal((scan_blocks, batch, pts)) * 0.1,
                          jnp.float32)
     # routes through the batched grid-streamed kernel when measured-on
-    # (channel groups VMEM-resident); falls back to the vmapped scan
+    # (channel groups VMEM-resident); falls back to the vmapped scan.
+    # Mirror pconv_stream_batched's ACTUAL gate (classic impl + batched
+    # fit): _use_stream_kernel alone can be true via the split impl,
+    # whose batched variant does not exist — the tiny stream floor would
+    # then let drift-collapsed scan readings through.
+    from opencl_fft_tpu.ops.pallas.streamstep import \
+        fits_vmem_streamstep_batched
     fn = jax.jit(partial(P.pconv_stream_batched, cfg), donate_argnums=(0,))
-    if cfg._use_stream_kernel():
+    if (cfg._stream_kernel_impl() == "classic"
+            and fits_vmem_streamstep_batched(cfg.nparts, cfg.bins, 1)):
         floor = max(scan_blocks * 2 * pts * 4 * batch / 3e12,
                     0.02e-6 * scan_blocks)
     else:
@@ -390,7 +397,9 @@ def main():
     if not attempts:
         raise SystemExit("headline metric unmeasurable after 3 attempts")
     attempts.sort(key=lambda t: t[0])
-    rtf, per_block = attempts[len(attempts) // 2]
+    # lower-middle on even counts: if one window failed, publishing
+    # attempts[1] of 2 would be the max — drift-selection again
+    rtf, per_block = attempts[(len(attempts) - 1) // 2]
     details["pconv_rt_factor_2^17_512"] = round(rtf, 1)
     details["pconv_us_per_block"] = round(per_block * 1e6, 1)
     details["pconv_rt_factor_spread"] = {
@@ -422,7 +431,7 @@ def main():
             print(f"serving attempt {attempt}: {e}", file=sys.stderr)
     if sv_attempts:
         sv_attempts.sort()
-        sv_med = sv_attempts[len(sv_attempts) // 2]
+        sv_med = sv_attempts[(len(sv_attempts) - 1) // 2]
         details["serving_64ch_audio_seconds_per_second"] = round(sv_med, 1)
         details["serving_64ch_spread"] = {
             "min": round(sv_attempts[0], 1),

@@ -94,16 +94,6 @@ def _nflip(v):
     return jnp.roll(jnp.flip(v, axis=-1), 1, axis=-1)
 
 
-def _parity_swap(v):
-    """v'_q = v_{q+1} for even q, v_{q-1} for odd q (adjacent-pair
-    swap). Implemented as two non-negative rolls + a parity select."""
-    import jax.numpy as jnp
-    m = v.shape[-1]
-    even = (jnp.arange(m) % 2) == 0
-    return jnp.where(even, jnp.roll(v, m - 1, axis=-1),
-                     jnp.roll(v, 1, axis=-1))
-
-
 def _apply_pack(re, im, coeffs):
     """[re|im] @ U via the 8 coefficient vectors (see pack_coeffs_np)."""
     import jax.numpy as jnp

@@ -764,8 +764,11 @@ def pconv_stream_batched(cfg: PconvConfig, state: PconvState, blocks: Float,
                                     stream_steps_fused_batched)
 
     nb, nch = blocks.shape[0], blocks.shape[1]
+    # the batched kernel is a CLASSIC (dense-table) design — a config
+    # whose impl resolves to "split" (bins=2048) has no batched kernel
+    # and must take the vmapped scan
     if (jnp.ndim(blocks) != 3 or nb < _STEP_GROUP
-            or not cfg._use_stream_kernel()
+            or cfg._stream_kernel_impl() != "classic"
             or not fits_vmem_streamstep_batched(cfg.nparts, cfg.bins, 1)
             or jnp.ndim(state.wp) != 0):
         # vmapped per-block scan; the per-launch kernels are

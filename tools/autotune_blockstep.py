@@ -96,12 +96,35 @@ def main():
         merge_existing = True
 
     results = {}
+    loose_comments = []
     if merge_existing:
+        import re as _re
+
         from opencl_fft_tpu.ops.pallas import _tuned
-        # keep prior measurements (tag only; the comment row is lost for
-        # merged-in entries, so re-cite the raw log)
+        # carry prior entries over with their measured-comment rows
+        # intact, and keep standalone comment blocks (operational notes)
+        # — regenerating the table must not erase the evidence it records
+        prior_comments = {}
+        in_winners = False
+        for line in open("opencl_fft_tpu/ops/pallas/_tuned.py"):
+            if line.startswith("WINNERS = {"):
+                in_winners = True
+                continue
+            if in_winners and line.startswith("}"):
+                in_winners = False
+                continue
+            if not in_winners:
+                continue
+            m = _re.match(r"\s*\((\d+), (\d+)\): '[a-z]+',\s*#\s*(.*)",
+                          line)
+            if m:
+                prior_comments[(int(m.group(1)), int(m.group(2)))] = \
+                    m.group(3).strip()
+            elif line.strip().startswith("#"):
+                loose_comments.append(line)
         for key, tag in _tuned.WINNERS.items():
-            results[key] = (tag if tag != "xla" else "off", None)
+            results[key] = (tag if tag != "xla" else "off",
+                            prior_comments.get(key))
     for pts, ir_len in configs:
         nparts = ir_len // pts
         modes = ["off"]
@@ -132,11 +155,15 @@ def main():
         # min over interleaved rounds.
         nb = runners[modes[0]][1]
         floor = max(nb * 4 * nparts * pts * 4 / 3e12, 0.2e-6 * nb)
-        # the stream kernel's only per-block HBM traffic is the block
-        # in/out — the MAC-plane floor would reject its legitimate speed
+        # the whole-scan kernels' only per-block HBM traffic is the
+        # block in/out — the MAC-plane floor would reject their
+        # legitimate speed (applies to 'split' identically: its rings
+        # are VMEM-resident too)
         floor_by_mode = {m: floor for m in modes}
-        floor_by_mode["stream"] = max(nb * 2 * pts * 4 * 2 / 3e12,
-                                      0.02e-6 * nb)
+        whole_scan_floor = max(nb * 2 * pts * 4 * 2 / 3e12, 0.02e-6 * nb)
+        for m in ("stream", "split"):
+            if m in floor_by_mode:
+                floor_by_mode[m] = whole_scan_floor
         best = {m: float("inf") for m in modes}
         for _ in range(args.rounds):            # interleave over drift
             for m in modes:
@@ -167,9 +194,17 @@ def main():
                 'this; unmeasured shapes use XLA."""\n\nWINNERS = {\n')
         for (nparts, bins), (winner, row) in sorted(results.items()):
             tag = winner if winner != "off" else "xla"
-            note = (f"  # us/block: {row}" if row is not None
-                    else "  # carried over (see prior tune logs)")
+            if isinstance(row, dict):              # fresh measurement
+                note = f"  # us/block: {row}"
+            elif row:                              # carried-over comment
+                note = f"  # {row}"
+            else:
+                note = "  # carried over (see prior tune logs)"
             f.write(f"    ({nparts}, {bins}): {tag!r},{note}\n")
+        # re-emit standalone comment blocks from inside the prior table
+        # (operational notes like the (4096, 512) relay-wedge warning)
+        for line in loose_comments:
+            f.write(line)
         f.write("}\n")
         # preserve the dconv table (tuned by tools/autotune_dconv.py)
         f.write("\n# Direct-FIR whole-scan kernel winners per (irsize, "

@@ -112,14 +112,19 @@ def main():
               file=sys.stderr, flush=True)
         runners[name] = make_runner(logn, patch, out_t, iters)
 
+    from opencl_fft_tpu.utils.profiling import median_chain_delta
+
     best = {v: float("inf") for v in runners}
     wins = {v: 0 for v in runners}
     for r in range(args.rounds):
         rnd = {}
         for v, (timed, batch) in runners.items():
-            dt = (min(timed(iters) for _ in range(2))
-                  - min(timed(1) for _ in range(2))) / (iters - 1)
-            if dt > batch * n * 8 * 2 / 3e12:
+            # repo timing convention (CLAUDE.md): median of >= 2
+            # independent floor-guarded deltas; OMIT when fewer clear
+            # the floor — a single min-kept delta ships drift artifacts
+            floor = batch * n * 8 * 2 / 3e12
+            dt, _nv = median_chain_delta(timed, iters - 1, floor)
+            if dt is not None:
                 rnd[v] = dt
                 best[v] = min(best[v], dt)
         if rnd:
