@@ -186,17 +186,19 @@ class TVConvolver:
         return out
 
     def stream(self, blocks_x: Float, blocks_h: Float, unroll: int = 8) -> Float:
-        """Offline rendering: scan over (nblocks, batch, pts) pairs."""
-        step = _vmapped(_p.pconv_step_tv, self.cfg)
+        """Offline rendering over (nblocks, batch, pts) pairs.
 
-        @functools.partial(jax.jit, static_argnums=2, donate_argnums=0)
-        def run(state, stacked, unroll):
-            return jax.lax.scan(lambda s, b: step(s, b[0], b[1]), state,
-                                stacked, unroll=unroll)
+        pconv_stream_batched_tv routes through the batched TV
+        grid-streamed kernel (both rings VMEM-resident per channel) when
+        selected and falls back to the vmapped per-block scan."""
+        @functools.partial(jax.jit, static_argnums=3, donate_argnums=0)
+        def run(state, bx, bh, unroll):
+            return _p.pconv_stream_batched_tv(self.cfg, state, bx, bh,
+                                              unroll=unroll)
 
-        stacked = jnp.stack([jnp.asarray(blocks_x, jnp.float32),
-                             jnp.asarray(blocks_h, jnp.float32)], axis=1)
-        self.state, out = run(self.state, stacked, unroll)
+        self.state, out = run(self.state,
+                              jnp.asarray(blocks_x, jnp.float32),
+                              jnp.asarray(blocks_h, jnp.float32), unroll)
         return out
 
     def step_fn(self):

@@ -500,3 +500,182 @@ def stream_steps_fused_batched(blocks, w0: Cplx, h: Cplx, b0_scale: float,
       *_fused_tables(bins), jnp.asarray(tails),
       jnp.asarray(sel), jnp.asarray(red))
     return outs, (wfr, wfi), tailf
+
+
+def fits_vmem_streamstep_batched_tv(nparts: int, bins: int,
+                                    batch: int) -> bool:
+    """TV serving: h rings resident per channel too — 12 stacked planes
+    plus the shared tables and three one-hot matrices."""
+    if nparts < 8 or bins % 128 or batch < 1:
+        return False
+    tables = (2 * bins * bins + 4 * bins * bins) * 4
+    planes = 12 * batch * nparts * bins * 4
+    onehot = 3 * batch * nparts * batch * 4
+    return tables + planes + onehot <= 80 * 1024 * 1024
+
+
+@functools.lru_cache(maxsize=None)
+def _channel_broadcast_np(nparts: int, batch: int):
+    """B (C*np, C): B @ fresh replicates channel c's fresh row across
+    all np rows of channel c — the dynamic h-slot mask then keeps only
+    the target row (the slot index is the same for every channel:
+    batched_state shares the scalar ring pointers)."""
+    import numpy as np
+    b = np.zeros((batch * nparts, batch), np.float32)
+    for c in range(batch):
+        b[c * nparts:(c + 1) * nparts, c] = 1.0
+    return b
+
+
+def _stream_batched_tv_kernel(nparts, bins, batch, b0_scale, pts, nsteps,
+                              blk_ref, w0r_ref, w0i_ref, h0r_ref, h0i_ref,
+                              wfwd_ref, wpost_ref, tail0_ref, sel_ref,
+                              red_ref, bc_ref, wp2_ref,
+                              out_ref, wfr_ref, wfi_ref, hfr_ref, hfi_ref,
+                              tailf_ref, wr_s, wi_s, hr_s, hi_s, tl_s):
+    """Batched TIME-VARYING whole-scan step: both operands stream for
+    every channel. Row (2t)*C + c of blk is block t's input frame of
+    channel c; (2t+1)*C + c its coefficient frame. The h update lands at
+    the decrementing slot wp2 (shared across channels), scattered per
+    channel by one broadcast one-hot matmul + the slot mask."""
+    j = pl.program_id(0)
+    cnp = batch * nparts
+
+    @pl.when(j == 0)
+    def _init():
+        wr_s[:] = w0r_ref[:]
+        wi_s[:] = w0i_ref[:]
+        hr_s[:] = h0r_ref[:]
+        hi_s[:] = h0i_ref[:]
+        tl_s[:] = tail0_ref[:]
+
+    hp = jax.lax.Precision.HIGHEST
+    zf = jax.lax.dot(blk_ref[:], wfwd_ref[:], precision=hp)  # (2GC, 2b)
+
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (cnp, bins), 0)
+    lastrow = rowid % nparts == nparts - 1
+    col0 = jax.lax.broadcasted_iota(jnp.int32, (cnp, bins), 1) == 0
+    sel = sel_ref[:]
+    red = red_ref[:]
+    bc = bc_ref[:]
+    wp2_0 = wp2_ref[0]
+
+    for g in range(_STEP_GROUP):                   # static unroll
+        fx = zf[2 * g * batch:(2 * g + 1) * batch]       # (C, 2b)
+        fh = zf[(2 * g + 1) * batch:(2 * g + 2) * batch]
+
+        idx = jnp.mod(wp2_0 - (j * _STEP_GROUP + g), nparts)
+        hrow = (rowid % nparts) == idx
+        bh_r = jax.lax.dot(bc, fh[:, :bins], precision=hp)  # (C*np, b)
+        bh_i = jax.lax.dot(bc, fh[:, bins:], precision=hp)
+        hr = jnp.where(hrow, bh_r, hr_s[:])
+        hi = jnp.where(hrow, bh_i, hi_s[:])
+        hr_s[:] = hr
+        hi_s[:] = hi
+
+        fresh_r = jax.lax.dot(sel, fx[:, :bins], precision=hp)
+        fresh_i = jax.lax.dot(sel, fx[:, bins:], precision=hp)
+        wr = jnp.where(lastrow, fresh_r, pltpu.roll(wr_s[:], cnp - 1, 0))
+        wi = jnp.where(lastrow, fresh_i, pltpu.roll(wi_s[:], cnp - 1, 0))
+        wr_s[:] = wr
+        wi_s[:] = wi
+
+        prod_r = wr * hr - wi * hi
+        prod_i = wr * hi + wi * hr
+        prod_r = jnp.where(col0, b0_scale * wr * hr, prod_r)
+        prod_i = jnp.where(col0, b0_scale * wi * hi, prod_i)
+        re = jax.lax.dot(red, prod_r, precision=hp)    # (C, b)
+        im = jax.lax.dot(red, prod_i, precision=hp)
+
+        z = jnp.concatenate([re, im], axis=1)
+        y = jax.lax.dot(z, wpost_ref[:], precision=hp)
+        out_ref[g * batch:(g + 1) * batch, :] = \
+            (y[:, :pts] + tl_s[:]) / float(pts)
+        tl_s[:] = y[:, pts:]
+
+    @pl.when(j == nsteps - 1)
+    def _flush():
+        wfr_ref[:] = wr_s[:]
+        wfi_ref[:] = wi_s[:]
+        hfr_ref[:] = hr_s[:]
+        hfi_ref[:] = hi_s[:]
+        tailf_ref[:] = tl_s[:]
+
+
+def stream_steps_fused_batched_tv(blocks2, w0: Cplx, h0: Cplx, wp2,
+                                  b0_scale: float, tails, pts: int,
+                                  batch: int, interpret: bool = False):
+    """Batched TV whole-scan: C channels, both operands streaming.
+
+    blocks2: (2*nblocks*batch, pts) — row (2t)*C + c is block t's input
+    frame of channel c, row (2t+1)*C + c its coefficient frame (nblocks
+    a multiple of _STEP_GROUP); w0/h0: split (batch*nparts, bins)
+    stacked planes; tails: (batch, bins). Returns (outs
+    (nblocks*batch, pts), w_fin, h_fin, tails_fin)."""
+    from .blockstep import _fused_tables
+
+    w0r, w0i = w0
+    h0r, h0i = h0
+    cnp, bins = h0r.shape
+    nparts = cnp // batch
+    rows = blocks2.shape[0] // 2
+    nblocks = rows // batch
+    if blocks2.shape[0] % (2 * batch * _STEP_GROUP):
+        raise ValueError(
+            f"need 2*nblocks*batch rows with nblocks a multiple of "
+            f"{_STEP_GROUP}, got {blocks2.shape[0]} rows for batch "
+            f"{batch}")
+    nsteps = nblocks // _STEP_GROUP
+    sel, red = _channel_onehots_np(nparts, batch)
+    bc = _channel_broadcast_np(nparts, batch)
+    kern = functools.partial(_stream_batched_tv_kernel, nparts, bins,
+                             batch, float(b0_scale), int(pts),
+                             int(nsteps))
+    plane = jax.ShapeDtypeStruct((cnp, bins), jnp.float32)
+    grid = (nsteps,)
+    const = lambda j: (0, 0)
+    gc = _STEP_GROUP * batch
+    outs, wfr, wfi, hfr, hfi, tailf = pl.pallas_call(
+        kern,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, pts), jnp.float32),
+            plane, plane, plane, plane,
+            jax.ShapeDtypeStruct((batch, bins), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((2 * gc, pts), lambda j: (j, 0)),
+            pl.BlockSpec((cnp, bins), const),              # W0 re
+            pl.BlockSpec((cnp, bins), const),              # W0 im
+            pl.BlockSpec((cnp, bins), const),              # h0 re
+            pl.BlockSpec((cnp, bins), const),              # h0 im
+            pl.BlockSpec((pts, 2 * bins), const),          # wfwd
+            pl.BlockSpec((2 * bins, 2 * bins), const),     # wpost
+            pl.BlockSpec((batch, bins), const),            # tails
+            pl.BlockSpec((cnp, batch), const),             # scatter
+            pl.BlockSpec((batch, cnp), const),             # reduce
+            pl.BlockSpec((cnp, batch), const),             # broadcast
+            pl.BlockSpec(memory_space=pltpu.SMEM),         # wp2
+        ],
+        out_specs=(
+            pl.BlockSpec((gc, pts), lambda j: (j, 0)),
+            pl.BlockSpec((cnp, bins), const),
+            pl.BlockSpec((cnp, bins), const),
+            pl.BlockSpec((cnp, bins), const),
+            pl.BlockSpec((cnp, bins), const),
+            pl.BlockSpec((batch, bins), const),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((cnp, bins), jnp.float32),
+            pltpu.VMEM((cnp, bins), jnp.float32),
+            pltpu.VMEM((cnp, bins), jnp.float32),
+            pltpu.VMEM((cnp, bins), jnp.float32),
+            pltpu.VMEM((batch, bins), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(jnp.asarray(blocks2, jnp.float32), w0r, w0i, h0r, h0i,
+      *_fused_tables(bins), jnp.asarray(tails),
+      jnp.asarray(sel), jnp.asarray(red), jnp.asarray(bc),
+      jnp.asarray(wp2, jnp.int32).reshape(1))
+    return outs, (wfr, wfi), (hfr, hfi), tailf

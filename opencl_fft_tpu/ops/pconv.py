@@ -841,6 +841,113 @@ def pconv_stream_batched(cfg: PconvConfig, state: PconvState, blocks: Float,
     return state, jnp.concatenate([outs, rest], axis=0)
 
 
+def pconv_stream_batched_tv(cfg: PconvConfig, state: PconvState,
+                            blocks_x: Float, blocks_h: Float,
+                            unroll: int = 8) -> Tuple[PconvState, Float]:
+    """Batched (multi-channel) TIME-VARYING streaming: blocks_x/blocks_h
+    (nblocks, B, pts), state fields with a leading channel axis and SHARED
+    scalar ring pointers (models.convolver.batched_state layout).
+
+    Routes through the batched TV grid-streamed kernel when selected —
+    per-channel input AND coefficient rings VMEM-resident for the whole
+    scan, in VMEM-budget-sized channel groups — otherwise falls back to
+    the vmapped per-block scan. Per-block semantics identical to
+    pconv_step_tv (the serving analog of cl_conv.cpp:460-548's dual
+    command queues, across many channels in one launch)."""
+    from .pallas.streamstep import (_STEP_GROUP,
+                                    fits_vmem_streamstep_batched_tv,
+                                    stream_steps_fused_batched_tv)
+
+    nb, nch = blocks_x.shape[0], blocks_x.shape[1]
+    # like the LTI batched kernel this is a CLASSIC (dense-table) design;
+    # split-impl configs (bins=2048) take the vmapped scan
+    if (jnp.ndim(blocks_x) != 3 or nb < _STEP_GROUP
+            or cfg._stream_kernel_impl(tv=True) != "classic"
+            or not fits_vmem_streamstep_batched_tv(cfg.nparts, cfg.bins, 1)
+            or jnp.ndim(state.wp) != 0):
+        import dataclasses as _dc
+        scfg = (_dc.replace(cfg, pallas="off")
+                if cfg.pallas != "off" else cfg)
+
+        def body(st, blks):
+            def one(xr, xi, hr, hi, tl, bx, bh):
+                sub = st._replace(spec_x_re=xr, spec_x_im=xi, spec_h_re=hr,
+                                  spec_h_im=hi, tail=tl)
+                out_st, out = pconv_step_tv(scfg, sub, bx, bh)
+                return (out_st.spec_x_re, out_st.spec_x_im, out_st.spec_h_re,
+                        out_st.spec_h_im, out_st.tail, out_st.wp, out_st.wp2,
+                        out)
+            xr, xi, hr, hi, tl, wp, wp2, out = jax.vmap(one)(
+                st.spec_x_re, st.spec_x_im, st.spec_h_re, st.spec_h_im,
+                st.tail, blks[0], blks[1])
+            return st._replace(spec_x_re=xr, spec_x_im=xi, spec_h_re=hr,
+                               spec_h_im=hi, tail=tl, wp=wp[0],
+                               wp2=wp2[0]), out
+        stacked = jnp.stack([jnp.asarray(blocks_x, jnp.float32),
+                             jnp.asarray(blocks_h, jnp.float32)],
+                            axis=1)                  # (nb, 2, B, pts)
+        return jax.lax.scan(body, state, stacked, unroll=unroll)
+
+    # largest channel-group size the (12-plane) VMEM budget takes
+    cmax = nch
+    while cmax > 1 and not fits_vmem_streamstep_batched_tv(
+            cfg.nparts, cfg.bins, cmax):
+        cmax = (cmax + 1) // 2
+
+    nb_k = nb - nb % _STEP_GROUP
+    np_, b = cfg.nparts, cfg.bins
+    b0 = 2.0 if cfg.bin0_mode == "exact" else 1.0
+    z = jnp.asarray(0, state.wp.dtype)
+    wp_out = (state.wp + nb_k) % np_
+    outs_parts, tail_parts = [], []
+    ring_r_parts, ring_i_parts, h_r_parts, h_i_parts = [], [], [], []
+    for c0 in range(0, nch, cmax):
+        c1 = min(nch, c0 + cmax)
+        C = c1 - c0
+        w0r = jax.lax.dynamic_slice(
+            state.spec_x_re[c0:c1], (0, state.wp, z), (C, np_, b)
+        ).reshape(C * np_, b)
+        w0i = jax.lax.dynamic_slice(
+            state.spec_x_im[c0:c1], (0, state.wp, z), (C, np_, b)
+        ).reshape(C * np_, b)
+        # row (2t)*C + c = block t's input frame of channel c,
+        # (2t+1)*C + c its coefficient frame
+        rows2 = jnp.stack(
+            [jnp.asarray(blocks_x[:nb_k, c0:c1], jnp.float32),
+             jnp.asarray(blocks_h[:nb_k, c0:c1], jnp.float32)],
+            axis=1).reshape(2 * nb_k * C, cfg.pts)
+        outs, (wfr, wfi), (hfr, hfi), tails = stream_steps_fused_batched_tv(
+            rows2, (w0r, w0i),
+            (state.spec_h_re[c0:c1].reshape(C * np_, b),
+             state.spec_h_im[c0:c1].reshape(C * np_, b)),
+            state.wp2, b0, state.tail[c0:c1], cfg.pts, C,
+            interpret=jax.default_backend() == "cpu")
+        outs_parts.append(outs.reshape(nb_k, C, cfg.pts))
+        ring_r_parts.append(
+            jnp.roll(wfr.reshape(C, np_, b), wp_out, axis=1))
+        ring_i_parts.append(
+            jnp.roll(wfi.reshape(C, np_, b), wp_out, axis=1))
+        # h rows are indexed by MAC position — no translation
+        h_r_parts.append(hfr.reshape(C, np_, b))
+        h_i_parts.append(hfi.reshape(C, np_, b))
+        tail_parts.append(tails)
+    ring_r = jnp.concatenate(ring_r_parts, axis=0)
+    ring_i = jnp.concatenate(ring_i_parts, axis=0)
+    state = state._replace(
+        spec_x_re=jnp.concatenate([ring_r, ring_r], axis=1),
+        spec_x_im=jnp.concatenate([ring_i, ring_i], axis=1),
+        spec_h_re=jnp.concatenate(h_r_parts, axis=0),
+        spec_h_im=jnp.concatenate(h_i_parts, axis=0),
+        tail=jnp.concatenate(tail_parts, axis=0), wp=wp_out,
+        wp2=(state.wp2 - nb_k) % np_)
+    outs = jnp.concatenate(outs_parts, axis=1)
+    if nb_k == nb:
+        return state, outs
+    state, rest = pconv_stream_batched_tv(
+        cfg, state, blocks_x[nb_k:], blocks_h[nb_k:])
+    return state, jnp.concatenate([outs, rest], axis=0)
+
+
 def _use_chunkmac(cfg: PconvConfig) -> bool:
     from .pallas.chunkmac import fits_vmem_chunkmac
     return (cfg.pallas != "off" and cfg._kernel_eligible()
