@@ -37,7 +37,7 @@ for s in $stages; do
     sweep2048)    run sweep2048 5400 python -m opencl_fft_tpu.bench.sweep \
                      --row 2048 --repeats 3 --merge bench_results/sweep.json \
                      --out bench_results/sweep ;;
-    serving)      run serving 3600 python tools/serving_scaling.py ;;
+    serving)      run serving 5400 python tools/serving_scaling.py ;;
     fftwin)       run fftwin 3600 python tools/fft_windows.py ;;
     bench)        run bench 3600 python bench.py ;;
     plan16)       run plan16 3600 python tools/fft_plan16.py --logn 16 ;;

@@ -1,14 +1,20 @@
 """Serving-scale curve: aggregate throughput vs channel count.
 
-Measures the batched LTI convolver (models/convolver.py) at batch sizes
-1..128 on the visible chip — the "convolution-reverb farm" deployment
-shape. Writes bench_results/serving_scaling.json.
+Measures the batched convolver engines (models/convolver.py) at batch
+sizes 1..128 on the visible chip — the "convolution-reverb farm"
+deployment shape. Per batch size, the vmapped XLA scan and the batched
+whole-scan grid kernel (ops/pallas/streamstep.py, LTI and TV variants)
+are timed INTERLEAVED (same relay-drift window, min over rounds, the
+shared median_chain_delta estimator) and both arms land in the artifact
+— the served number is whichever is faster, and the gate evidence is
+checked in. Writes bench_results/serving_scaling.json.
 
-Run:  python tools/serving_scaling.py
+Run:  python tools/serving_scaling.py [--rounds 3] [--tv]
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 import time
@@ -19,85 +25,160 @@ sys.path.insert(0, ".")
 import numpy as np
 
 SR = 48000.0
+PTS = 512
+IR_LEN = 1 << 17
 
 
-def measure(batch: int, pts: int = 512, ir_len: int = 1 << 17,
-            scan_blocks: int = 1880) -> dict:
+def make_runners(batch: int, tv: bool, scan_blocks: int) -> dict:
+    """One runner per arm: 'scan' (vmapped per-block XLA) and, where the
+    batched kernel's VMEM gate passes, 'kernel' (whole-scan grid kernel
+    in channel groups). Each runner times `reps` full scans."""
     import jax
     import jax.numpy as jnp
-    from opencl_fft_tpu.models.convolver import (_vmapped, _vmapped_push,
-                                                 batched_state)
+    from opencl_fft_tpu.models.convolver import _vmapped_push, batched_state
     from opencl_fft_tpu.ops import pconv as P
+    from opencl_fft_tpu.ops.pallas.streamstep import (
+        fits_vmem_streamstep_batched, fits_vmem_streamstep_batched_tv)
 
-    cfg = P.PconvConfig.for_ir_length(ir_len, pts)
     rng = np.random.default_rng(3)
-    irs = jnp.asarray(rng.standard_normal((batch, ir_len)) * 0.05, jnp.float32)
-    base = jax.tree.map(np.asarray,
-                        jax.jit(_vmapped_push(cfg))(batched_state(cfg, batch), irs))
+    runners = {}
 
-    step = _vmapped(P.pconv_step, cfg)
+    def finish(fn, base, blocks_args):
+        def run(reps):
+            st = jax.tree.map(jnp.asarray, base)
+            t0 = time.time()
+            out = None
+            for _ in range(reps):
+                st, out = fn(st, *blocks_args)
+            float(jnp.sum(out[..., :1]))
+            return time.time() - t0
+
+        run(1)                         # compile + warm
+        return run
+
+    if tv:
+        cfg_off = P.PconvConfig.for_ir_length(IR_LEN, PTS, pallas="off")
+        base = jax.tree.map(np.asarray, batched_state(cfg_off, batch))
+        bx = jnp.asarray(rng.standard_normal((scan_blocks, batch, PTS)) * 0.1,
+                         jnp.float32)
+        bh = jnp.asarray(rng.standard_normal((scan_blocks, batch, PTS)) * 0.1,
+                         jnp.float32)
+        # scan unroll amortizes the ~15us/iter backend loop overhead,
+        # which only matters while the per-block work is tiny (see the
+        # LTI note below)
+        unroll = 4 if batch < 16 else 1
+        runners["scan"] = finish(
+            jax.jit(partial(P.pconv_stream_batched_tv, cfg_off,
+                            unroll=unroll), donate_argnums=(0,)),
+            base, (bx, bh))
+        if fits_vmem_streamstep_batched_tv(IR_LEN // PTS, PTS, 1):
+            cfg_k = P.PconvConfig.for_ir_length(IR_LEN, PTS, pallas="stream")
+            runners["kernel"] = finish(
+                jax.jit(partial(P.pconv_stream_batched_tv, cfg_k),
+                        donate_argnums=(0,)),
+                base, (bx, bh))
+        return runners
+
+    cfg_off = P.PconvConfig.for_ir_length(IR_LEN, PTS, pallas="off")
+    irs = jnp.asarray(rng.standard_normal((batch, IR_LEN)) * 0.05,
+                      jnp.float32)
+    base = jax.tree.map(
+        np.asarray,
+        jax.jit(_vmapped_push(cfg_off))(batched_state(cfg_off, batch), irs))
+    blocks = jnp.asarray(rng.standard_normal((scan_blocks, batch, PTS)) * 0.1,
+                         jnp.float32)
 
     # scan unroll amortizes the ~15us/iter backend loop overhead, which
     # only matters while the per-block work is tiny; at wide batches the
     # x4 program bloat hurts scheduling (measured: batch=64 ran 1.07ms/
     # block unrolled vs ~0.25ms in bench.py's unroll-free program)
     unroll = 4 if batch < 16 else 1
+    runners["scan"] = finish(
+        jax.jit(partial(P.pconv_stream_batched, cfg_off, unroll=unroll),
+                donate_argnums=(0,)),
+        base, (blocks,))
+    if fits_vmem_streamstep_batched(IR_LEN // PTS, PTS, 1):
+        cfg_k = P.PconvConfig.for_ir_length(IR_LEN, PTS, pallas="stream")
+        runners["kernel"] = finish(
+            jax.jit(partial(P.pconv_stream_batched, cfg_k),
+                    donate_argnums=(0,)),
+            base, (blocks,))
+    return runners
 
-    def stream(st, blocks):
-        return jax.lax.scan(lambda s, b: step(s, b), st, blocks,
-                            unroll=unroll)
 
-    blocks = jnp.asarray(rng.standard_normal((scan_blocks, batch, pts)) * 0.1,
-                         jnp.float32)
-    fn = jax.jit(stream, donate_argnums=(0,))
-
-    def mk():
-        return jax.tree.map(jnp.asarray, base)
-
-    def sync(x):
-        return float(jnp.sum(jax.tree.leaves(x)[0][..., :1]))
-
-    st, out = fn(mk(), blocks)
-    sync(out)
-
-    def run(n):
-        st = mk()                      # one state transfer per run,
-        t0 = time.time()               # cancelled by the long-short delta
-        out = None
-        for _ in range(n):
-            st, out = fn(st, blocks)
-        sync(out)
-        return time.time() - t0
-
-    # physical floor: the batched MAC streams batch x 4 ring planes of
-    # (nparts, bins) f32 per block; 3 TB/s is ~5x the chip's HBM so only
-    # impossible (drift-collapsed) deltas are rejected. Estimator:
-    # utils.profiling.median_chain_delta (the shared convention).
+def measure(batch: int, tv: bool, rounds: int, reps: int,
+            scan_blocks: int = 1880) -> dict:
+    from opencl_fft_tpu.ops.pallas.streamstep import _STEP_GROUP
     from opencl_fft_tpu.utils.profiling import median_chain_delta
 
-    floor_block = max(batch * 4 * cfg.nparts * cfg.bins * 4 / 3e12, 1e-6)
-    delta, _n = median_chain_delta(run, 3, floor_block * scan_blocks)
-    if delta is None:
-        return {"unmeasurable": True}
-    best = delta / scan_blocks
-    per_ch_rtf = (pts / SR) / best
-    return {
-        "us_per_block_all_channels": round(best * 1e6, 1),
-        "per_channel_rt_factor": round(per_ch_rtf, 1),
-        "aggregate_audio_s_per_s": round(batch * per_ch_rtf, 1),
+    # whole multiples of the kernel group keep the kernel arm pure (no
+    # remainder-scan tail inside the timed program)
+    scan_blocks -= scan_blocks % _STEP_GROUP
+    nparts = IR_LEN // PTS
+    try:
+        runners = make_runners(batch, tv, scan_blocks)
+    except Exception as e:                        # e.g. Mosaic vmem OOM
+        return {"error": str(e)[:160]}
+
+    # physical floors (5x-generous: only impossible drift-collapsed
+    # deltas are rejected). The scan streams batch x 4 ring planes of
+    # (nparts, bins) f32 per block; the whole-scan kernel's only
+    # per-block HBM traffic is the block in/out per channel (x2 input
+    # rows for TV).
+    fac = 2 if tv else 1
+    floors = {
+        "scan": max(batch * 4 * nparts * PTS * 4 / 3e12, 1e-6),
+        "kernel": max(batch * (fac + 1) * PTS * 4 / 3e12, 0.02e-6),
     }
+    best = {m: float("inf") for m in runners}
+    for _ in range(rounds):                       # interleave over drift
+        for m, run in runners.items():
+            dt, _n = median_chain_delta(run, reps,
+                                        floors[m] * scan_blocks, short=1)
+            if dt is not None:
+                best[m] = min(best[m], dt / scan_blocks)
+    measured = {m: t for m, t in best.items() if t < float("inf")}
+    if not measured:
+        return {"unmeasurable": True}
+
+    out = {}
+    for m, t in measured.items():
+        per_ch_rtf = (PTS / SR) / t
+        out[m] = {
+            "us_per_block_all_channels": round(t * 1e6, 1),
+            "per_channel_rt_factor": round(per_ch_rtf, 1),
+            "aggregate_audio_s_per_s": round(batch * per_ch_rtf, 1),
+        }
+    win = min(measured, key=measured.get)
+    out["winner"] = win
+    out.update(out[win])                          # flat served numbers
+    return out
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--batches", type=str, default="1,4,16,64,128")
+    ap.add_argument("--tv-batches", type=str, default="16,64",
+                    help="batch sizes for the TV (dual-stream) arm pair")
+    args = ap.parse_args()
+
     results = {}
-    for batch in [1, 4, 16, 64, 128]:
-        r = measure(batch)
-        if r.get("unmeasurable"):
-            print(f"batch={batch:4d}: unmeasurable (relay glitch), omitted",
-                  file=sys.stderr, flush=True)
+    jobs = [(int(b), False) for b in args.batches.split(",") if b] + \
+           [(int(b), True) for b in args.tv_batches.split(",") if b]
+    for batch, tv in jobs:
+        r = measure(batch, tv, args.rounds, args.reps)
+        tag = f"batch={batch}" + ("/tv" if tv else "")
+        if r.get("unmeasurable") or r.get("error"):
+            print(f"{tag}: unmeasurable ({r.get('error', 'relay glitch')})"
+                  f", omitted", file=sys.stderr, flush=True)
             continue
-        results[f"batch={batch}"] = r
-        print(f"batch={batch:4d}: {r['us_per_block_all_channels']:8.1f} us/blk "
+        results[tag] = r
+        arms = "  ".join(
+            f"{m}={r[m]['us_per_block_all_channels']}us"
+            for m in ("scan", "kernel") if m in r)
+        print(f"{tag:14s}: {arms}  -> {r['winner']}  "
               f"{r['per_channel_rt_factor']:8.1f}x/ch "
               f"{r['aggregate_audio_s_per_s']:9.1f} agg audio-s/s",
               file=sys.stderr, flush=True)

@@ -255,6 +255,24 @@ def main():
         check("batched stream == vmapped xla @ (64,512)x3ch", err / scale,
               1e-5)
 
+    # batched TV serving path: both operands streaming per channel
+    if cfgb._use_stream_kernel(tv=True):
+        Bs = 3
+        cfgk = P.PconvConfig.for_ir_length(1 << 15, 512, pallas="stream")
+        cfgo = P.PconvConfig.for_ir_length(1 << 15, 512, pallas="off")
+        bxb = rng.standard_normal((14, Bs, 512)).astype(np.float32)
+        bhb = rng.standard_normal((14, Bs, 512)).astype(np.float32) * 0.1
+        _, otv_k = _jax.jit(lambda s, x, h: P.pconv_stream_batched_tv(
+            cfgk, s, x, h))(batched_state(cfgk, Bs), jnp.asarray(bxb),
+                            jnp.asarray(bhb))
+        _, otv_x = _jax.jit(lambda s, x, h: P.pconv_stream_batched_tv(
+            cfgo, s, x, h))(batched_state(cfgo, Bs), jnp.asarray(bxb),
+                            jnp.asarray(bhb))
+        err = np.max(np.abs(np.asarray(otv_k) - np.asarray(otv_x)))
+        scale = np.max(np.abs(np.asarray(otv_x))) + 1e-9
+        check("batched TV stream == vmapped xla @ (64,512)x3ch",
+              err / scale, 1e-5)
+
     # offline render (chunk-MAC kernel) == sequential streaming.
     # cfg2 (bins=64) is NOT kernel-eligible (bins % 128), so build a
     # dedicated eligible config — otherwise the kernel has no on-chip
