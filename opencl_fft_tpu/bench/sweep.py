@@ -134,12 +134,20 @@ def run_sweep(parts_list, ir_list, tv=True, out_prefix="sweep",
     for pts in parts_list:
         Ls = [L for L in ir_list if L >= pts]
         est = {L: [] for L in Ls}              # independent estimates
+        broken = set()                         # compile-failed points
         for _ in range(row_repeats):           # row passes ~10 min apart
             for L in Ls:                       # => one bad drift window
+                if L in broken:
+                    continue
                 try:                           #    cannot poison a point
                     est[L].append(rt_ratio(pts, L, tv=tv))
                 except Unmeasurable:
                     continue                 # other repeats cover the point
+                except Exception as e:       # e.g. Mosaic vmem OOM — one
+                    broken.add(L)            # bad point must not kill the
+                    print(f"  M={pts} L=2^{int(np.log2(L))}: FAILED "
+                          f"({str(e)[:160]})", file=sys.stderr, flush=True)
+                    continue                 # row's artifacts (r3 crash)
         row = {L: float(np.median(v)) for L, v in est.items() if v}
         # monotonicity repair: an out-of-order point means one window's
         # drift still dominates its median — add estimates, re-median
@@ -152,9 +160,14 @@ def run_sweep(parts_list, ir_list, tv=True, out_prefix="sweep",
             if not bad:
                 break
             for L in sorted(bad):
+                if L in broken:
+                    continue
                 try:
                     est[L].append(rt_ratio(pts, L, tv=tv))
                 except Unmeasurable:
+                    continue
+                except Exception:
+                    broken.add(L)
                     continue
                 row[L] = float(np.median(est[L]))
         for i in range(len(Ls) - 1):

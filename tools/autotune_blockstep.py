@@ -82,15 +82,29 @@ def main():
                     help="comma-separated pts:log2L pairs (e.g. "
                          "'512:19,512:20') — tune only these and MERGE "
                          "into the existing table instead of replacing it")
+    ap.add_argument("--floor-proof", type=str, default=None,
+                    help="pts:log2L pairs whose XLA arm must NOT be "
+                         "compiled (observed to wedge the relay, e.g. "
+                         "512:21). Kernel arms are measured normally and "
+                         "a kernel wins only if it beats the XLA path's "
+                         "PHYSICAL floor (4 ring planes/block through a "
+                         "5x-generous 3 TB/s HBM) — i.e. it beats any "
+                         "physically possible XLA timing. Implies merge.")
     args = ap.parse_args()
+
+    def parse_pairs(s):
+        out = set()
+        for tok in s.split(","):
+            p, ll = tok.split(":")
+            out.add((int(p), 1 << int(ll)))
+        return out
 
     configs = CONFIGS
     merge_existing = False
-    if args.only:
-        want = set()
-        for tok in args.only.split(","):
-            p, ll = tok.split(":")
-            want.add((int(p), 1 << int(ll)))
+    floor_proof = parse_pairs(args.floor_proof) if args.floor_proof else set()
+    if args.only or floor_proof:
+        want = parse_pairs(args.only) if args.only else set()
+        want |= floor_proof
         configs = [c for c in CONFIGS if c in want] + sorted(
             want - set(CONFIGS))
         merge_existing = True
@@ -127,7 +141,8 @@ def main():
                             prior_comments.get(key))
     for pts, ir_len in configs:
         nparts = ir_len // pts
-        modes = ["off"]
+        proof_only = (pts, ir_len) in floor_proof
+        modes = [] if proof_only else ["off"]
         if fits_vmem_streamstep(nparts, pts):
             modes.append("stream")          # whole-scan grid kernel
         elif fits_vmem_splitstep(nparts, pts):
@@ -140,7 +155,11 @@ def main():
             # variants wherever both fit (r2 table), so it is only tuned
             # where it is the ONLY eligible kernel
             modes.append("on")
-        if modes == ["off"]:
+        if modes in ([], ["off"]):
+            if proof_only:
+                print(f"pts={pts} L=2^{int(np.log2(ir_len))}: no kernel "
+                      f"arm fits VMEM — nothing to floor-prove",
+                      file=sys.stderr, flush=True)
             continue
         try:
             runners = {m: make_runner(pts, ir_len, m) for m in modes}
@@ -180,9 +199,25 @@ def main():
             continue
         row = {m: round(t * 1e6, 2) for m, t in measured.items()}
         winner = min(measured, key=measured.get)
-        results[(nparts, pts)] = (winner, row)
+        if proof_only:
+            # XLA arm never compiled (relay-wedge risk): the kernel wins
+            # only if it beats XLA's PHYSICAL per-block floor — 4 ring
+            # planes through a 5x-generous 3 TB/s HBM — i.e. any
+            # physically possible XLA timing.
+            off_floor = max(4 * nparts * pts * 4 / 3e12, 0.2e-6)
+            row["off_floor"] = round(off_floor * 1e6, 2)
+            if measured[winner] >= off_floor:
+                print(f"pts={pts} L=2^{int(np.log2(ir_len))}: best kernel "
+                      f"{winner}={row[winner]}us does NOT beat the XLA "
+                      f"physical floor {row['off_floor']}us — left "
+                      f"unmeasured", file=sys.stderr, flush=True)
+                continue
+            results[(nparts, pts)] = (
+                winner, dict(row, note="floor-proof: XLA arm not compiled"))
+        else:
+            results[(nparts, pts)] = (winner, row)
         print(f"pts={pts} L=2^{int(np.log2(ir_len))} (nparts={nparts}): "
-              + "  ".join(f"{m}={row[m]}us" for m in modes)
+              + "  ".join(f"{m}={row[m]}us" for m in row)
               + f"  -> {winner}", file=sys.stderr, flush=True)
 
     from opencl_fft_tpu.ops.pallas import _tuned
