@@ -177,22 +177,41 @@ def _split_budget(nparts: int, bins: int, planes: int) -> int:
     return tables + coefs + rows + planes * nparts * bins * 4
 
 
+# Measured compile envelope on the state-plane axis (rows x bins x 4 f32)
+# per tools/vmem_probe.py — see streamstep._PLANE_PASS_MAX for the full
+# rationale (Mosaic's true footprint is 2-3.5x the naive plane models).
+_SPLIT_PLANE_PASS_MAX = {
+    "split_lti": 1024 * 2048 * 4,   # pass; 2048x2048 compile fails
+    "split_tv": 512 * 2048 * 4,     # pass; 1024x2048 compile fails
+}
+
+
 def fits_vmem_splitstep(nparts: int, bins: int) -> bool:
-    """VMEM budget for the factored LTI kernel: ctab + ctab^T
-    (2 bins^2 f32) + 8 resident (nparts, bins) planes + the coefficient
-    stacks and per-step rows. This is what makes bins = 2048
-    kernel-eligible: the dense-table budget (6 bins^2) is ~100 MB
-    there."""
+    """VMEM gate for the factored LTI kernel. Two measured bounds
+    (tools/vmem_probe.py): the naive model — ctab + ctab^T (2 bins^2
+    f32) + 8 resident (nparts, bins) planes + coefficient stacks and
+    per-step rows — at most the largest value that COMPILED on-chip
+    ((1024, 2048): 101 MB naive), which bounds the tables axis jointly
+    with the planes; and the state-plane bytes within the measured
+    envelope. The factored tables are what make bins = 2048
+    kernel-eligible at all: the dense-table budget (6 bins^2) is
+    ~100 MB there."""
     if nparts < 8 or bins % 128:
         return False
-    return _split_budget(nparts, bins, 8) <= 80 * 1024 * 1024
+    plane = nparts * bins * 4
+    return (_split_budget(nparts, bins, 8) <= 101 * 1024 * 1024
+            and plane <= _SPLIT_PLANE_PASS_MAX["split_lti"])
 
 
 def fits_vmem_splitstep_tv(nparts: int, bins: int) -> bool:
-    """TV variant: the h ring streams too — 12 resident planes."""
+    """TV variant: the h ring streams too — 12 resident planes; naive
+    cap at the largest measured-PASS value ((512, 2048): 84.2 MB naive)
+    and a plane envelope one doubling tighter than the LTI kernel's."""
     if not fits_vmem_splitstep(nparts, bins):
         return False
-    return _split_budget(nparts, bins, 12) <= 80 * 1024 * 1024
+    plane = nparts * bins * 4
+    return (_split_budget(nparts, bins, 12) <= 85 * 1024 * 1024
+            and plane <= _SPLIT_PLANE_PASS_MAX["split_tv"])
 
 
 @functools.lru_cache(maxsize=None)

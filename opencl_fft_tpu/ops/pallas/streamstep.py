@@ -44,29 +44,49 @@ from ..cplx import Cplx
 
 _VMEM_LIMIT = 100 * 1024 * 1024
 
+# Measured VMEM envelope per kernel family: the largest state-plane byte
+# count (rows x bins x 4 f32, rows = C*nparts for the batched kernels)
+# that COMPILED under the 100 MB scoped cap on the target chip, per
+# tools/vmem_probe.py (artifact: bench_results/vmem_probe.json). Mosaic's
+# true footprint is ~2-3.5x the hand-counted resident-plane models
+# (pipeline double-buffering plus the unrolled body's live (rows, bins)
+# temporaries): the TV kernel at (2048, 512) needs 121.19 MB where the
+# 12-plane model said 56.6 MB — which crashed the r3 sweep512 run. The
+# gates therefore admit nothing beyond the measured PASS bound on the
+# plane axis (the next doubling is a measured FAIL in every family).
+_PLANE_PASS_MAX = {
+    "classic_lti": 4096 * 512 * 4,     # pass; 8192x512 ooms (127.27 MB)
+    "classic_tv": 1024 * 512 * 4,      # pass; 2048x512 ooms (121.19 MB)
+    "batched_lti": 16 * 256 * 512 * 4,  # pass; c=32 compile fails
+    "batched_tv": 8 * 256 * 512 * 4,    # pass; c=16 compile fails
+}
+
 
 def fits_vmem_streamstep(nparts: int, bins: int) -> bool:
-    """VMEM budget for the LTI kernel: wfwd (b, 2b) + wpost (2b, 2b)
-    tables + 8 resident (nparts, bins) planes — h in (2), window in (2),
-    window out (2), window scratch (2) — plus the pipelined block slices,
-    with margin under the raised scoped cap (the grid pipeline
-    double-buffers the small per-step blocks only)."""
+    """VMEM gate for the LTI kernel: the naive resident-set model (wfwd
+    (b, 2b) + wpost (2b, 2b) tables + 8 (nparts, bins) planes) under
+    80 MB — which bounds the tables axis — AND the state-plane bytes
+    within the measured compile envelope (_PLANE_PASS_MAX)."""
     if nparts < 8 or bins % 128:
         return False
     tables = (2 * bins * bins + 4 * bins * bins) * 4
-    planes = 8 * nparts * bins * 4
-    return tables + planes <= 80 * 1024 * 1024
+    plane = nparts * bins * 4
+    return (tables + 8 * plane <= 80 * 1024 * 1024
+            and plane <= _PLANE_PASS_MAX["classic_lti"])
 
 
 def fits_vmem_streamstep_tv(nparts: int, bins: int) -> bool:
-    """VMEM budget for the TIME-VARYING kernel: the h ring streams too, so
-    it is 12 resident planes — in/out/scratch pairs for BOTH operands.
-    (nparts, bins) = (4096, 512) fits the LTI kernel but not this one."""
+    """TIME-VARYING gate: the h ring is resident too (12-plane naive
+    model) and the measured envelope is strictly tighter than the LTI
+    kernel's — (2048, 512) compiles LTI but OOMs TV (121.19 MB)."""
     if not fits_vmem_streamstep(nparts, bins):
         return False
     tables = (2 * bins * bins + 4 * bins * bins) * 4
-    planes = 12 * nparts * bins * 4
-    return tables + planes <= 80 * 1024 * 1024
+    plane = nparts * bins * 4
+    # naive cap = largest measured-PASS naive value (31.5 MB at
+    # (1024, 512)) — bounds the tables axis jointly with the planes
+    return (tables + 12 * plane <= 32 * 1024 * 1024
+            and plane <= _PLANE_PASS_MAX["classic_tv"])
 
 
 # Blocks processed per grid step: Mosaic requires block sublane dims
@@ -349,13 +369,15 @@ def stream_steps_fused_tv(blocks2, w0: Cplx, h0: Cplx, wp2, b0_scale: float,
 def fits_vmem_streamstep_batched(nparts: int, bins: int, batch: int) -> bool:
     """Stacked planes scale the budget by the channel count: W scratch +
     W in/out + h, each (batch*nparts, bins) f32 re/im, plus the shared
-    tables and the one-hot selector matrices."""
+    tables and the one-hot selector matrices — under the naive 80 MB
+    model AND the measured stacked-plane envelope (_PLANE_PASS_MAX)."""
     if nparts < 8 or bins % 128 or batch < 1:
         return False
     tables = (2 * bins * bins + 4 * bins * bins) * 4
-    planes = 8 * batch * nparts * bins * 4
+    plane = batch * nparts * bins * 4
     onehot = 2 * batch * nparts * batch * 4
-    return tables + planes + onehot <= 80 * 1024 * 1024
+    return (tables + 8 * plane + onehot <= 80 * 1024 * 1024
+            and plane <= _PLANE_PASS_MAX["batched_lti"])
 
 
 @functools.lru_cache(maxsize=None)
@@ -505,13 +527,18 @@ def stream_steps_fused_batched(blocks, w0: Cplx, h: Cplx, b0_scale: float,
 def fits_vmem_streamstep_batched_tv(nparts: int, bins: int,
                                     batch: int) -> bool:
     """TV serving: h rings resident per channel too — 12 stacked planes
-    plus the shared tables and three one-hot matrices."""
+    plus the shared tables and three one-hot matrices, under the naive
+    80 MB model AND the measured envelope (_PLANE_PASS_MAX — half the
+    LTI kernel's, like the single-channel TV kernel)."""
     if nparts < 8 or bins % 128 or batch < 1:
         return False
     tables = (2 * bins * bins + 4 * bins * bins) * 4
-    planes = 12 * batch * nparts * bins * 4
+    plane = batch * nparts * bins * 4
     onehot = 3 * batch * nparts * batch * 4
-    return tables + planes + onehot <= 80 * 1024 * 1024
+    # naive cap = largest measured-PASS naive value (56.7 MB at
+    # (256, 512, c=8))
+    return (tables + 12 * plane + onehot <= 57 * 1024 * 1024
+            and plane <= _PLANE_PASS_MAX["batched_tv"])
 
 
 @functools.lru_cache(maxsize=None)

@@ -360,11 +360,15 @@ def test_stream_kernel_gate():
     assert fits_vmem_streamstep(128, 1024)
     assert not fits_vmem_streamstep(64, 2048)      # tables blow the budget
     assert not fits_vmem_streamstep(4, 128)        # nparts too small
-    # the TV kernel keeps the h ring resident too (12 planes vs 8): the
-    # L=2^21 @ 512 shape fits LTI only
+    # the TV kernel keeps the h ring resident too; its measured compile
+    # envelope (tools/vmem_probe.py) is a QUARTER of the LTI kernel's:
+    # (2048, 512) compiles LTI but OOMs TV at 121.19 MB (this exact
+    # false-admit crashed the r3 sweep512 run)
     assert fits_vmem_streamstep(4096, 512)
+    assert not fits_vmem_streamstep(8192, 512)     # oomed at 127.27 MB
     assert not fits_vmem_streamstep_tv(4096, 512)
-    assert fits_vmem_streamstep_tv(2048, 512)
+    assert not fits_vmem_streamstep_tv(2048, 512)  # oomed at 121.19 MB
+    assert fits_vmem_streamstep_tv(1024, 512)      # measured pass
     cfg_big = P.PconvConfig(pts=512, nparts=4096, pallas="stream")
     assert cfg_big._use_stream_kernel()
     assert not cfg_big._use_stream_kernel(tv=True)

@@ -119,6 +119,12 @@ GRID = [
     ("batched_lti", 256, 512, 32),
     ("batched_tv", 256, 512, 8),      # current TV gate's cmax
     ("batched_tv", 256, 512, 16),
+    # round-2 envelope extension (first round passed everything below
+    # these): the M=512 row's largest point, the M=2048 row's largest
+    # points, and serving channel groups one doubling further out
+    ("classic_lti", 8192, 512, 1),    # M=512, L=2^22
+    ("split_lti", 2048, 2048, 1),     # M=2048, L=2^22
+    ("split_tv", 1024, 2048, 1),      # M=2048, L=2^21 TV
 ]
 
 
@@ -127,6 +133,8 @@ def main():
     ap.add_argument("--families", type=str, default=None,
                     help="comma-separated family filter")
     ap.add_argument("--out", default="bench_results/vmem_probe.json")
+    ap.add_argument("--skip-done", action="store_true",
+                    help="skip shapes already recorded in --out")
     args = ap.parse_args()
 
     fams = set(args.families.split(",")) if args.families else None
@@ -141,6 +149,8 @@ def main():
         if fams and family not in fams:
             continue
         key = f"{family}:np={nparts},b={bins},c={batch}"
+        if args.skip_done and key in results:
+            continue
         status, detail = probe_one(family, nparts, bins, batch)
         results[key] = {"status": status}
         if status == "oom":
