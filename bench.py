@@ -422,7 +422,8 @@ def main():
     # serving gets the same multi-window treatment as the headline: the
     # relay drifts 2-3x between ~10-min windows, so a single reading
     # under- or over-states aggregate throughput by the window it lands
-    # in. Publish max + full spread.
+    # in. Publish the MEDIAN window plus the full spread (a max would
+    # drift-select the luckiest window).
     sv_attempts = []
     for attempt in range(3):
         try:

@@ -45,7 +45,7 @@ class Clcfft:
     def __init__(self, device_index: int = 0, size: int = 16, fwd: bool = True,
                  impl: str = "auto",
                  on_message: Optional[MessageCallback] = None,
-                 user_data: Any = None):
+                 user_data: Any = None, _lower: bool = True):
         self._err = Status.SUCCESS
         self._log = ""
         self._msg = resolve_callback(on_message)
@@ -58,8 +58,13 @@ class Clcfft:
             self.device = get_device(device_index, on_message, user_data)
             fn = functools.partial(cfft_split, forward=self.forward, impl=impl)
             self._transform = jax.jit(fn, device=self.device)
-            spec = jax.ShapeDtypeStruct((self.N,), jnp.float32)
-            self._lowered = self._transform.lower((spec, spec))
+            if _lower:   # subclasses that install their own transform's
+                #          lowering skip this (it would be built and
+                #          immediately discarded)
+                spec = jax.ShapeDtypeStruct((self.N,), jnp.float32)
+                self._lowered = self._transform.lower((spec, spec))
+            else:
+                self._lowered = None
             self._compiled = None
         except Exception as e:  # constructor records, does not raise (parity)
             self._err = getattr(e, "status", Status.UNKNOWN)
@@ -120,21 +125,27 @@ class Clrfft(Clcfft):
                  impl: str = "auto",
                  on_message: Optional[MessageCallback] = None,
                  user_data: Any = None):
-        super().__init__(device_index, size // 2, fwd, impl, on_message, user_data)
+        super().__init__(device_index, size // 2, fwd, impl, on_message,
+                         user_data, _lower=False)
         if self._err != Status.SUCCESS:
             return
         self.size = size
-        if self.forward:
-            self._rfwd = jax.jit(functools.partial(rfft_split, impl=impl),
-                                 device=self.device)
-            self._lowered = self._rfwd.lower(
-                jax.ShapeDtypeStruct((size,), jnp.float32))
-        else:
-            self._rinv = jax.jit(functools.partial(irfft_split, impl=impl),
-                                 device=self.device)
-            spec = jax.ShapeDtypeStruct((size // 2,), jnp.float32)
-            self._lowered = self._rinv.lower((spec, spec))
-        self._compiled = None
+        try:   # same ctor-records contract as the parent
+            if self.forward:
+                self._rfwd = jax.jit(functools.partial(rfft_split, impl=impl),
+                                     device=self.device)
+                self._lowered = self._rfwd.lower(
+                    jax.ShapeDtypeStruct((size,), jnp.float32))
+            else:
+                self._rinv = jax.jit(functools.partial(irfft_split, impl=impl),
+                                     device=self.device)
+                spec = jax.ShapeDtypeStruct((size // 2,), jnp.float32)
+                self._lowered = self._rinv.lower((spec, spec))
+            self._compiled = None
+        except Exception as e:
+            self._err = getattr(e, "status", Status.UNKNOWN)
+            self._log = str(e)
+            self._msg(str(e), self._user_data)
 
     def transform(self, c: np.ndarray, r: Optional[np.ndarray] = None) -> int:
         """Out-of-place or in-place real transform (cl_fft.cpp:267-296):

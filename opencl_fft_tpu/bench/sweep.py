@@ -178,6 +178,14 @@ def run_sweep(parts_list, ir_list, tv=True, out_prefix="sweep",
                       file=sys.stderr, flush=True)
         for L in Ls:
             if L not in row:
+                if L in broken:
+                    # deterministic failure (compile error), NOT a relay
+                    # glitch: re-shipping the prior value would advertise
+                    # throughput for a config that cannot currently run
+                    print(f"  M={pts} L=2^{int(np.log2(L))}: DROPPED "
+                          f"(point fails to compile/run; prior value NOT "
+                          f"carried over)", file=sys.stderr, flush=True)
+                    continue
                 if (pts, L) in prior_row:      # keep prior data over a hole
                     row[L] = prior_row[(pts, L)]
                     print(f"  M={pts} L=2^{int(np.log2(L))}: unmeasurable "

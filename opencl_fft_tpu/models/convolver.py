@@ -87,6 +87,23 @@ class Convolver:
         self.state = batched_state(cfg, batch)
         self._step = jax.jit(_vmapped(_p.pconv_step, cfg), donate_argnums=(0,))
         self._push = jax.jit(_vmapped_push(cfg), donate_argnums=(0,))
+        # jitted entry points are built ONCE — a fresh jax.jit wrapper per
+        # call would re-trace/re-lower the whole scan program every time
+        # (seconds per call on this backend; only the executable cache
+        # would be hit)
+        self._stream = jax.jit(
+            functools.partial(_p.pconv_stream_batched, cfg),
+            static_argnames=("unroll",), donate_argnums=(0,))
+        chunk_step = _vmapped(_p.pconv_chunk, cfg)
+
+        @functools.partial(jax.jit, static_argnums=2, donate_argnums=0)
+        def _stream_chunked(state, chunks, unroll):
+            return jax.lax.scan(lambda s, c: chunk_step(s, c), state,
+                                chunks, unroll=unroll)
+
+        self._stream_chunked = _stream_chunked
+        self._render = jax.jit(
+            functools.partial(_p._offline_batched, cfg), donate_argnums=(0,))
 
     def push_ir(self, irs: Float) -> None:
         """irs: (batch, cvs)."""
@@ -108,28 +125,16 @@ class Convolver:
             n, b, pts = blocks.shape
             if n % chunk:
                 raise ValueError(f"nblocks {n} must be a multiple of chunk {chunk}")
-            step = _vmapped(_p.pconv_chunk, self.cfg)
             # per-channel chunk arg is (chunk, pts): move batch to front
             chunks = blocks.reshape(n // chunk, chunk, b, pts).swapaxes(1, 2)
-
-            @functools.partial(jax.jit, static_argnums=2, donate_argnums=0)
-            def run(state, chunks, unroll):
-                st, outs = jax.lax.scan(lambda s, c: step(s, c), state, chunks,
-                                        unroll=unroll)
-                return st, outs                      # (n/chunk, b, chunk, pts)
-
-            self.state, out = run(self.state, chunks, max(1, unroll // chunk))
+            self.state, out = self._stream_chunked(
+                self.state, chunks, max(1, unroll // chunk))
             out = out.swapaxes(1, 2).reshape(n, b, pts)
             return out
 
         # pconv_stream_batched routes through the batched grid-streamed
         # kernel when measured-on and falls back to the vmapped scan
-        @functools.partial(jax.jit, static_argnums=2, donate_argnums=0)
-        def run(state, blocks, unroll):
-            return _p.pconv_stream_batched(self.cfg, state, blocks,
-                                           unroll=unroll)
-
-        self.state, out = run(self.state, blocks, unroll)
+        self.state, out = self._stream(self.state, blocks, unroll=unroll)
         return out
 
     def render(self, blocks: Float) -> Float:
@@ -147,9 +152,7 @@ class Convolver:
         blocks = jnp.asarray(blocks, jnp.float32)
         if not _p._use_chunkmac(self.cfg) or self.batch > CHUNKMAC_MAX_BATCH:
             return self.stream(blocks)
-        fn = jax.jit(functools.partial(_p._offline_batched, self.cfg),
-                     donate_argnums=(0,))
-        self.state, out = fn(self.state, blocks)
+        self.state, out = self._render(self.state, blocks)
         return out
 
 
@@ -179,6 +182,10 @@ class TVConvolver:
         self.batch = batch
         self.state = batched_state(cfg, batch)
         self._step = jax.jit(_vmapped(_p.pconv_step_tv, cfg), donate_argnums=(0,))
+        # built once — see Convolver.__init__ on the per-call re-trace cost
+        self._stream = jax.jit(
+            functools.partial(_p.pconv_stream_batched_tv, cfg),
+            static_argnames=("unroll",), donate_argnums=(0,))
 
     def step(self, blocks_x: Float, blocks_h: Float) -> Float:
         """(batch, pts) x 2 -> (batch, pts)."""
@@ -191,14 +198,10 @@ class TVConvolver:
         pconv_stream_batched_tv routes through the batched TV
         grid-streamed kernel (both rings VMEM-resident per channel) when
         selected and falls back to the vmapped per-block scan."""
-        @functools.partial(jax.jit, static_argnums=3, donate_argnums=0)
-        def run(state, bx, bh, unroll):
-            return _p.pconv_stream_batched_tv(self.cfg, state, bx, bh,
-                                              unroll=unroll)
-
-        self.state, out = run(self.state,
-                              jnp.asarray(blocks_x, jnp.float32),
-                              jnp.asarray(blocks_h, jnp.float32), unroll)
+        self.state, out = self._stream(self.state,
+                                       jnp.asarray(blocks_x, jnp.float32),
+                                       jnp.asarray(blocks_h, jnp.float32),
+                                       unroll=unroll)
         return out
 
     def step_fn(self):

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import contextlib
 import functools
+import threading
 from typing import Optional, Tuple
 
 import jax
@@ -62,8 +63,17 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 # budget untouched. set_fast_math forces HIGH ("on") or HIGHEST ("off")
 # everywhere. tools/tpu_smoke.py pins the auto-mode roundtrip error
 # budget on hardware.
-_FAST_MODE = "auto"
+_FAST_MODE = "auto"            # process-wide policy (set_fast_math)
+_FAST_TLS = threading.local()  # per-thread override (exact_precision) —
+#                                the realtime pipeline traces on a worker
+#                                thread concurrently with the main thread,
+#                                so the trace-scoped override must not leak
+#                                across threads
 _FAST_LEAF_MIN = 64
+
+
+def _fast_mode() -> str:
+    return getattr(_FAST_TLS, "mode", None) or _FAST_MODE
 
 
 def set_fast_math(enabled: Optional[bool]) -> None:
@@ -75,28 +85,29 @@ def set_fast_math(enabled: Optional[bool]) -> None:
 
 
 def _leaf_precision(n: int):
-    if _FAST_MODE == "on":
+    mode = _fast_mode()
+    if mode == "on":
         return jax.lax.Precision.HIGH
-    if _FAST_MODE == "off":
+    if mode == "off":
         return _HIGHEST
     return jax.lax.Precision.HIGH if n >= _FAST_LEAF_MIN else _HIGHEST
 
 
 @contextlib.contextmanager
 def exact_precision():
-    """Force full-f32 leaf matmuls inside the context (trace-time scope).
+    """Force full-f32 leaf matmuls inside the context (trace-time scope,
+    THREAD-LOCAL — a concurrently tracing thread keeps its own policy).
 
     The streaming convolution engine wraps its internal transforms in this:
     bf16x3 (Precision.HIGH) results differ between batched and single-item
     shapes on TPU (XLA picks shape-dependent pass structures), which would
     break the engine's chunked == sequential equivalence guarantee."""
-    global _FAST_MODE
-    old = _FAST_MODE
-    _FAST_MODE = "off"
+    old = getattr(_FAST_TLS, "mode", None)
+    _FAST_TLS.mode = "off"
     try:
         yield
     finally:
-        _FAST_MODE = old
+        _FAST_TLS.mode = old
 
 
 # Tuned factorization plans: n -> n1 (left factor of the four-step split),
@@ -386,7 +397,7 @@ def _use_vmem_kernel(x: Cplx, sign: int) -> bool:
     the table comment there and bench_results/vmemfft_ab.json). The
     kernel is inherently bf16x3, so it is skipped when exact f32 leaves
     are in force (exact_precision() / set_fast_math(False))."""
-    if _FAST_MODE == "off":
+    if _fast_mode() == "off":
         return False
     re = x[0]
     if re.dtype != jnp.float32:

@@ -12,7 +12,7 @@ This module factors BOTH chains through a single (m, m) table:
                  sin(2*pi*(q//2)*k/m)   for q odd
 
 using three identities (all verified against the dense tables in
-tests/test_splitstep_tables.py):
+tests/test_splitstep.py):
 
   * deinterleave folds into the table columns: the half-size IDFT output
     z_j lands at time samples t_{2j} = Re z_j, t_{2j+1} = Im z_j, so
@@ -165,8 +165,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ..cplx import Cplx
 
 _VMEM_LIMIT = 100 * 1024 * 1024
-_STEP_GROUP = 8          # must match streamstep._STEP_GROUP (the pconv
-#                          wrappers route remainders identically)
+# one shared blocks-per-grid-step constant: the pconv wrappers compute
+# the kernel-covered prefix (nb_k) from streamstep's value and hand
+# those blocks to either kernel family
+from .streamstep import _STEP_GROUP  # noqa: E402
 
 
 def _split_budget(nparts: int, bins: int, planes: int) -> int:

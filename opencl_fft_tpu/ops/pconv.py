@@ -276,8 +276,14 @@ def _forward_partition(cfg: PconvConfig, block: Float) -> Cplx:
     """
     from .fft import exact_precision
 
+    # honor an explicit FFT implementation choice: the fused-table
+    # shortcut is only the DEFAULT ("auto"/"mm" — it IS a matmul
+    # evaluation of the same chain); impl="xla"/"stockham"/... must
+    # actually run the requested transform, matching the inverse side
+    # (irfft_split(acc, cfg.impl)) so the engine's impl knob stays
+    # symmetric
     if (cfg.bins == cfg.pts and cfg._jdtype == jnp.float32
-            and cfg.pts <= _FWD_MM_MAX_PTS):
+            and cfg.pts <= _FWD_MM_MAX_PTS and cfg.impl in ("auto", "mm")):
         from .pallas.blockstep import _wfwd_np
 
         w = jnp.asarray(_wfwd_np(cfg.pts))
@@ -777,20 +783,28 @@ def pconv_stream_batched(cfg: PconvConfig, state: PconvState, blocks: Float,
         scfg = (_dc.replace(cfg, pallas="off")
                 if cfg.pallas != "off" else cfg)
 
+        # ring pointers may be shared scalars (batched_state layout) or
+        # per-channel vectors — map the latter through vmap instead of
+        # letting the closed-over vector crash pconv_step's ring write
+        wp_ax = 0 if jnp.ndim(state.wp) else None
+        wp2_ax = 0 if jnp.ndim(state.wp2) else None
+
         def body(st, blks):
-            def one(xr, xi, hr, hi, tl, blk):
+            def one(xr, xi, hr, hi, tl, wp, wp2, blk):
                 sub = st._replace(spec_x_re=xr, spec_x_im=xi, spec_h_re=hr,
-                                  spec_h_im=hi, tail=tl)
+                                  spec_h_im=hi, tail=tl, wp=wp, wp2=wp2)
                 out_st, out = pconv_step(scfg, sub, blk)
                 return (out_st.spec_x_re, out_st.spec_x_im, out_st.spec_h_re,
                         out_st.spec_h_im, out_st.tail, out_st.wp, out_st.wp2,
                         out)
-            xr, xi, hr, hi, tl, wp, wp2, out = jax.vmap(one)(
+            xr, xi, hr, hi, tl, wp, wp2, out = jax.vmap(
+                one, in_axes=(0, 0, 0, 0, 0, wp_ax, wp2_ax, 0))(
                 st.spec_x_re, st.spec_x_im, st.spec_h_re, st.spec_h_im,
-                st.tail, blks)
+                st.tail, st.wp, st.wp2, blks)
             return st._replace(spec_x_re=xr, spec_x_im=xi, spec_h_re=hr,
-                               spec_h_im=hi, tail=tl, wp=wp[0],
-                               wp2=wp2[0]), out
+                               spec_h_im=hi, tail=tl,
+                               wp=wp if wp_ax == 0 else wp[0],
+                               wp2=wp2 if wp2_ax == 0 else wp2[0]), out
         return jax.lax.scan(body, state, blocks, unroll=unroll)
 
     # largest channel-group size the VMEM budget takes
@@ -869,20 +883,27 @@ def pconv_stream_batched_tv(cfg: PconvConfig, state: PconvState,
         scfg = (_dc.replace(cfg, pallas="off")
                 if cfg.pallas != "off" else cfg)
 
+        # shared-scalar or per-channel ring pointers (see the LTI batched
+        # fallback above)
+        wp_ax = 0 if jnp.ndim(state.wp) else None
+        wp2_ax = 0 if jnp.ndim(state.wp2) else None
+
         def body(st, blks):
-            def one(xr, xi, hr, hi, tl, bx, bh):
+            def one(xr, xi, hr, hi, tl, wp, wp2, bx, bh):
                 sub = st._replace(spec_x_re=xr, spec_x_im=xi, spec_h_re=hr,
-                                  spec_h_im=hi, tail=tl)
+                                  spec_h_im=hi, tail=tl, wp=wp, wp2=wp2)
                 out_st, out = pconv_step_tv(scfg, sub, bx, bh)
                 return (out_st.spec_x_re, out_st.spec_x_im, out_st.spec_h_re,
                         out_st.spec_h_im, out_st.tail, out_st.wp, out_st.wp2,
                         out)
-            xr, xi, hr, hi, tl, wp, wp2, out = jax.vmap(one)(
+            xr, xi, hr, hi, tl, wp, wp2, out = jax.vmap(
+                one, in_axes=(0, 0, 0, 0, 0, wp_ax, wp2_ax, 0, 0))(
                 st.spec_x_re, st.spec_x_im, st.spec_h_re, st.spec_h_im,
-                st.tail, blks[0], blks[1])
+                st.tail, st.wp, st.wp2, blks[0], blks[1])
             return st._replace(spec_x_re=xr, spec_x_im=xi, spec_h_re=hr,
-                               spec_h_im=hi, tail=tl, wp=wp[0],
-                               wp2=wp2[0]), out
+                               spec_h_im=hi, tail=tl,
+                               wp=wp if wp_ax == 0 else wp[0],
+                               wp2=wp2 if wp2_ax == 0 else wp2[0]), out
         stacked = jnp.stack([jnp.asarray(blocks_x, jnp.float32),
                              jnp.asarray(blocks_h, jnp.float32)],
                             axis=1)                  # (nb, 2, B, pts)

@@ -225,3 +225,34 @@ def test_inner_plan_overrides_scope():
         assert err / np.abs(ref).max() < 1e-4
     finally:
         del F._INNER_OVERRIDES[512]
+
+
+def test_exact_precision_is_thread_local():
+    """exact_precision must not leak across threads (review finding r3:
+    the realtime pipeline traces on a worker thread concurrently with
+    the main thread)."""
+    import threading
+    import time as _t
+
+    from opencl_fft_tpu.ops import fft as F
+
+    seen = {}
+    inside = threading.Event()
+    release = threading.Event()
+
+    def worker():
+        with F.exact_precision():
+            inside.set()
+            release.wait(5)
+            seen["worker_in_ctx"] = F._fast_mode()
+        seen["worker_after"] = F._fast_mode()
+
+    t = threading.Thread(target=worker)
+    t.start()
+    assert inside.wait(5)
+    seen["main_while_worker_in_ctx"] = F._fast_mode()
+    release.set()
+    t.join(5)
+    assert seen["worker_in_ctx"] == "off"
+    assert seen["main_while_worker_in_ctx"] == "auto"
+    assert seen["worker_after"] == "auto"

@@ -156,3 +156,39 @@ def test_batched_engine_forces_xla_step_for_kernel_routed_configs():
     out = conv.step(jnp.asarray(rng.standard_normal((3, 64)), jnp.float32))
     assert out.shape == (3, 64)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_batched_stream_accepts_per_channel_ring_pointers():
+    """The vmapped fallback must handle a state whose ring pointers are
+    per-channel vectors (review finding r3: the closed-over vector
+    crashed pconv_step's ring write at trace time). Lockstep vector
+    pointers must reproduce the shared-scalar result exactly."""
+    import jax.numpy as jnp
+
+    cfg = P.PconvConfig.for_ir_length(32 * 4, 32)
+    rng = np.random.default_rng(11)
+    nch, nblk = 3, 6
+    irs = jnp.asarray(rng.standard_normal((nch, 32 * 4)), jnp.float32)
+    blocks = jnp.asarray(rng.standard_normal((nblk, nch, 32)), jnp.float32)
+
+    conv = Convolver(cfg, batch=nch)
+    conv.push_ir(irs)
+    st_scalar = conv.state
+    st_vec = st_scalar._replace(
+        wp=jnp.full((nch,), st_scalar.wp, jnp.int32),
+        wp2=jnp.full((nch,), st_scalar.wp2, jnp.int32))
+    # same call style both arms (jit-vs-eager differs in low bits on CPU)
+    _, out_vec = P.pconv_stream_batched(cfg, st_vec, blocks)
+    _, out_scalar = P.pconv_stream_batched(cfg, st_scalar, blocks)
+    np.testing.assert_array_equal(np.asarray(out_vec), np.asarray(out_scalar))
+
+    # TV variant takes the same fallback
+    tv = TVConvolver(cfg, batch=nch)
+    st_tv = tv.state
+    st_tv_vec = st_tv._replace(
+        wp=jnp.full((nch,), st_tv.wp, jnp.int32),
+        wp2=jnp.full((nch,), st_tv.wp2, jnp.int32))
+    _, out_tv_vec = P.pconv_stream_batched_tv(cfg, st_tv_vec, blocks, blocks)
+    _, out_tv_scalar = P.pconv_stream_batched_tv(cfg, st_tv, blocks, blocks)
+    np.testing.assert_array_equal(np.asarray(out_tv_vec),
+                                  np.asarray(out_tv_scalar))
