@@ -273,11 +273,14 @@ def bench_batched_serving(batch=64, pts=512, ir_len=1 << 17, scan_blocks=470):
     # fit): _use_stream_kernel alone can be true via the split impl,
     # whose batched variant does not exist — the tiny stream floor would
     # then let drift-collapsed scan readings through.
+    from opencl_fft_tpu.ops.pallas import _tuned
     from opencl_fft_tpu.ops.pallas.streamstep import \
         fits_vmem_streamstep_batched
     fn = jax.jit(partial(P.pconv_stream_batched, cfg), donate_argnums=(0,))
+    cross = getattr(_tuned, "BATCHED_KERNEL_MAX_CH", {}).get("lti")
     if (cfg._stream_kernel_impl() == "classic"
-            and fits_vmem_streamstep_batched(cfg.nparts, cfg.bins, 1)):
+            and fits_vmem_streamstep_batched(cfg.nparts, cfg.bins, 1)
+            and (cross is None or batch <= cross)):
         floor = max(scan_blocks * 2 * pts * 4 * batch / 3e12,
                     0.02e-6 * scan_blocks)
     else:

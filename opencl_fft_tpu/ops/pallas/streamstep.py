@@ -61,6 +61,56 @@ _PLANE_PASS_MAX = {
     "batched_tv": 8 * 256 * 512 * 4,    # pass; c=16 compile fails
 }
 
+# Scoped-VMEM cost model, calibrated from observed OOM reports and the
+# largest measured passes:
+#   total ~= internal(family, plane) + outs_bytes(scan length)
+# where outs_bytes is the whole launch's OUTPUT block rows (nblocks x
+# batch x bins f32) — the r3 bench crash decomposes as 104.55 MB =
+# internal 89.3 + outs 15.2 for a 464-block x 16-channel scan whose
+# 8-block probe passed, while the serving TV c=8 kernel ran 1880-block
+# scans (input rows alone would be 123 MB), proving the pipelined INPUT
+# does not count. internal = tables + onehot + K x plane_bytes with K
+# from the OOM reports (exact) or the upper bound implied by the largest
+# pass (conservative: a high internal estimate only shrinks the
+# per-launch segment).
+_INTERNAL_K = {
+    "classic_lti": 7.5,    # (127.27-6.3)/16.78 = 7.2 at (8192,512) OOM
+    "classic_tv": 28.0,    # (121.19-6.3)/4.19 = 27.4 at (2048,512) OOM
+    "batched_lti": 10.0,   # (104.55-15.2-6.8)/8.39 = 9.8 at c=16 OOM
+    "batched_tv": 15.0,    # <= 14.9 from the c=8 1880-block serving pass
+}
+_SEG_BUDGET_CAP = 92 * 1024 * 1024    # 8 MB margin under the scoped cap
+# floor: at envelope-edge shapes (internal estimate ~cap) passes were
+# measured with ~1-4 MB of output rows; 4 MB reproduces exactly the
+# 512-block segments those measurements used at bins=2048
+_SEG_FLOOR_BYTES = 4 * 1024 * 1024
+
+
+def max_scan_blocks(nparts: int, bins: int, batch: int = 1,
+                    tv: bool = False, split: bool = False) -> int:
+    """Largest per-launch block count the scoped-VMEM budget takes at
+    this shape — the wrappers cut longer scans into segments, threading
+    the returned window/tail (and TV h) state into the next launch (the
+    kernel's final window layout IS the next segment's initial window)."""
+    if split:
+        # half-table kernels: tables 2 bins^2 + coef stacks; K bounds
+        # from the largest passes ((1024,2048) LTI probe, (512,2048) TV
+        # sweep measurement)
+        k = 16.0 if tv else 8.0
+        tables = 2 * bins * bins * 4 + 2 * 8 * bins * 4
+    else:
+        family = ("batched_" if batch > 1 else "classic_") + \
+            ("tv" if tv else "lti")
+        k = _INTERNAL_K[family]
+        tables = (2 * bins * bins + 4 * bins * bins) * 4
+    plane = batch * nparts * bins * 4
+    onehot = (3 if tv else 2) * batch * nparts * batch * 4 if batch > 1 else 0
+    internal = tables + onehot + k * plane
+    budget = max(_SEG_BUDGET_CAP - internal, _SEG_FLOOR_BYTES)
+    per_block = batch * bins * 4                  # output rows per block
+    seg = int(budget // per_block)
+    return max(_STEP_GROUP, seg - seg % _STEP_GROUP)
+
 
 def fits_vmem_streamstep(nparts: int, bins: int) -> bool:
     """VMEM gate for the LTI kernel: the naive resident-set model (wfwd

@@ -642,10 +642,11 @@ def _pconv_stream_kernel(cfg: PconvConfig, state: PconvState, blocks: Float
     import jax as _jax
 
     from .pallas.splitstep import stream_steps_fused_split
-    from .pallas.streamstep import _STEP_GROUP, stream_steps_fused
+    from .pallas.streamstep import (_STEP_GROUP, max_scan_blocks,
+                                    stream_steps_fused)
 
-    fused = (stream_steps_fused_split
-             if cfg._stream_kernel_impl() == "split" else stream_steps_fused)
+    is_split = cfg._stream_kernel_impl() == "split"
+    fused = stream_steps_fused_split if is_split else stream_steps_fused
 
     nb = blocks.shape[0]
     nb_k = nb - nb % _STEP_GROUP           # kernel takes whole groups
@@ -655,9 +656,22 @@ def _pconv_stream_kernel(cfg: PconvConfig, state: PconvState, blocks: Float
     # window row q = frame (wp0 + q): doubled-ring rows [wp0, wp0+nparts)
     w0r = jax.lax.dynamic_slice(state.spec_x_re, (state.wp, z), (np_, b))
     w0i = jax.lax.dynamic_slice(state.spec_x_im, (state.wp, z), (np_, b))
-    outs, (wfr, wfi), tailf = fused(
-        blocks[:nb_k], (w0r, w0i), (state.spec_h_re, state.spec_h_im), b0,
-        state.tail, cfg.pts, interpret=_jax.default_backend() == "cpu")
+    # long scans run as segments within the per-launch scoped-VMEM output
+    # budget (streamstep.max_scan_blocks); the kernel's final window/tail
+    # state is exactly the next segment's initial state
+    seg = max_scan_blocks(np_, b, split=is_split)
+    interp = _jax.default_backend() == "cpu"
+    w, tail = (w0r, w0i), state.tail
+    outs_parts = []
+    for s0 in range(0, nb_k, seg):
+        outs_s, w, tail = fused(
+            blocks[s0:min(nb_k, s0 + seg)], w,
+            (state.spec_h_re, state.spec_h_im), b0, tail, cfg.pts,
+            interpret=interp)
+        outs_parts.append(outs_s)
+    (wfr, wfi), tailf = w, tail
+    outs = (outs_parts[0] if len(outs_parts) == 1
+            else jnp.concatenate(outs_parts, axis=0))
     wp_out = (state.wp + nb_k) % np_
     # final window row q holds frame (wp_out + q): ring[r] = W[(r - wp_out)]
     ring_r = jnp.roll(wfr, wp_out, axis=0)
@@ -702,10 +716,11 @@ def _pconv_stream_tv_kernel(cfg: PconvConfig, state: PconvState,
     import jax as _jax
 
     from .pallas.splitstep import stream_steps_fused_split_tv
-    from .pallas.streamstep import _STEP_GROUP, stream_steps_fused_tv
+    from .pallas.streamstep import (_STEP_GROUP, max_scan_blocks,
+                                    stream_steps_fused_tv)
 
-    fused_tv = (stream_steps_fused_split_tv
-                if cfg._stream_kernel_impl(tv=True) == "split"
+    is_split = cfg._stream_kernel_impl(tv=True) == "split"
+    fused_tv = (stream_steps_fused_split_tv if is_split
                 else stream_steps_fused_tv)
 
     nb = blocks_x.shape[0]
@@ -720,10 +735,22 @@ def _pconv_stream_tv_kernel(cfg: PconvConfig, state: PconvState,
         [jnp.asarray(blocks_x[:nb_k], jnp.float32),
          jnp.asarray(blocks_h[:nb_k], jnp.float32)],
         axis=1).reshape(2 * nb_k, cfg.pts)
-    outs, (wfr, wfi), (hfr, hfi), tailf = fused_tv(
-        blocks2, (w0r, w0i), (state.spec_h_re, state.spec_h_im),
-        state.wp2, b0, state.tail, cfg.pts,
-        interpret=_jax.default_backend() == "cpu")
+    # segment long scans (see _pconv_stream_kernel); the h ring state and
+    # the decrementing wp2 thread through segments too
+    seg = max_scan_blocks(np_, b, tv=True, split=is_split)
+    interp = _jax.default_backend() == "cpu"
+    w, h = (w0r, w0i), (state.spec_h_re, state.spec_h_im)
+    tail = state.tail
+    outs_parts = []
+    for s0 in range(0, nb_k, seg):
+        s1 = min(nb_k, s0 + seg)
+        outs_s, w, h, tail = fused_tv(
+            blocks2[2 * s0:2 * s1], w, h, (state.wp2 - s0) % np_, b0,
+            tail, cfg.pts, interpret=interp)
+        outs_parts.append(outs_s)
+    (wfr, wfi), (hfr, hfi), tailf = w, h, tail
+    outs = (outs_parts[0] if len(outs_parts) == 1
+            else jnp.concatenate(outs_parts, axis=0))
     wp_out = (state.wp + nb_k) % np_
     ring_r = jnp.roll(wfr, wp_out, axis=0)
     ring_i = jnp.roll(wfi, wp_out, axis=0)
@@ -769,13 +796,21 @@ def pconv_stream_batched(cfg: PconvConfig, state: PconvState, blocks: Float,
     from .pallas.streamstep import (_STEP_GROUP, fits_vmem_streamstep_batched,
                                     stream_steps_fused_batched)
 
+    from .pallas import _tuned
+
     nb, nch = blocks.shape[0], blocks.shape[1]
     # the batched kernel is a CLASSIC (dense-table) design — a config
     # whose impl resolves to "split" (bins=2048) has no batched kernel
-    # and must take the vmapped scan
+    # and must take the vmapped scan. Above the measured channel-count
+    # crossover (tools/serving_scaling.py interleaved A/B) the vmapped
+    # scan wins — XLA's own batching keeps the MXU busy while the kernel
+    # pays per-VMEM-group launches — so auto only routes kernel-ward
+    # below it.
+    cross = getattr(_tuned, "BATCHED_KERNEL_MAX_CH", {}).get("lti")
     if (jnp.ndim(blocks) != 3 or nb < _STEP_GROUP
             or cfg._stream_kernel_impl() != "classic"
             or not fits_vmem_streamstep_batched(cfg.nparts, cfg.bins, 1)
+            or (cfg.pallas == "auto" and cross is not None and nch > cross)
             or jnp.ndim(state.wp) != 0):
         # vmapped per-block scan; the per-launch kernels are
         # single-stream designs (Mosaic rejects vmapped ANY blocks)
@@ -783,6 +818,13 @@ def pconv_stream_batched(cfg: PconvConfig, state: PconvState, blocks: Float,
         scfg = (_dc.replace(cfg, pallas="off")
                 if cfg.pallas != "off" else cfg)
 
+        # scan unroll amortizes the ~15us/iter backend loop overhead,
+        # which only pays while per-block work is tiny; at wide batches
+        # the unrolled program bloat hurts scheduling (measured at 64ch:
+        # 1.07ms/block unrolled vs ~0.25ms unroll-free —
+        # tools/serving_scaling.py)
+        if nch >= 16:
+            unroll = 1
         # ring pointers may be shared scalars (batched_state layout) or
         # per-channel vectors — map the latter through vmap instead of
         # letting the closed-over vector crash pconv_step's ring write
@@ -819,6 +861,7 @@ def pconv_stream_batched(cfg: PconvConfig, state: PconvState, blocks: Float,
     z = jnp.asarray(0, state.wp.dtype)
     wp_out = (state.wp + nb_k) % np_
     outs_parts, ring_r_parts, ring_i_parts, tail_parts = [], [], [], []
+    from .pallas.streamstep import max_scan_blocks
     for c0 in range(0, nch, cmax):
         c1 = min(nch, c0 + cmax)
         C = c1 - c0
@@ -828,15 +871,25 @@ def pconv_stream_batched(cfg: PconvConfig, state: PconvState, blocks: Float,
         w0i = jax.lax.dynamic_slice(
             state.spec_x_im[c0:c1], (0, state.wp, z), (C, np_, b)
         ).reshape(C * np_, b)
-        rows = jnp.asarray(blocks[:nb_k, c0:c1], jnp.float32
-                           ).reshape(nb_k * C, cfg.pts)
-        outs, (wfr, wfi), tails = stream_steps_fused_batched(
-            rows, (w0r, w0i),
-            (state.spec_h_re[c0:c1].reshape(C * np_, b),
-             state.spec_h_im[c0:c1].reshape(C * np_, b)),
-            b0, state.tail[c0:c1], cfg.pts, C,
-            interpret=jax.default_backend() == "cpu")
-        outs_parts.append(outs.reshape(nb_k, C, cfg.pts))
+        h = (state.spec_h_re[c0:c1].reshape(C * np_, b),
+             state.spec_h_im[c0:c1].reshape(C * np_, b))
+        # segment long scans within the per-launch scoped-VMEM output
+        # budget (streamstep.max_scan_blocks) — the r3 bench crash was
+        # this group at 464 blocks where its 8-block probe passed
+        seg = max_scan_blocks(np_, b, batch=C)
+        interp = jax.default_backend() == "cpu"
+        w, tails = (w0r, w0i), state.tail[c0:c1]
+        seg_outs = []
+        for s0 in range(0, nb_k, seg):
+            s1 = min(nb_k, s0 + seg)
+            rows = jnp.asarray(blocks[s0:s1, c0:c1], jnp.float32
+                               ).reshape((s1 - s0) * C, cfg.pts)
+            outs, w, tails = stream_steps_fused_batched(
+                rows, w, h, b0, tails, cfg.pts, C, interpret=interp)
+            seg_outs.append(outs.reshape(s1 - s0, C, cfg.pts))
+        wfr, wfi = w
+        outs_parts.append(seg_outs[0] if len(seg_outs) == 1
+                          else jnp.concatenate(seg_outs, axis=0))
         ring_r_parts.append(
             jnp.roll(wfr.reshape(C, np_, b), wp_out, axis=1))
         ring_i_parts.append(
@@ -872,17 +925,26 @@ def pconv_stream_batched_tv(cfg: PconvConfig, state: PconvState,
                                     fits_vmem_streamstep_batched_tv,
                                     stream_steps_fused_batched_tv)
 
+    from .pallas import _tuned
+
     nb, nch = blocks_x.shape[0], blocks_x.shape[1]
     # like the LTI batched kernel this is a CLASSIC (dense-table) design;
-    # split-impl configs (bins=2048) take the vmapped scan
+    # split-impl configs (bins=2048) take the vmapped scan. Auto mode
+    # also respects the measured channel-count crossover (see the LTI
+    # wrapper above).
+    cross = getattr(_tuned, "BATCHED_KERNEL_MAX_CH", {}).get("tv")
     if (jnp.ndim(blocks_x) != 3 or nb < _STEP_GROUP
             or cfg._stream_kernel_impl(tv=True) != "classic"
             or not fits_vmem_streamstep_batched_tv(cfg.nparts, cfg.bins, 1)
+            or (cfg.pallas == "auto" and cross is not None and nch > cross)
             or jnp.ndim(state.wp) != 0):
         import dataclasses as _dc
         scfg = (_dc.replace(cfg, pallas="off")
                 if cfg.pallas != "off" else cfg)
 
+        # wide batches: unroll-free scan (see the LTI batched fallback)
+        if nch >= 16:
+            unroll = 1
         # shared-scalar or per-channel ring pointers (see the LTI batched
         # fallback above)
         wp_ax = 0 if jnp.ndim(state.wp) else None
@@ -931,19 +993,31 @@ def pconv_stream_batched_tv(cfg: PconvConfig, state: PconvState,
         w0i = jax.lax.dynamic_slice(
             state.spec_x_im[c0:c1], (0, state.wp, z), (C, np_, b)
         ).reshape(C * np_, b)
-        # row (2t)*C + c = block t's input frame of channel c,
-        # (2t+1)*C + c its coefficient frame
-        rows2 = jnp.stack(
-            [jnp.asarray(blocks_x[:nb_k, c0:c1], jnp.float32),
-             jnp.asarray(blocks_h[:nb_k, c0:c1], jnp.float32)],
-            axis=1).reshape(2 * nb_k * C, cfg.pts)
-        outs, (wfr, wfi), (hfr, hfi), tails = stream_steps_fused_batched_tv(
-            rows2, (w0r, w0i),
-            (state.spec_h_re[c0:c1].reshape(C * np_, b),
-             state.spec_h_im[c0:c1].reshape(C * np_, b)),
-            state.wp2, b0, state.tail[c0:c1], cfg.pts, C,
-            interpret=jax.default_backend() == "cpu")
-        outs_parts.append(outs.reshape(nb_k, C, cfg.pts))
+        from .pallas.streamstep import max_scan_blocks
+        # segment long scans (see the LTI batched wrapper above); h and
+        # the decrementing wp2 thread through segments per group
+        seg = max_scan_blocks(np_, b, batch=C, tv=True)
+        interp = jax.default_backend() == "cpu"
+        w = (w0r, w0i)
+        h = (state.spec_h_re[c0:c1].reshape(C * np_, b),
+             state.spec_h_im[c0:c1].reshape(C * np_, b))
+        tails = state.tail[c0:c1]
+        seg_outs = []
+        for s0 in range(0, nb_k, seg):
+            s1 = min(nb_k, s0 + seg)
+            # row (2t)*C + c = block t's input frame of channel c,
+            # (2t+1)*C + c its coefficient frame
+            rows2 = jnp.stack(
+                [jnp.asarray(blocks_x[s0:s1, c0:c1], jnp.float32),
+                 jnp.asarray(blocks_h[s0:s1, c0:c1], jnp.float32)],
+                axis=1).reshape(2 * (s1 - s0) * C, cfg.pts)
+            outs, w, h, tails = stream_steps_fused_batched_tv(
+                rows2, w, h, (state.wp2 - s0) % np_, b0, tails,
+                cfg.pts, C, interpret=interp)
+            seg_outs.append(outs.reshape(s1 - s0, C, cfg.pts))
+        (wfr, wfi), (hfr, hfi) = w, h
+        outs_parts.append(seg_outs[0] if len(seg_outs) == 1
+                          else jnp.concatenate(seg_outs, axis=0))
         ring_r_parts.append(
             jnp.roll(wfr.reshape(C, np_, b), wp_out, axis=1))
         ring_i_parts.append(

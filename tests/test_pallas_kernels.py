@@ -510,3 +510,80 @@ def test_stream_batched_tv_channel_grouping():
                                   np.asarray(st_g.spec_x_re))
     np.testing.assert_array_equal(np.asarray(st_w.spec_h_re),
                                   np.asarray(st_g.spec_h_re))
+
+
+def test_stream_scan_segmentation_matches_single_launch(monkeypatch):
+    """Long scans are cut into per-launch segments within the scoped-VMEM
+    output budget (streamstep.max_scan_blocks), threading window/tail —
+    and for TV the h ring and wp2 — between launches. Forcing a tiny
+    segment must reproduce the single-launch scan bit-for-bit."""
+    import opencl_fft_tpu.ops.pallas.streamstep as ST
+    from opencl_fft_tpu.ops import pconv as P
+
+    pts, nparts, nb = 128, 8, 32
+    cfg = P.PconvConfig(pts=pts, nparts=nparts, pallas="stream")
+    ir = RNG.standard_normal(pts * nparts).astype(np.float32) * 0.2
+    bx = jnp.asarray(RNG.standard_normal((nb, pts)), jnp.float32)
+    bh = jnp.asarray(RNG.standard_normal((nb, pts)) * 0.1, jnp.float32)
+
+    st0 = P.push_ir(cfg, P.pconv_init(cfg), ir)
+    st1, o1 = P.pconv_stream(cfg, st0, bx)
+    st1tv, o1tv = P.pconv_stream_tv(cfg, st0, bx, bh)
+
+    assert ST.max_scan_blocks(nparts, pts) > nb       # single launch above
+    monkeypatch.setattr(ST, "_SEG_BUDGET_CAP", 0)
+    monkeypatch.setattr(ST, "_SEG_FLOOR_BYTES", 8 * pts * 4)  # seg = 8
+    assert ST.max_scan_blocks(nparts, pts) == 8
+    st2, o2 = P.pconv_stream(cfg, st0, bx)
+    st2tv, o2tv = P.pconv_stream_tv(cfg, st0, bx, bh)
+
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    # TV: XLA fuses the per-segment programs differently (FMA grouping),
+    # so the comparison is 1-2 ULP rather than bitwise
+    sc = float(jnp.abs(o1tv).max()) + 1e-9
+    np.testing.assert_allclose(np.asarray(o1tv), np.asarray(o2tv),
+                               atol=3e-5 * sc, rtol=0)
+    for a, b in zip(jax.tree.leaves(st1), jax.tree.leaves(st2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(st1tv), jax.tree.leaves(st2tv)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5 * sc, rtol=0)
+
+
+def test_batched_stream_segmentation_matches_single_launch(monkeypatch):
+    """Batched (serving) wrappers segment within each channel group; a
+    forced tiny segment must be bit-equal to the single launch (LTI and
+    TV)."""
+    import opencl_fft_tpu.ops.pallas.streamstep as ST
+    from opencl_fft_tpu.models.convolver import batched_state
+    from opencl_fft_tpu.ops import pconv as P
+
+    pts, nparts, nb, nch = 128, 8, 24, 3
+    cfg = P.PconvConfig(pts=pts, nparts=nparts, pallas="stream")
+    st0 = batched_state(cfg, nch)
+    irs = jnp.asarray(RNG.standard_normal((nch, pts * nparts)) * 0.2,
+                      jnp.float32)
+    import jax as _jax
+    from opencl_fft_tpu.models.convolver import _vmapped_push
+    st0 = _jax.jit(_vmapped_push(cfg))(st0, irs)
+    bx = jnp.asarray(RNG.standard_normal((nb, nch, pts)), jnp.float32)
+    bh = jnp.asarray(RNG.standard_normal((nb, nch, pts)) * 0.1, jnp.float32)
+
+    st1, o1 = P.pconv_stream_batched(cfg, st0, bx)
+    st1tv, o1tv = P.pconv_stream_batched_tv(cfg, st0, bx, bh)
+
+    monkeypatch.setattr(ST, "_SEG_BUDGET_CAP", 0)
+    monkeypatch.setattr(ST, "_SEG_FLOOR_BYTES", 8 * nch * pts * 4)
+    assert ST.max_scan_blocks(nparts, pts, batch=nch) == 8
+    st2, o2 = P.pconv_stream_batched(cfg, st0, bx)
+    st2tv, o2tv = P.pconv_stream_batched_tv(cfg, st0, bx, bh)
+
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    sc = float(jnp.abs(o1tv).max()) + 1e-9
+    np.testing.assert_allclose(np.asarray(o1tv), np.asarray(o2tv),
+                               atol=3e-5 * sc, rtol=0)
+    for a, b in zip(jax.tree.leaves(st1), jax.tree.leaves(st2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(st1tv), jax.tree.leaves(st2tv)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5 * sc, rtol=0)

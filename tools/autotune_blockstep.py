@@ -248,6 +248,15 @@ def main():
         for key, tag in sorted(getattr(_tuned, "DCONV_WINNERS", {}).items()):
             f.write(f"    {key}: {tag!r},\n")
         f.write("}\n")
+        # preserve the batched-kernel crossover (tools/serving_scaling.py)
+        cross = getattr(_tuned, "BATCHED_KERNEL_MAX_CH", None)
+        if cross is not None:
+            f.write(
+                "\n# Measured channel-count crossover for the batched "
+                "whole-scan kernels\n# (tools/serving_scaling.py "
+                "interleaved A/B): pallas=\"auto\" routes the batched\n"
+                "# kernel only at nch <= this.\n"
+                f"BATCHED_KERNEL_MAX_CH = {cross!r}\n")
     print(f"wrote {out}", file=sys.stderr)
 
 

@@ -42,6 +42,17 @@ def make_runners(batch: int, tv: bool, scan_blocks: int) -> dict:
 
     rng = np.random.default_rng(3)
     runners = {}
+    arm_errors = {}
+
+    def safe(name, thunk):
+        # one arm's compile failure (e.g. a compile-helper crash at wide
+        # batches) must not take down the other arm's measurement
+        try:
+            runners[name] = thunk()
+        except Exception as e:  # noqa: BLE001 — recorded per arm
+            arm_errors[name] = str(e)[:160]
+            print(f"  arm '{name}' failed: {arm_errors[name]}",
+                  file=sys.stderr, flush=True)
 
     def finish(fn, base, blocks_args):
         def run(reps):
@@ -67,17 +78,17 @@ def make_runners(batch: int, tv: bool, scan_blocks: int) -> dict:
         # which only matters while the per-block work is tiny (see the
         # LTI note below)
         unroll = 4 if batch < 16 else 1
-        runners["scan"] = finish(
+        safe("scan", lambda: finish(
             jax.jit(partial(P.pconv_stream_batched_tv, cfg_off,
                             unroll=unroll), donate_argnums=(0,)),
-            base, (bx, bh))
+            base, (bx, bh)))
         if fits_vmem_streamstep_batched_tv(IR_LEN // PTS, PTS, 1):
             cfg_k = P.PconvConfig.for_ir_length(IR_LEN, PTS, pallas="stream")
-            runners["kernel"] = finish(
+            safe("kernel", lambda: finish(
                 jax.jit(partial(P.pconv_stream_batched_tv, cfg_k),
                         donate_argnums=(0,)),
-                base, (bx, bh))
-        return runners
+                base, (bx, bh)))
+        return runners, arm_errors
 
     cfg_off = P.PconvConfig.for_ir_length(IR_LEN, PTS, pallas="off")
     irs = jnp.asarray(rng.standard_normal((batch, IR_LEN)) * 0.05,
@@ -93,17 +104,17 @@ def make_runners(batch: int, tv: bool, scan_blocks: int) -> dict:
     # x4 program bloat hurts scheduling (measured: batch=64 ran 1.07ms/
     # block unrolled vs ~0.25ms in bench.py's unroll-free program)
     unroll = 4 if batch < 16 else 1
-    runners["scan"] = finish(
+    safe("scan", lambda: finish(
         jax.jit(partial(P.pconv_stream_batched, cfg_off, unroll=unroll),
                 donate_argnums=(0,)),
-        base, (blocks,))
+        base, (blocks,)))
     if fits_vmem_streamstep_batched(IR_LEN // PTS, PTS, 1):
         cfg_k = P.PconvConfig.for_ir_length(IR_LEN, PTS, pallas="stream")
-        runners["kernel"] = finish(
+        safe("kernel", lambda: finish(
             jax.jit(partial(P.pconv_stream_batched, cfg_k),
                     donate_argnums=(0,)),
-            base, (blocks,))
-    return runners
+            base, (blocks,)))
+    return runners, arm_errors
 
 
 def measure(batch: int, tv: bool, rounds: int, reps: int,
@@ -116,9 +127,12 @@ def measure(batch: int, tv: bool, rounds: int, reps: int,
     scan_blocks -= scan_blocks % _STEP_GROUP
     nparts = IR_LEN // PTS
     try:
-        runners = make_runners(batch, tv, scan_blocks)
-    except Exception as e:                        # e.g. Mosaic vmem OOM
+        runners, arm_errors = make_runners(batch, tv, scan_blocks)
+    except Exception as e:                        # e.g. state-build failure
         return {"error": str(e)[:160]}
+    if not runners:
+        return {"error": "; ".join(f"{m}: {e}" for m, e in
+                                   arm_errors.items()) or "no arms"}
 
     # physical floors (5x-generous: only impossible drift-collapsed
     # deltas are rejected). The scan streams batch x 4 ring planes of
@@ -151,6 +165,8 @@ def measure(batch: int, tv: bool, rounds: int, reps: int,
         }
     win = min(measured, key=measured.get)
     out["winner"] = win
+    if arm_errors:
+        out["arm_errors"] = arm_errors            # evidence of lost arms
     out.update(out[win])                          # flat served numbers
     return out
 
@@ -164,7 +180,14 @@ def main():
                     help="batch sizes for the TV (dual-stream) arm pair")
     args = ap.parse_args()
 
+    # seed from the existing artifact so a partial re-run (--batches with
+    # a subset) refreshes only its points instead of dropping the rest
     results = {}
+    try:
+        with open("bench_results/serving_scaling.json") as f:
+            results = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        pass
     jobs = [(int(b), False) for b in args.batches.split(",") if b] + \
            [(int(b), True) for b in args.tv_batches.split(",") if b]
     for batch, tv in jobs:
