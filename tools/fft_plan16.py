@@ -56,6 +56,13 @@ def candidates(logn: int):
         patch = {n: h, h: 0, n // h: 0}
         cands[f"b{h}"] = (patch, False)
         cands[f"b{h}t"] = (patch, True)
+    # alternative TOP splits: a big-left tree (n1' = n/128 dense or
+    # 64-rooted) trades recursion depth against leaf flops — untested by
+    # the per-factor candidates above, which keep the tuned top split
+    for n1a in {n // 128, 512, 1024} - {n1}:
+        if F.MAX_RADIX < n1a <= F._MAX_DIRECT and n % n1a == 0 \
+                and n // n1a >= 128:
+            cands[f"t{n1a}d"] = ({n: n1a, n1a: 0}, False)
     return cands
 
 
