@@ -21,9 +21,19 @@ PLANS = {
     8192: 64,
     16384: 128,
     32768: 256,
-    65536: 128,
+    65536: 256,   # balanced dense x dense (b256): won 3/4 interleaved
+    #               rounds vs the 128-rooted tree (344.2 vs 373.1 us,
+    #               tools/fft_plan16.py r3; needs PLANS_INNER[256] = 0)
     131072: 128,
     262144: 128,
     524288: 128,
     1048576: 128,
+}
+
+# Non-root factors inside a larger four-step tree (fft._INNER_OVERRIDES;
+# see _plan_lookup). 256 as an inner node goes DENSE — this is what makes
+# the 2^16 balanced 256x256 tree two matmul levels deep (the win above).
+# Standalone 256-point transforms keep PLANS[256].
+PLANS_INNER = {
+    256: 0,
 }
