@@ -290,6 +290,51 @@ def bench_batched_serving(batch=64, pts=512, ir_len=1 << 17, scan_blocks=470):
     return batch * (pts / SR) / per_block
 
 
+def bench_batched_serving_chunked(batch=64, pts=512, ir_len=1 << 17, K=8,
+                                  scan_blocks=472):
+    """Latency-relaxed serving throughput: K-block chunked streaming of
+    `batch` channels (bit-equal outputs to per-block streaming, at the
+    price of K blocks of added latency — 85 ms at K=8, pts=512, 48 kHz).
+
+    Why it exists: the one-block-latency batched stream is HBM-roofline
+    bound — every block must re-read all channels' h spectra plus an
+    nparts-deep ring window (batch=64, 2^17 taps: ~134 MB/block f32 ->
+    >= ~224 us/block at the measured ~600 GB/s, i.e. <= ~3.4k aggregate
+    audio-s/s no matter how good the kernel is). Chunking K blocks into
+    one fused MAC amortizes that traffic K-fold, which is the correct
+    serving-farm operating point whenever the deployment tolerates a few
+    dozen ms of latency."""
+    import jax
+    import jax.numpy as jnp
+    from opencl_fft_tpu.models.convolver import _vmapped, _vmapped_push, \
+        batched_state
+    from opencl_fft_tpu.ops import pconv as P
+
+    assert scan_blocks % K == 0
+    cfg = P.PconvConfig.for_ir_length(ir_len, pts)
+    rng = np.random.default_rng(3)
+    irs = jnp.asarray(rng.standard_normal((batch, ir_len)) * 0.05, jnp.float32)
+    st0 = jax.jit(_vmapped_push(cfg))(batched_state(cfg, batch), irs)
+    base = jax.tree.map(np.asarray, st0)
+
+    def make_state():
+        return jax.tree.map(jnp.asarray, base)
+
+    chunk_step = _vmapped(P.pconv_chunk, cfg)
+    chunks = jnp.asarray(
+        rng.standard_normal((scan_blocks // K, batch, K, pts)) * 0.1,
+        jnp.float32)
+    fn = jax.jit(
+        lambda st, cs: jax.lax.scan(lambda s, c: chunk_step(s, c), st, cs),
+        donate_argnums=(0,))
+    # per chunk: h ring + window, 4 (pts x nparts) f32 planes per channel
+    floor = max(scan_blocks / K * batch * 4 * cfg.nparts * cfg.bins * 4
+                / 3e12, 0.02e-6 * scan_blocks)
+    per_scan = _time_chained(fn, make_state, (chunks,), floor_s=floor)
+    per_block = per_scan / scan_blocks
+    return batch * (pts / SR) / per_block
+
+
 def bench_fft_sweep():
     """Batched FFT GFLOP/s (5 N log2 N convention), 2^10..2^20."""
     import jax
@@ -450,6 +495,10 @@ def main():
     else:
         print("OMITTED serving_64ch: unmeasurable in all windows",
               file=sys.stderr)
+    _measure(details, "serving_64ch_chunk8_audio_seconds_per_second",
+             bench_batched_serving_chunked,
+             "serving 64ch chunked K=8 (85 ms latency): {:.0f} "
+             "aggregate audio-s/s")
     _measure(details, "pconv_offline_rt_factor", bench_pconv_offline,
              "pconv offline render: {:.0f}x real time")
     _measure(details, "serving_offline_16ch_audio_seconds_per_second",

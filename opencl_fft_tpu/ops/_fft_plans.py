@@ -30,6 +30,21 @@ PLANS = {
     1048576: 128,
 }
 
+# Gauss 3-matmul leaf threshold per ROOT size (fft._GAUSS_BY_ROOT):
+# leaves >= the threshold inside that root's tree use the 3-matmul Gauss
+# complex product (25% fewer MXU FLOPs) instead of the one-block-matmul
+# form. Measured interleaved (tools/fft_gauss_ab.py ->
+# bench_results/fft_gauss_ab.json): decisive at 2^16 (317.9 -> 228.6 us,
+# 3/3 rounds) and 2^18 (382.7 -> 294.9 us, 3/3) where the dense
+# 256/128-leaves are MXU-bound under bf16x3; 2/3 at 2^14 (160.6 ->
+# 157.5); 2^12 and 2^20 keep the block form (HBM-bound: smaller leaves /
+# batch-4 working set).
+GAUSS = {
+    16384: 64,
+    65536: 64,
+    262144: 64,
+}
+
 # Non-root factors inside a larger four-step tree (fft._INNER_OVERRIDES;
 # see _plan_lookup). 256 as an inner node goes DENSE — this is what makes
 # the 2^16 balanced 256x256 tree two matmul levels deep (the win above).

@@ -123,6 +123,8 @@ _SPLIT_OVERRIDES: dict = {}
 _SPLIT_OVERRIDES_SMALL: dict = {}
 _INNER_OVERRIDES: dict = {}         # non-root factors only (see
 #                                     _plan_lookup's docstring)
+_GAUSS_BY_ROOT: dict = {}           # root n -> Gauss-leaf threshold (see
+#                                     _leaf_dft / _fft_plans.GAUSS)
 _SMALL_WS_ELEMS = 1 << 18           # < 2MB split working set => "small"
 
 try:                                       # tuned tables are optional
@@ -130,6 +132,7 @@ try:                                       # tuned tables are optional
     _SPLIT_OVERRIDES.update(getattr(_P, "PLANS", {}))
     _SPLIT_OVERRIDES_SMALL.update(getattr(_P, "PLANS_SMALL", {}))
     _INNER_OVERRIDES.update(getattr(_P, "PLANS_INNER", {}))
+    _GAUSS_BY_ROOT.update(getattr(_P, "GAUSS", {}))
 except ImportError:
     pass
 
@@ -173,6 +176,24 @@ def _leaf_matrix_np(n: int, sign: int, npdt=np.float32) -> np.ndarray:
     top = np.concatenate([u, v], axis=1)
     bot = np.concatenate([-v, u], axis=1)
     return np.concatenate([top, bot], axis=0).astype(npdt)
+
+
+@functools.lru_cache(maxsize=None)
+def _leaf_gauss_np(n: int, sign: int, npdt=np.float32) -> Tuple[np.ndarray, ...]:
+    """Gauss-trick matrices (U, U+V, V-U) for a 3-matmul complex DFT leaf.
+
+    With W = U + iV and out_re = re@U - im@V, out_im = re@V + im@U:
+        m1 = (re+im)@U,  m2 = im@(U+V),  m3 = re@(V-U)
+        out_re = m1 - m2,  out_im = m1 + m3
+    i.e. 3 real n x n matmuls instead of the one (2n x 2n) block matmul of
+    _leaf_matrix_np — 25% fewer MXU FLOPs. Worth it only where the leaf is
+    MXU-bound (large n under Precision.HIGH); gated by _GAUSS_MIN_N, set
+    from interleaved on-chip A/Bs (tools/fft_gauss_ab.py).
+    """
+    jk = np.outer(np.arange(n, dtype=np.float64), np.arange(n, dtype=np.float64))
+    w = np.exp(sign * 2j * np.pi * jk / n)
+    u, v = w.real, w.imag
+    return u.astype(npdt), (u + v).astype(npdt), (v - u).astype(npdt)
 
 
 @functools.lru_cache(maxsize=None)
@@ -227,15 +248,32 @@ def _is_leaf(n: int, elems: int, inner: bool = False) -> bool:
 # Implementation: recursive four-step matmul FFT (MXU path)
 # ---------------------------------------------------------------------------
 
-def _leaf_dft(re, im, sign, axis):
-    """Dense complex DFT over `axis` (-1 or -2) as one real matmul.
+def _leaf_dft(re, im, sign, axis, gauss_min=None):
+    """Dense complex DFT over `axis` (-1 or -2) as real matmuls.
 
-    The split planes concatenate along the contracted axis, so contracting
-    axis -2 needs no transpose at all — measured ~20% faster at 2^20 than
-    transposing the factor to the last axis first."""
+    Two forms, both transpose-free for axis=-2 (the split planes
+    concatenate/contract along the factor axis directly — measured ~20%
+    faster at 2^20 than transposing the factor to the last axis first):
+
+    - block: ONE (2n x 2n) matmul against [[U, V], [-V, U]] (4-matmul FLOPs,
+      minimum HBM traffic — one concat read, one split write).
+    - gauss: THREE n x n matmuls (_leaf_gauss_np; 25% fewer MXU FLOPs, a
+      little more elementwise traffic). Wins where the leaf is MXU-bound:
+      Precision.HIGH and n >= gauss_min (per-root measured gate,
+      _GAUSS_BY_ROOT).
+    """
+    if gauss_min is None:
+        gauss_min = _GAUSS_MIN_N
     n = re.shape[axis]
     npdt = np.dtype(re.dtype)
     prec = _HIGHEST if npdt == np.float64 else _leaf_precision(n)
+    if prec == jax.lax.Precision.HIGH and n >= gauss_min:
+        u, upv, vmu = (jnp.asarray(a) for a in _leaf_gauss_np(n, sign, npdt))
+        eq = "...n,nk->...k" if axis == -1 else "...nj,nk->...kj"
+        m1 = jnp.einsum(eq, re + im, u, precision=prec)
+        m2 = jnp.einsum(eq, im, upv, precision=prec)
+        m3 = jnp.einsum(eq, re, vmu, precision=prec)
+        return m1 - m2, m1 + m3
     w = jnp.asarray(_leaf_matrix_np(n, sign, npdt))
     z = jnp.concatenate([re, im], axis=axis)
     if axis == -1:
@@ -245,32 +283,48 @@ def _leaf_dft(re, im, sign, axis):
     return y[..., :n, :], y[..., n:, :]
 
 
-def _leaf_dft_out_t(re, im, sign):
+def _leaf_dft_out_t(re, im, sign, gauss_min=None):
     """Dense DFT over the LAST axis, output transposed to (..., k, j).
 
     Fuses the four-step's final swapaxes into the second leaf matmul
     (einsum emits the transposed layout directly) — saves one full HBM
     read+write pass over the working set, which is the dominant cost for
-    the 2^16..2^20 sweep (measured HBM-bound at ~600 GB/s)."""
+    the 2^16..2^20 sweep (measured HBM-bound at ~600 GB/s). Honors the
+    same Gauss 3-matmul gate as _leaf_dft."""
+    if gauss_min is None:
+        gauss_min = _GAUSS_MIN_N
     n = re.shape[-1]
     npdt = np.dtype(re.dtype)
     prec = _HIGHEST if npdt == np.float64 else _leaf_precision(n)
+    if prec == jax.lax.Precision.HIGH and n >= gauss_min:
+        u, upv, vmu = (jnp.asarray(a) for a in _leaf_gauss_np(n, sign, npdt))
+        eq = "...jn,nk->...kj"
+        m1 = jnp.einsum(eq, re + im, u, precision=prec)
+        m2 = jnp.einsum(eq, im, upv, precision=prec)
+        m3 = jnp.einsum(eq, re, vmu, precision=prec)
+        return m1 - m2, m1 + m3
     w = jnp.asarray(_leaf_matrix_np(n, sign, npdt))
     z = jnp.concatenate([re, im], axis=-1)
     y = jnp.einsum("...jn,nk->...kj", z, w, precision=prec)
     return y[..., :n, :], y[..., n:, :]
 
 
-def _fft_mm(x: Cplx, sign: int, inner: bool = False) -> Cplx:
+def _fft_mm(x: Cplx, sign: int, inner: bool = False,
+            gauss_min: Optional[int] = None) -> Cplx:
     """Unnormalized DFT over the last axis via recursive four-step
     matmuls. ``inner`` marks non-root calls (factor transforms inside a
-    larger tree) — they consult _INNER_OVERRIDES first."""
+    larger tree) — they consult _INNER_OVERRIDES first. The Gauss-leaf
+    threshold is chosen ONCE at the root from _GAUSS_BY_ROOT (the
+    measured per-size table: the same 128-leaf is MXU-bound inside the
+    2^18 tree but HBM-bound inside 2^20's) and threaded down."""
     re, im = x
     n = re.shape[-1]
+    if gauss_min is None:
+        gauss_min = _GAUSS_BY_ROOT.get(n, _GAUSS_MIN_N)
     elems = re.size            # static at trace time; constant down the
     #                            recursion, so one plan bucket per call tree
     if _is_leaf(n, elems, inner):
-        return _leaf_dft(re, im, sign, -1)
+        return _leaf_dft(re, im, sign, -1, gauss_min)
     n1, n2 = _split_factors(n, elems, inner)
     batch = re.shape[:-1]
 
@@ -282,11 +336,11 @@ def _fft_mm(x: Cplx, sign: int, inner: bool = False) -> Cplx:
     if _is_leaf(n1, elems, True) and n1 >= _AXIS2_MIN_N1:
         # transpose-free first factor: contract n1 over axis -2 directly
         # (wins ~20% at 2^20; hurts small transforms, hence the gate)
-        re, im = _leaf_dft(re, im, sign, -2)             # (..., k1, n2)
+        re, im = _leaf_dft(re, im, sign, -2, gauss_min)  # (..., k1, n2)
     else:
         re = jnp.swapaxes(re, -1, -2)                    # (..., n2, n1)
         im = jnp.swapaxes(im, -1, -2)
-        re, im = _fft_mm((re, im), sign, inner=True)     # DFT over n1
+        re, im = _fft_mm((re, im), sign, True, gauss_min)  # DFT over n1
         re = jnp.swapaxes(re, -1, -2)                    # (..., k1, n2)
         im = jnp.swapaxes(im, -1, -2)
     twr, twi = _fourstep_twiddle_np(n1, n2, sign, k1_major=True,
@@ -294,9 +348,9 @@ def _fft_mm(x: Cplx, sign: int, inner: bool = False) -> Cplx:
     twr, twi = jnp.asarray(twr), jnp.asarray(twi)
     re, im = re * twr - im * twi, re * twi + im * twr
     if _is_leaf(n2, elems, True) and n2 >= _OUT_T_MIN_N2:
-        re, im = _leaf_dft_out_t(re, im, sign)           # (..., k2, k1)
+        re, im = _leaf_dft_out_t(re, im, sign, gauss_min)  # (..., k2, k1)
     else:
-        re, im = _fft_mm((re, im), sign, inner=True)     # DFT over n2
+        re, im = _fft_mm((re, im), sign, True, gauss_min)  # DFT over n2
         re = jnp.swapaxes(re, -1, -2)                    # (..., k2, k1)
         im = jnp.swapaxes(im, -1, -2)
     return shape_to(re, (n,)), shape_to(im, (n,))
@@ -476,6 +530,16 @@ _STOCKHAM_MAX = 8
 # (n1=128/256) but ~2x slower for the small per-block transforms inside the
 # streaming convolver (n1=8..16).
 _AXIS2_MIN_N1 = 64
+
+# Default Gauss-leaf threshold for root sizes NOT in _GAUSS_BY_ROOT (the
+# measured per-root table from _fft_plans.GAUSS). Large dense leaves are
+# MXU-bound under bf16x3 (a 256-leaf level at 2^16 is ~280 us of pure
+# matmul at the measured ~61 TFLOP/s), so trading elementwise adds for a
+# quarter of the matmul work wins there; HBM-bound trees keep the block
+# form (one concat read + one split write is the traffic minimum).
+# Unmeasured sizes default OFF; tools/fft_gauss_ab.py races thresholds
+# interleaved -> bench_results/fft_gauss_ab.json.
+_GAUSS_MIN_N = 1 << 30
 
 # Emit the second leaf factor's output pre-transposed (einsum
 # "...jn,nk->...kj"), fusing the final swapaxes into the matmul. Measured

@@ -132,6 +132,24 @@ def test_out_t_leaf_variant(monkeypatch):
                                    rtol=0)
 
 
+def test_gauss_leaf_variant(monkeypatch):
+    """The Gauss 3-matmul complex leaf (adopted per-root where measured
+    faster, ops/fft.py _GAUSS_BY_ROOT) stays correct both forced-on at
+    every root and forced-off, and both agree with numpy — covers the
+    A/B harness toggles (tools/fft_gauss_ab.py) and the adopted table."""
+    for gauss_min, combo_t in ((64, False), (64, True), (1 << 30, False)):
+        monkeypatch.setattr(fft, "_GAUSS_MIN_N", gauss_min)
+        monkeypatch.setattr(fft, "_GAUSS_BY_ROOT", {})
+        if combo_t:     # gauss + fused-transpose second leaf compose
+            monkeypatch.setattr(fft, "_OUT_T_MIN_N2", 64)
+        for n in (4096, 65536):
+            x = randc((2, n))
+            got = np.asarray(fft.fft_unnormalized(x, -1, "mm"))
+            ref = np.fft.fft(x)
+            np.testing.assert_allclose(
+                got, ref, atol=3e-5 * np.max(np.abs(ref)), rtol=0)
+
+
 def test_deterministic_rerun():
     """TPU reductions are deterministic (vs the reference's CAS-loop atomics,
     cl_conv_kernels.h:29-44, which are order-nondeterministic): identical

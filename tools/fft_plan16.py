@@ -31,42 +31,61 @@ from opencl_fft_tpu.ops import fft as F
 
 
 def candidates(logn: int):
-    """Candidate trees for one size: name -> (override patch, out_t).
+    """Candidate trees for one size: name -> (patch, out_t, gauss).
 
     Always includes the status quo; adds inner-factor restructurings
-    (dense leaf, transpose-free >=64 splits) and the balanced
-    dense-dense split where both factors fit _MAX_DIRECT."""
+    (dense leaf, transpose-free >=64 splits), the balanced dense-dense
+    split where both factors fit _MAX_DIRECT, and Gauss-leaf (g) /
+    fused-transpose (t) toggles of the status-quo tree."""
     n = 1 << logn
     n1 = F._split_factors(n, 1 << 30)[0]
     n2 = n // n1
-    cands = {"cur": ({}, False)}
+    cands = {"cur": ({}, False, None)}
+    # Gauss 3-matmul leaves / fused-transpose second leaf on the
+    # status-quo tree (and combined) — cheap structural toggles
+    cands["cur_g"] = ({}, False, 64)
+    cands["cur_t"] = ({}, True, None)
+    cands["cur_tg"] = ({}, True, 64)
     for fac, tag in ((n1, "l"), (n2, "r")):
         if F.MAX_RADIX < fac <= F._MAX_DIRECT:
             # recursing factor as one dense leaf: flop-heavy,
             # transpose-free
-            cands[f"{tag}{fac}d"] = ({fac: 0}, False)
+            cands[f"{tag}{fac}d"] = ({fac: 0}, False, None)
             # or split with a transpose-free (>=64) left leaf
             if fac > 128:
-                cands[f"{tag}{fac}_64"] = ({fac: 64}, False)
+                cands[f"{tag}{fac}_64"] = ({fac: 64}, False, None)
                 if fac // 128 >= 8:
-                    cands[f"{tag}{fac}_128"] = ({fac: 128}, False)
+                    cands[f"{tag}{fac}_128"] = ({fac: 128}, False, None)
+                    cands[f"{tag}{fac}_128g"] = ({fac: 128}, False, 64)
+    # big inner factors (> _MAX_DIRECT) can only be re-SPLIT: try
+    # alternative left factors for them (the tuned standalone split was
+    # measured at its own root operating point, not inside this tree)
+    for fac, tag in ((n1, "l"), (n2, "r")):
+        if fac > F._MAX_DIRECT:
+            cur_split = F._split_factors(fac, 1 << 30, True)[0]
+            for alt in {64, 128, 256} - {cur_split}:
+                if fac % alt == 0:
+                    cands[f"{tag}{fac}_{alt}"] = ({fac: alt}, False, None)
+                    cands[f"{tag}{fac}_{alt}g"] = ({fac: alt}, False, 64)
     h = 1 << (logn // 2)
     if h <= F._MAX_DIRECT and h != n1:
         # balanced dense x dense (fewest levels), +fused-transpose leaf
         patch = {n: h, h: 0, n // h: 0}
-        cands[f"b{h}"] = (patch, False)
-        cands[f"b{h}t"] = (patch, True)
+        cands[f"b{h}"] = (patch, False, None)
+        cands[f"b{h}t"] = (patch, True, None)
+        cands[f"b{h}g"] = (patch, False, 64)
     # alternative TOP splits: a big-left tree (n1' = n/128 dense or
     # 64-rooted) trades recursion depth against leaf flops — untested by
     # the per-factor candidates above, which keep the tuned top split
     for n1a in {n // 128, 512, 1024} - {n1}:
         if F.MAX_RADIX < n1a <= F._MAX_DIRECT and n % n1a == 0 \
                 and n // n1a >= 128:
-            cands[f"t{n1a}d"] = ({n: n1a, n1a: 0}, False)
+            cands[f"t{n1a}d"] = ({n: n1a, n1a: 0}, False, None)
     return cands
 
 
-def make_runner(logn: int, patch: dict, out_t: bool, iters: int):
+def make_runner(logn: int, patch: dict, out_t: bool, iters: int,
+                gauss=None):
     n = 1 << logn
     batch = max(1, (32 << 20) // (8 * n))
     rng = np.random.default_rng(1)
@@ -76,8 +95,15 @@ def make_runner(logn: int, patch: dict, out_t: bool, iters: int):
 
     saved = {k: F._SPLIT_OVERRIDES.get(k) for k in patch}
     old_t = F._OUT_T_MIN_N2
+    old_g = F._GAUSS_BY_ROOT.get(n, None)
     F._SPLIT_OVERRIDES.update(patch)
     F._OUT_T_MIN_N2 = 64 if out_t else (1 << 30)
+    if gauss is None:
+        F._GAUSS_BY_ROOT.pop(n, None)       # candidate trees are timed
+        #                                     without the adopted gate
+        #                                     unless explicitly g-tagged
+    else:
+        F._GAUSS_BY_ROOT[n] = gauss
     try:
         @partial(jax.jit, static_argnums=1)
         def run(x, k):
@@ -92,6 +118,10 @@ def make_runner(logn: int, patch: dict, out_t: bool, iters: int):
         sync(run((re, im), iters))
     finally:
         F._OUT_T_MIN_N2 = old_t
+        if old_g is None:
+            F._GAUSS_BY_ROOT.pop(n, None)
+        else:
+            F._GAUSS_BY_ROOT[n] = old_g
         for k, v in saved.items():
             if v is None:
                 F._SPLIT_OVERRIDES.pop(k, None)
@@ -108,16 +138,21 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rounds", type=int, default=4)
     ap.add_argument("--logn", type=int, default=16)
+    ap.add_argument("--only", type=str, default="",
+                    help="comma-separated candidate names to race")
     args = ap.parse_args()
 
     logn = args.logn
     n = 1 << logn
     iters = 200 if logn <= 14 else 50
+    only = {c for c in args.only.split(",") if c}
     runners = {}
-    for name, (patch, out_t) in candidates(logn).items():
-        print(f"compiling {name} {patch} out_t={out_t} ...",
+    for name, (patch, out_t, gauss) in candidates(logn).items():
+        if only and name not in only:
+            continue
+        print(f"compiling {name} {patch} out_t={out_t} gauss={gauss} ...",
               file=sys.stderr, flush=True)
-        runners[name] = make_runner(logn, patch, out_t, iters)
+        runners[name] = make_runner(logn, patch, out_t, iters, gauss)
 
     from opencl_fft_tpu.utils.profiling import median_chain_delta
 

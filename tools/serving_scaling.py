@@ -67,6 +67,20 @@ def make_runners(batch: int, tv: bool, scan_blocks: int) -> dict:
         run(1)                         # compile + warm
         return run
 
+    K = 8      # chunk arm: K-block fused MAC, K blocks of added latency
+
+    def chunked(step):
+        # (scan_blocks, batch, pts) -> (scan_blocks/K, batch, K, pts) per
+        # operand; bit-equal outputs to per-block streaming, amortizes the
+        # per-block h + window HBM reads K-fold (the single-block
+        # batch=64 roofline is ~134 MB/block -> <= ~3.4k aggregate)
+        def fn(st, *cs):
+            return jax.lax.scan(lambda s, c: step(s, *c), st, cs)
+        return jax.jit(fn, donate_argnums=(0,))
+
+    def to_chunks(b):
+        return b.reshape(scan_blocks // K, K, batch, PTS).swapaxes(1, 2)
+
     if tv:
         cfg_off = P.PconvConfig.for_ir_length(IR_LEN, PTS, pallas="off")
         base = jax.tree.map(np.asarray, batched_state(cfg_off, batch))
@@ -74,6 +88,10 @@ def make_runners(batch: int, tv: bool, scan_blocks: int) -> dict:
                          jnp.float32)
         bh = jnp.asarray(rng.standard_normal((scan_blocks, batch, PTS)) * 0.1,
                          jnp.float32)
+        from opencl_fft_tpu.models.convolver import _vmapped
+        safe("chunk8", lambda: finish(
+            chunked(_vmapped(P.pconv_chunk_tv, cfg_off)),
+            base, (to_chunks(bx), to_chunks(bh))))
         # scan unroll amortizes the ~15us/iter backend loop overhead,
         # which only matters while the per-block work is tiny (see the
         # LTI note below)
@@ -98,6 +116,10 @@ def make_runners(batch: int, tv: bool, scan_blocks: int) -> dict:
         jax.jit(_vmapped_push(cfg_off))(batched_state(cfg_off, batch), irs))
     blocks = jnp.asarray(rng.standard_normal((scan_blocks, batch, PTS)) * 0.1,
                          jnp.float32)
+    from opencl_fft_tpu.models.convolver import _vmapped
+    safe("chunk8", lambda: finish(
+        chunked(_vmapped(P.pconv_chunk, cfg_off)),
+        base, (to_chunks(blocks),)))
 
     # scan unroll amortizes the ~15us/iter backend loop overhead, which
     # only matters while the per-block work is tiny; at wide batches the
@@ -143,6 +165,8 @@ def measure(batch: int, tv: bool, rounds: int, reps: int,
     floors = {
         "scan": max(batch * 4 * nparts * PTS * 4 / 3e12, 1e-6),
         "kernel": max(batch * (fac + 1) * PTS * 4 / 3e12, 0.02e-6),
+        # chunk arm amortizes the 4-plane read over K=8 blocks
+        "chunk8": max(batch * 4 * nparts * PTS * 4 / 8 / 3e12, 0.1e-6),
     }
     best = {m: float("inf") for m in runners}
     for _ in range(rounds):                       # interleave over drift
@@ -163,7 +187,11 @@ def measure(batch: int, tv: bool, rounds: int, reps: int,
             "per_channel_rt_factor": round(per_ch_rtf, 1),
             "aggregate_audio_s_per_s": round(batch * per_ch_rtf, 1),
         }
-    win = min(measured, key=measured.get)
+    # winner compares same-latency arms only: chunk8 buys throughput with
+    # K blocks of added latency, so it is reported alongside, never as
+    # the flat one-block-latency served number
+    same_lat = {m: t for m, t in measured.items() if m != "chunk8"}
+    win = min(same_lat or measured, key=(same_lat or measured).get)
     out["winner"] = win
     if arm_errors:
         out["arm_errors"] = arm_errors            # evidence of lost arms
@@ -200,7 +228,7 @@ def main():
         results[tag] = r
         arms = "  ".join(
             f"{m}={r[m]['us_per_block_all_channels']}us"
-            for m in ("scan", "kernel") if m in r)
+            for m in ("scan", "kernel", "chunk8") if m in r)
         print(f"{tag:14s}: {arms}  -> {r['winner']}  "
               f"{r['per_channel_rt_factor']:8.1f}x/ch "
               f"{r['aggregate_audio_s_per_s']:9.1f} agg audio-s/s",
