@@ -335,22 +335,30 @@ def bench_batched_serving_chunked(batch=64, pts=512, ir_len=1 << 17, K=8,
     return batch * (pts / SR) / per_block
 
 
-def bench_fft_sweep():
-    """Batched FFT GFLOP/s (5 N log2 N convention), 2^10..2^20."""
+def bench_fft_sweep(passes=3, sizes=(10, 12, 14, 16, 18, 20)):
+    """Batched FFT GFLOP/s (5 N log2 N convention), 2^10..2^20.
+
+    Same multi-window policy as the headline and serving metrics: the
+    whole size loop runs `passes` times (each pass lands in a different
+    relay-drift window since one pass takes minutes) and each size
+    publishes the MEDIAN across its per-pass floor-guarded medians, with
+    the spread alongside — one lucky/unlucky window must not set the
+    published number."""
     import jax
     import jax.numpy as jnp
     from opencl_fft_tpu.ops.fft import fft_split
+    from opencl_fft_tpu.utils.profiling import median_chain_delta
 
-    results = {}
     rng = np.random.default_rng(1)
-    for logn in [10, 12, 14, 16, 18, 20]:
+    runners = {}
+    for logn in sizes:
         n = 1 << logn
         batch = max(1, (32 << 20) // (8 * n))      # ~32MB working set
         re = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
         im = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
 
         @partial(jax.jit, static_argnums=1)
-        def run(x, iters):
+        def run(x, iters, n=n):
             def body(i, x):
                 # auto: four-step mm at every size after the r3 re-tune
                 # (ops/fft.py _VMEM_AUTO_SIZES is empty). The chain
@@ -364,25 +372,45 @@ def bench_fft_sweep():
         _sync(run((re, im), 1))
         _sync(run((re, im), iters))
 
-        def timed(k):
+        def timed(k, run=run, re=re, im=im):
             t0 = time.time(); _sync(run((re, im), k)); return time.time() - t0
 
-        # physical floor: each iteration moves >= 2x the 64MB split-complex
-        # working set through HBM (generous 3 TB/s => only impossible
-        # numbers are rejected). Estimator: median_chain_delta (timed(k)
-        # counts k iterations, so reps = k - short).
-        from opencl_fft_tpu.utils.profiling import median_chain_delta
-        floor = batch * n * 8 * 2 / 3e12
-        dt, nvalid = median_chain_delta(timed, iters - 1, floor)
-        if dt is None:
-            print(f"  fft 2^{logn}: unmeasurable ({nvalid} valid deltas), "
+        runners[logn] = (timed, batch, iters)
+
+    samples = {logn: [] for logn in runners}
+    for p in range(passes):
+        for logn, (timed, batch, iters) in runners.items():
+            n = 1 << logn
+            # physical floor: each iteration moves >= 2x the split-complex
+            # working set through HBM (generous 3 TB/s => only impossible
+            # numbers are rejected).
+            floor = batch * n * 8 * 2 / 3e12
+            dt, _nv = median_chain_delta(timed, iters - 1, floor)
+            if dt is not None:
+                samples[logn].append(dt)
+
+    results = {}
+    for logn, (timed, batch, iters) in runners.items():
+        n = 1 << logn
+        ds = sorted(samples[logn])
+        if not ds:
+            print(f"  fft 2^{logn}: unmeasurable in all {passes} windows, "
                   f"omitted", file=sys.stderr)
             continue
-        gflops = 5 * n * logn * batch / dt / 1e9
-        results[f"2^{logn}"] = {"batch": batch, "us": round(dt * 1e6, 1),
-                                "gflops": round(gflops, 1)}
+        dt = ds[(len(ds) - 1) // 2]
+        gf = lambda d: 5 * n * logn * batch / d / 1e9
+        results[f"2^{logn}"] = {
+            "batch": batch, "us": round(dt * 1e6, 1),
+            "gflops": round(gf(dt), 1),
+            "gflops_spread": {"min": round(gf(ds[-1]), 1),
+                              "median": round(gf(dt), 1),
+                              "max": round(gf(ds[0]), 1),
+                              "windows": len(ds)},
+        }
         print(f"  fft 2^{logn} batch={batch}: {dt*1e6:9.1f} us "
-              f"{gflops:8.1f} GFLOP/s", file=sys.stderr)
+              f"{gf(dt):8.1f} GFLOP/s (spread {gf(ds[-1]):.0f}/"
+              f"{gf(dt):.0f}/{gf(ds[0]):.0f} over {len(ds)})",
+              file=sys.stderr)
     return results
 
 

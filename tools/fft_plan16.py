@@ -74,6 +74,11 @@ def candidates(logn: int):
         cands[f"b{h}"] = (patch, False, None)
         cands[f"b{h}t"] = (patch, True, None)
         cands[f"b{h}g"] = (patch, False, 64)
+    # leaf-sized alternative top splits (small transforms: the whole
+    # tree is two leaf levels; which edge carries the MXU matters)
+    for n1a in {16, 32, 64, 128} - {n1}:
+        if n % n1a == 0 and n // n1a > 1:
+            cands[f"s{n1a}"] = ({n: n1a}, False, None)
     # alternative TOP splits: a big-left tree (n1' = n/128 dense or
     # 64-rooted) trades recursion depth against leaf flops — untested by
     # the per-factor candidates above, which keep the tuned top split

@@ -39,7 +39,7 @@ for s in $stages; do
                      --out bench_results/sweep ;;
     serving)      run serving 5400 python tools/serving_scaling.py ;;
     fftwin)       run fftwin 3600 python tools/fft_windows.py ;;
-    bench)        run bench 3600 python bench.py ;;
+    bench)        run bench 5400 python bench.py ;;
     plan16)       run plan16 3600 python tools/fft_plan16.py --logn 16 ;;
     *)            echo "unknown stage $s" ;;
   esac
