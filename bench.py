@@ -247,16 +247,23 @@ def bench_serving_offline(batch=16, pts=512, ir_len=1 << 17, scan_blocks=470):
     return batch * (pts / SR) / per_block
 
 
-def bench_batched_serving(batch=64, pts=512, ir_len=1 << 17, scan_blocks=470):
+def bench_batched_serving(batch=64, pts=512, ir_len=1 << 17, scan_blocks=470,
+                          ring_dtype="f32"):
     """Serving throughput: `batch` independent channels convolving against
     their own 2^17-tap IRs. Returns aggregate audio-seconds per wall second
-    (channels x per-channel RT factor)."""
+    (channels x per-channel RT factor).
+
+    ring_dtype="bf16" is the serving-precision operating point: one-block
+    latency streaming at wide batch is HBM-bound on the per-block ring
+    reads (batch=64 f32: ~134 MB/block -> <= ~3.4k aggregate at the
+    measured ~600 GB/s), and bf16 rings halve exactly that traffic at
+    ~1e-3 relative output error (products still accumulate in f32)."""
     import jax
     import jax.numpy as jnp
     from opencl_fft_tpu.models.convolver import batched_state, _vmapped_push
     from opencl_fft_tpu.ops import pconv as P
 
-    cfg = P.PconvConfig.for_ir_length(ir_len, pts)
+    cfg = P.PconvConfig.for_ir_length(ir_len, pts, ring_dtype=ring_dtype)
     rng = np.random.default_rng(3)
     irs = jnp.asarray(rng.standard_normal((batch, ir_len)) * 0.05, jnp.float32)
     st0 = jax.jit(_vmapped_push(cfg))(batched_state(cfg, batch), irs)
@@ -285,6 +292,8 @@ def bench_batched_serving(batch=64, pts=512, ir_len=1 << 17, scan_blocks=470):
                     0.02e-6 * scan_blocks)
     else:
         floor = _mac_floor_s(cfg.nparts, cfg.bins, scan_blocks, batch=batch)
+        if ring_dtype == "bf16":
+            floor /= 2          # ring planes are 2 bytes, not 4
     per_scan = _time_chained(fn, make_state, (blocks,), floor_s=floor)
     per_block = per_scan / scan_blocks
     return batch * (pts / SR) / per_block
@@ -526,6 +535,10 @@ def main():
     _measure(details, "serving_64ch_chunk8_audio_seconds_per_second",
              bench_batched_serving_chunked,
              "serving 64ch chunked K=8 (85 ms latency): {:.0f} "
+             "aggregate audio-s/s")
+    _measure(details, "serving_64ch_bf16_audio_seconds_per_second",
+             lambda: bench_batched_serving(ring_dtype="bf16"),
+             "serving 64ch bf16 rings (~1e-3 err): {:.0f} "
              "aggregate audio-s/s")
     _measure(details, "pconv_offline_rt_factor", bench_pconv_offline,
              "pconv offline render: {:.0f}x real time")

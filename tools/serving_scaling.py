@@ -121,6 +121,21 @@ def make_runners(batch: int, tv: bool, scan_blocks: int) -> dict:
         chunked(_vmapped(P.pconv_chunk, cfg_off)),
         base, (to_chunks(blocks),)))
 
+    # bf16-ring serving precision point: halves the per-block ring
+    # traffic that HBM-bounds wide-batch one-block-latency streaming
+    # (~1e-3 relative output error; separate state — rings are bf16)
+    def _bf16_runner():
+        cfg_b = P.PconvConfig.for_ir_length(IR_LEN, PTS, pallas="off",
+                                            ring_dtype="bf16")
+        base_b = jax.tree.map(
+            np.asarray,
+            jax.jit(_vmapped_push(cfg_b))(batched_state(cfg_b, batch), irs))
+        return finish(
+            jax.jit(partial(P.pconv_stream_batched, cfg_b, unroll=1),
+                    donate_argnums=(0,)),
+            base_b, (blocks,))
+    safe("scan_bf16", _bf16_runner)
+
     # scan unroll amortizes the ~15us/iter backend loop overhead, which
     # only matters while the per-block work is tiny; at wide batches the
     # x4 program bloat hurts scheduling (measured: batch=64 ran 1.07ms/
@@ -167,6 +182,8 @@ def measure(batch: int, tv: bool, rounds: int, reps: int,
         "kernel": max(batch * (fac + 1) * PTS * 4 / 3e12, 0.02e-6),
         # chunk arm amortizes the 4-plane read over K=8 blocks
         "chunk8": max(batch * 4 * nparts * PTS * 4 / 8 / 3e12, 0.1e-6),
+        # bf16 rings: 2-byte planes
+        "scan_bf16": max(batch * 4 * nparts * PTS * 2 / 3e12, 0.5e-6),
     }
     best = {m: float("inf") for m in runners}
     for _ in range(rounds):                       # interleave over drift
@@ -187,10 +204,12 @@ def measure(batch: int, tv: bool, rounds: int, reps: int,
             "per_channel_rt_factor": round(per_ch_rtf, 1),
             "aggregate_audio_s_per_s": round(batch * per_ch_rtf, 1),
         }
-    # winner compares same-latency arms only: chunk8 buys throughput with
-    # K blocks of added latency, so it is reported alongside, never as
-    # the flat one-block-latency served number
-    same_lat = {m: t for m, t in measured.items() if m != "chunk8"}
+    # winner compares same-latency, same-precision arms only: chunk8 buys
+    # throughput with K blocks of added latency, scan_bf16 with ~1e-3
+    # output error — both are reported alongside, never as the flat
+    # one-block-latency f32 served number
+    same_lat = {m: t for m, t in measured.items()
+                if m not in ("chunk8", "scan_bf16")}
     win = min(same_lat or measured, key=(same_lat or measured).get)
     out["winner"] = win
     if arm_errors:
@@ -228,7 +247,7 @@ def main():
         results[tag] = r
         arms = "  ".join(
             f"{m}={r[m]['us_per_block_all_channels']}us"
-            for m in ("scan", "kernel", "chunk8") if m in r)
+            for m in ("scan", "kernel", "chunk8", "scan_bf16") if m in r)
         print(f"{tag:14s}: {arms}  -> {r['winner']}  "
               f"{r['per_channel_rt_factor']:8.1f}x/ch "
               f"{r['aggregate_audio_s_per_s']:9.1f} agg audio-s/s",
