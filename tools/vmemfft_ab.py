@@ -60,9 +60,15 @@ def make_runner(logn: int, variant: str, iters: int):
     im = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
     scale = 1.0 / np.sqrt(n)
 
+    # Both arms get the normalization the way production (bench_fft_sweep
+    # -> fft_split(..., scale=)) applies it: mm fuses the trailing
+    # multiply into its last matmul/transpose; the vmem kernel applies it
+    # in its epilogue. Scaling OUTSIDE the pallas_call (the pre-r3 form
+    # of this tool) charged the kernel one full extra HBM read+write pass
+    # per iteration that production never pays (~110 us at 2^20).
     if variant == "mm":
         def one(x):
-            return F._fft_mm(x, -1)
+            return F.fft_split(x, -1, "mm", scale=scale)
     else:
         levels = 4 if variant.startswith("h3") else int(variant[1])
         rowmajor = not variant.startswith("l2x")   # l2x = XLA-transpose out
@@ -70,14 +76,11 @@ def make_runner(logn: int, variant: str, iters: int):
 
         def one(x):
             return vmemfft.fft_vmem(x, -1, tb_override=tb, levels=levels,
-                                    rowmajor_out=rowmajor)
+                                    rowmajor_out=rowmajor, scale=scale)
 
     @partial(jax.jit, static_argnums=1)
     def run(x, k):
-        def body(i, x):
-            r, i_ = one(x)
-            return r * scale, i_ * scale
-        return jax.lax.fori_loop(0, k, body, x)
+        return jax.lax.fori_loop(0, k, lambda i, x: one(x), x)
 
     def sync(o):
         return float(jnp.sum(o[0][..., :1]))
