@@ -180,6 +180,53 @@ def _vmemfft_kernel(f1, f2, f3, tb, scale, in_r, in_i, w1, w2, w3, t1r, t1i,
     out_i[:] = y[:, f3:, :]
 
 
+def _vmemfft_t_kernel(f1, f2, f3, tb, scale, in_r, in_i, w1, w2, w3, t1r, t1i,
+                      t2r, t2i, out_r, out_i):
+    """Three-level variant with an explicit in-VMEM digit transpose.
+
+    The production kernel's L2 contracts the MIDDLE canvas dim with two
+    RHS free dims (k1, R2) that are non-adjacent in memory, which Mosaic
+    lowers as a k1-loop of (2f2,6f2)x(6f2,f3) matmuls. Here L1's output
+    is digit-transposed (tb,f1,f2,f3)->(tb,f2,f1,f3) once in VMEM so L2
+    becomes ONE wide dot per row block with N = f1*f3 lanes — trading a
+    relayout for matmul shape. Output ordering is identical to the
+    production kernel (L2 emits the same (k2,k1,f3) canvas)."""
+    z = _stack6(in_r[:], in_i[:], axis=1)               # (tb, 6f1, R1)
+    y = jax.lax.dot_general(w1[:], z, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    re, im = y[:, :f1, :], y[:, f1:, :]                 # (tb, k1, R1)
+    tr, ti = t1r[:], t1i[:]
+    re, im = re * tr - im * ti, re * ti + im * tr
+
+    # digit transpose: (tb, k1, f2, f3) -> (tb, f2, k1, f3); minor dim
+    # (f3 = 128 lanes) untouched, so this is a tile-row permutation
+    re = jnp.transpose(re.reshape(tb, f1, f2, f3), (0, 2, 1, 3))
+    im = jnp.transpose(im.reshape(tb, f1, f2, f3), (0, 2, 1, 3))
+    z = _stack6(re.reshape(tb, f2, f1 * f3),
+                im.reshape(tb, f2, f1 * f3), axis=1)    # (tb, 6f2, k1*f3)
+    y = jax.lax.dot_general(w2[:], z, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    re, im = y[:, :f2], y[:, f2:]                       # (tb, k2, k1*f3)
+    re = re.reshape(tb, f2, f1, f3)
+    im = im.reshape(tb, f2, f1, f3)
+    tr, ti = t2r[:], t2i[:]
+    tr = tr[None, :, None, :]
+    ti = ti[None, :, None, :]
+    pr = re * tr - im * ti
+    pi = re * ti + im * tr
+
+    # L3 — identical to the production kernel (same (k2,k1,f3) canvas)
+    re = pr.reshape(tb, f2 * f1, f3)
+    im = pi.reshape(tb, f2 * f1, f3)
+    z = _stack6(re, im, axis=2)                         # (tb, k2k1, 6f3)
+    y = jax.lax.dot_general(w3[:], z, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    if scale != 1.0:
+        y = y * scale
+    out_r[:] = y[:, :f3, :]
+    out_i[:] = y[:, f3:, :]
+
+
 def _vmemfft2_kernel(f1, f2, tb, scale, in_r, in_i, w1, w2, t1r, t1i,
                      out_r, out_i):
     """Two-level variant with NO batched dots.
@@ -360,7 +407,7 @@ def _build2(n: int, sign: int, rows: int, interpret: bool, tb_override=None,
 
 @functools.lru_cache(maxsize=None)
 def _build(n: int, sign: int, rows: int, interpret: bool, tb_override=None,
-           plan_override=None, scale: float = 1.0):
+           plan_override=None, scale: float = 1.0, transposed: bool = False):
     f1, f2, f3, tb = plan_override or _PLANS[n]
     if tb_override:
         tb = tb_override
@@ -375,7 +422,8 @@ def _build(n: int, sign: int, rows: int, interpret: bool, tb_override=None,
         *_twiddle_np(f1, f2 * f3, sign),
         *_twiddle_np(f2, f3, sign),
     ]
-    kern = functools.partial(_vmemfft_kernel, f1, f2, f3, tb, scale)
+    body = _vmemfft_t_kernel if transposed else _vmemfft_kernel
+    kern = functools.partial(body, f1, f2, f3, tb, scale)
     table_specs = [pl.BlockSpec(t.shape, (lambda nd: lambda b: (0,) * nd)(t.ndim),
                                 memory_space=pltpu.VMEM) for t in tables]
     call = pl.pallas_call(
@@ -419,7 +467,8 @@ def fft_vmem(x: Cplx, sign: int, interpret: bool = False,
     x: split (re, im) float32 planes, shape (..., n) with n in the plan
     tables. Matches fft_split(x, sign, "mm") within the bf16x3 error
     budget (~5e-5 relative over the matmul levels). ``levels`` forces the
-    2- or 3-level kernel for sizes in both tables (0 = measured default).
+    2- or 3-level kernel for sizes in both tables (0 = measured default);
+    4 = hybrid no-batch-dot 3-level, 5 = transposed-L2 3-level.
     ``scale`` multiplies the result INSIDE the kernel epilogue — a
     normalization applied outside a pallas_call cannot be fused by XLA
     and costs a full extra HBM pass over the working set.
@@ -457,7 +506,8 @@ def fft_vmem(x: Cplx, sign: int, interpret: bool = False,
     else:
         call, tables, (f1, f2, f3) = _build(n, sign, rows, interpret,
                                             tb_override or None,
-                                            scale=scale)
+                                            scale=scale,
+                                            transposed=levels == 5)
         re3 = re.reshape(rows, f1, f2 * f3)
         im3 = im.reshape(rows, f1, f2 * f3)
         out_r, out_i = call(re3, im3, *tables)

@@ -70,7 +70,9 @@ def make_runner(logn: int, variant: str, iters: int):
         def one(x):
             return F.fft_split(x, -1, "mm", scale=scale)
     else:
-        levels = 4 if variant.startswith("h3") else int(variant[1])
+        levels = (4 if variant.startswith("h3")
+                  else 5 if variant.startswith("t3")   # transposed-L2 3-level
+                  else int(variant[1]))
         rowmajor = not variant.startswith("l2x")   # l2x = XLA-transpose out
         tb = int(variant.split("_tb")[1])
 
