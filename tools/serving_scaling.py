@@ -185,14 +185,28 @@ def measure(batch: int, tv: bool, rounds: int, reps: int,
         # bf16 rings: 2-byte planes
         "scan_bf16": max(batch * 4 * nparts * PTS * 2 / 3e12, 0.5e-6),
     }
-    best = {m: float("inf") for m in runners}
+    # Publish the MEDIAN across rounds, not the min: each round's
+    # median_chain_delta is robust within its window, but relay drift
+    # flatters whole windows coherently and min-keeping then ships the
+    # most flattered one (observed: batch=64 scan "106.5 us/block" where
+    # the 134 MB/block of compulsory ring reads bound it to >= 164 us
+    # even at HBM spec). One window must not set the served number —
+    # same policy as bench.bench_fft_sweep. Winner = most round wins
+    # (in-window ranking is drift-immune), ties broken by median.
+    rows = {m: [] for m in runners}
+    wins = {m: 0 for m in runners}
     for _ in range(rounds):                       # interleave over drift
+        rnd = {}
         for m, run in runners.items():
             dt, _n = median_chain_delta(run, reps,
                                         floors[m] * scan_blocks, short=1)
             if dt is not None:
-                best[m] = min(best[m], dt / scan_blocks)
-    measured = {m: t for m, t in best.items() if t < float("inf")}
+                rnd[m] = dt / scan_blocks
+                rows[m].append(dt / scan_blocks)
+        if rnd:
+            wins[min(rnd, key=rnd.get)] += 1
+    measured = {m: float(np.median(v)) for m, v in rows.items()
+                if len(v) >= min(2, rounds)}
     if not measured:
         return {"unmeasurable": True}
 
@@ -201,16 +215,22 @@ def measure(batch: int, tv: bool, rounds: int, reps: int,
         per_ch_rtf = (PTS / SR) / t
         out[m] = {
             "us_per_block_all_channels": round(t * 1e6, 1),
+            "us_spread": [round(min(rows[m]) * 1e6, 1),
+                          round(max(rows[m]) * 1e6, 1)],
+            "rounds": len(rows[m]),
             "per_channel_rt_factor": round(per_ch_rtf, 1),
             "aggregate_audio_s_per_s": round(batch * per_ch_rtf, 1),
         }
+    out["round_wins"] = {m: w for m, w in wins.items() if rows[m]}
     # winner compares same-latency, same-precision arms only: chunk8 buys
     # throughput with K blocks of added latency, scan_bf16 with ~1e-3
     # output error — both are reported alongside, never as the flat
     # one-block-latency f32 served number
     same_lat = {m: t for m, t in measured.items()
                 if m not in ("chunk8", "scan_bf16")}
-    win = min(same_lat or measured, key=(same_lat or measured).get)
+    pool = same_lat or measured
+    # most in-window round wins first (drift-immune), median tie-break
+    win = min(pool, key=lambda m: (-wins[m], pool[m]))
     out["winner"] = win
     if arm_errors:
         out["arm_errors"] = arm_errors            # evidence of lost arms
