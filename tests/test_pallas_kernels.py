@@ -284,6 +284,20 @@ def test_vmemfft_matches_numpy(n, sign):
     np.testing.assert_allclose(got, ref, atol=1e-4 * scale, rtol=0)
 
 
+@pytest.mark.parametrize("n", [1 << 13, 1 << 16])
+def test_vmemfft_transposed_l2_bit_identical(n):
+    """levels=5 (explicit in-VMEM digit transpose, single wide L2 dot)
+    must be BIT-identical to the production 3-level kernel: same dots,
+    same rounding — only the free-dim structure of L2 changes."""
+    x = (RNG.standard_normal((2, n)) + 1j * RNG.standard_normal((2, n)))
+    sp = (jnp.asarray(x.real, jnp.float32), jnp.asarray(x.imag, jnp.float32))
+    s = 1.0 / np.sqrt(n)
+    pr, pi = fft_vmem(sp, -1, interpret=True, levels=3, scale=s)
+    tr, ti = fft_vmem(sp, -1, interpret=True, levels=5, scale=s)
+    assert np.array_equal(np.asarray(pr), np.asarray(tr))
+    assert np.array_equal(np.asarray(pi), np.asarray(ti))
+
+
 def test_vmemfft_roundtrip_and_determinism():
     n = 1 << 14
     x = (RNG.standard_normal((3, n)) + 1j * RNG.standard_normal((3, n)))
