@@ -120,6 +120,31 @@ def _leaf_stacked_np(f: int, sign: int, tb: int = 0) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def _leaf_gauss_stacked_np(f: int, sign: int, tb: int = 0):
+    """Three (f, 3f) bf16 stacked Gauss matrices (U, V, U+V), each in
+    [Mh | Ml | Mh] form so contracting against [xh; xh; xl] yields the
+    real bf16x3 product. The Gauss 3-product complex multiply costs
+    9 f^2 R MXU MACs per level vs the (2f, 6f) block form's 12 f^2 R —
+    the in-kernel analog of the mm path's Gauss leaf (_fft_plans.GAUSS),
+    motivated by the measured stack-depth dominance in
+    bench_results/vmemfft_profile.json."""
+    import ml_dtypes
+    jk = np.outer(np.arange(f, dtype=np.float64),
+                  np.arange(f, dtype=np.float64))
+    w = np.exp(sign * 2j * np.pi * jk / f)
+    out = []
+    for m in (w.real, w.imag, w.real + w.imag):
+        m32 = m.astype(np.float32)
+        hi = m32.astype(ml_dtypes.bfloat16)
+        lo = (m32 - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+        stk = np.concatenate([hi, lo, hi], axis=1)          # (f, 3f)
+        if tb:
+            stk = np.broadcast_to(stk, (tb,) + stk.shape).copy()
+        out.append(stk)
+    return tuple(out)
+
+
+@functools.lru_cache(maxsize=None)
 def _twiddle_np(f: int, rest: int, sign: int):
     """Level twiddle w^(k_f * j_rest), w = exp(sign*2i*pi/(f*rest));
     shape (f, rest), split f32 re/im."""
@@ -140,6 +165,13 @@ def _stack6(re, im, axis):
     imh = im.astype(jnp.bfloat16)
     iml = (im - imh.astype(jnp.float32)).astype(jnp.bfloat16)
     return jnp.concatenate([reh, imh, reh, imh, rel, iml], axis=axis)
+
+
+def _stack3(x, axis):
+    """[x_h; x_h; x_l] along `axis` (bf16) — one real bf16x3 operand."""
+    xh = x.astype(jnp.bfloat16)
+    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([xh, xh, xl], axis=axis)
 
 
 def _vmemfft_kernel(f1, f2, f3, tb, scale, in_r, in_i, w1, w2, w3, t1r, t1i,
@@ -225,6 +257,78 @@ def _vmemfft_t_kernel(f1, f2, f3, tb, scale, in_r, in_i, w1, w2, w3, t1r, t1i,
         y = y * scale
     out_r[:] = y[:, :f3, :]
     out_i[:] = y[:, f3:, :]
+
+
+def _vmemfft_tmix_kernel(f1, f2, f3, tb, scale, mask, *refs):
+    """Transposed-L2 three-level kernel with per-level Gauss leaves.
+
+    Same dataflow as _vmemfft_t_kernel, but levels selected by ``mask``
+    (bit l = level l+1) replace the split-complex block matmul
+    ((2f, 6f) stacked form, 12 f^2 R MACs) with the Gauss complex
+    product — t1 = U@re, t2 = V@im, t3 = (U+V)@(re+im);
+    out = (t1 - t2, t3 - t1 - t2) — three (f, 3f)-stacked real bf16x3
+    dots, 9 f^2 R MACs. The profiler attributed the kernel's compute to
+    MXU stack depth (bench_results/vmemfft_profile.json), so the 25%
+    MAC cut attacks the dominant term — but a Gauss dot has f output
+    rows where the block form has 2f, so it only pays on levels whose
+    factor fills the 128-row MXU (measured 2^16: Gauss-everywhere LOSES
+    at plan (16,32,128), wins at (32,16,128) — vmemfft_ab.json). Slight
+    cancellation error growth (t3 - t1 - t2), same tradeoff the mm
+    path's Gauss leaf accepted.
+
+    refs layout: in_r, in_i, per-level tables (3 gauss [U,V,S] if the
+    mask bit is set, else 1 stacked block), t1r, t1i, t2r, t2i,
+    out_r, out_i.
+    """
+    it = iter(refs)
+    in_r, in_i = next(it), next(it)
+    tabs = [tuple(next(it) for _ in range(3 if mask >> lv & 1 else 1))
+            for lv in range(3)]
+    t1r, t1i, t2r, t2i = next(it), next(it), next(it), next(it)
+    out_r, out_i = next(it), next(it)
+
+    def level(lv, f, re, im, axis, dims):
+        t = tabs[lv]
+        if len(t) == 3:
+            p1 = jax.lax.dot_general(t[0][:], _stack3(re, axis), dims,
+                                     preferred_element_type=jnp.float32)
+            p2 = jax.lax.dot_general(t[1][:], _stack3(im, axis), dims,
+                                     preferred_element_type=jnp.float32)
+            p3 = jax.lax.dot_general(t[2][:], _stack3(re + im, axis), dims,
+                                     preferred_element_type=jnp.float32)
+            return p1 - p2, p3 - p1 - p2
+        y = jax.lax.dot_general(t[0][:], _stack6(re, im, axis), dims,
+                                preferred_element_type=jnp.float32)
+        return y[:, :f], y[:, f:]
+
+    dims_mid = (((2,), (1,)), ((0,), (0,)))    # contract middle canvas dim
+    dims_lane = (((2,), (2,)), ((0,), (0,)))   # contract lane (minor) dim
+
+    # L1 — contract f1 over sublanes
+    re, im = level(0, f1, in_r[:], in_i[:], 1, dims_mid)
+    tr, ti = t1r[:], t1i[:]
+    re, im = re * tr - im * ti, re * ti + im * tr       # (tb, k1, R1)
+
+    # digit transpose (tb,k1,f2,f3)->(tb,f2,k1,f3); minor dim untouched
+    re = jnp.transpose(re.reshape(tb, f1, f2, f3), (0, 2, 1, 3))
+    im = jnp.transpose(im.reshape(tb, f1, f2, f3), (0, 2, 1, 3))
+    re, im = level(1, f2, re.reshape(tb, f2, f1 * f3),
+                   im.reshape(tb, f2, f1 * f3), 1, dims_mid)
+    re = re.reshape(tb, f2, f1, f3)                     # (tb, k2, k1, f3)
+    im = im.reshape(tb, f2, f1, f3)
+    tr = t2r[:][None, :, None, :]
+    ti = t2i[:][None, :, None, :]
+    pr = re * tr - im * ti
+    pi = re * ti + im * tr
+
+    # L3 — contract f3 (lanes); emits (tb, k3, k2*k1) == natural order
+    re, im = level(2, f3, pr.reshape(tb, f2 * f1, f3),
+                   pi.reshape(tb, f2 * f1, f3), 2, dims_lane)
+    if scale != 1.0:
+        re = re * scale                     # free epilogue (see 3-level)
+        im = im * scale
+    out_r[:] = re
+    out_i[:] = im
 
 
 def _vmemfft2_kernel(f1, f2, tb, scale, in_r, in_i, w1, w2, t1r, t1i,
@@ -407,7 +511,8 @@ def _build2(n: int, sign: int, rows: int, interpret: bool, tb_override=None,
 
 @functools.lru_cache(maxsize=None)
 def _build(n: int, sign: int, rows: int, interpret: bool, tb_override=None,
-           plan_override=None, scale: float = 1.0, transposed: bool = False):
+           plan_override=None, scale: float = 1.0, transposed: bool = False,
+           gauss_mask: int = 0):
     f1, f2, f3, tb = plan_override or _PLANS[n]
     if tb_override:
         tb = tb_override
@@ -415,15 +520,27 @@ def _build(n: int, sign: int, rows: int, interpret: bool, tb_override=None,
         tb //= 2
     # Tables stay NUMPY in this cache: jnp constants created inside one
     # jit trace must not leak into another (UnexpectedTracerError).
-    tables = [
-        _leaf_stacked_np(f1, sign, tb),
-        _leaf_stacked_np(f2, sign, tb),
-        _leaf_stacked_np(f3, sign, tb),
-        *_twiddle_np(f1, f2 * f3, sign),
-        *_twiddle_np(f2, f3, sign),
-    ]
-    body = _vmemfft_t_kernel if transposed else _vmemfft_kernel
-    kern = functools.partial(body, f1, f2, f3, tb, scale)
+    if gauss_mask:
+        tables = []
+        for lv, f in enumerate((f1, f2, f3)):
+            if gauss_mask >> lv & 1:
+                tables += list(_leaf_gauss_stacked_np(f, sign, tb))
+            else:
+                tables.append(_leaf_stacked_np(f, sign, tb))
+        tables += [*_twiddle_np(f1, f2 * f3, sign),
+                   *_twiddle_np(f2, f3, sign)]
+        kern = functools.partial(_vmemfft_tmix_kernel, f1, f2, f3, tb,
+                                 scale, gauss_mask)
+    else:
+        tables = [
+            _leaf_stacked_np(f1, sign, tb),
+            _leaf_stacked_np(f2, sign, tb),
+            _leaf_stacked_np(f3, sign, tb),
+            *_twiddle_np(f1, f2 * f3, sign),
+            *_twiddle_np(f2, f3, sign),
+        ]
+        body = _vmemfft_t_kernel if transposed else _vmemfft_kernel
+        kern = functools.partial(body, f1, f2, f3, tb, scale)
     table_specs = [pl.BlockSpec(t.shape, (lambda nd: lambda b: (0,) * nd)(t.ndim),
                                 memory_space=pltpu.VMEM) for t in tables]
     call = pl.pallas_call(
@@ -461,14 +578,19 @@ _LEVELS = {
 
 def fft_vmem(x: Cplx, sign: int, interpret: bool = False,
              tb_override: int = 0, levels: int = 0,
-             rowmajor_out: bool = True, scale: float = 1.0) -> Cplx:
+             rowmajor_out: bool = True, scale: float = 1.0,
+             plan_override: Tuple[int, ...] | None = None,
+             gauss_mask: int = 7) -> Cplx:
     """Unnormalized DFT over the last axis, whole transform in VMEM.
 
     x: split (re, im) float32 planes, shape (..., n) with n in the plan
     tables. Matches fft_split(x, sign, "mm") within the bf16x3 error
     budget (~5e-5 relative over the matmul levels). ``levels`` forces the
     2- or 3-level kernel for sizes in both tables (0 = measured default);
-    4 = hybrid no-batch-dot 3-level, 5 = transposed-L2 3-level.
+    4 = hybrid no-batch-dot 3-level, 5 = transposed-L2 3-level,
+    6 = transposed-L2 with Gauss 3-product leaves on the levels in
+    ``gauss_mask`` (bit l = level l+1; 25% fewer MXU MACs per level,
+    worth it only where the factor fills the MXU rows).
     ``scale`` multiplies the result INSIDE the kernel epilogue — a
     normalization applied outside a pallas_call cannot be fused by XLA
     and costs a full extra HBM pass over the working set.
@@ -504,10 +626,18 @@ def fft_vmem(x: Cplx, sign: int, interpret: bool = False,
         out_r = jnp.transpose(out_r.reshape(f3, f2, rows, f1), (2, 0, 1, 3))
         out_i = jnp.transpose(out_i.reshape(f3, f2, rows, f1), (2, 0, 1, 3))
     else:
+        if plan_override is not None:
+            f1p, f2p, f3p = plan_override[:3]
+            if f1p * f2p * f3p != n:
+                raise ValueError(f"plan_override {plan_override} != n={n}")
         call, tables, (f1, f2, f3) = _build(n, sign, rows, interpret,
                                             tb_override or None,
+                                            plan_override=plan_override,
                                             scale=scale,
-                                            transposed=levels == 5)
+                                            transposed=levels in (5, 6),
+                                            gauss_mask=(gauss_mask
+                                                        if levels == 6
+                                                        else 0))
         re3 = re.reshape(rows, f1, f2 * f3)
         im3 = im.reshape(rows, f1, f2 * f3)
         out_r, out_i = call(re3, im3, *tables)

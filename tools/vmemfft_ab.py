@@ -72,13 +72,23 @@ def make_runner(logn: int, variant: str, iters: int):
     else:
         levels = (4 if variant.startswith("h3")
                   else 5 if variant.startswith("t3")   # transposed-L2 3-level
+                  else 6 if variant.startswith("g3")   # + Gauss leaves
                   else int(variant[1]))
         rowmajor = not variant.startswith("l2x")   # l2x = XLA-transpose out
-        tb = int(variant.split("_tb")[1])
+        parts = variant.split("_")
+        tb = int(parts[1][2:])                     # _tb<k>
+        plan = None                                # _p<f1>x<f2>x<f3> override
+        mask = 7                                   # _m<mask> gauss levels
+        for p in parts[2:]:
+            if p.startswith("p"):
+                plan = tuple(int(f) for f in p[1:].split("x")) + (tb,)
+            elif p.startswith("m"):
+                mask = int(p[1:])
 
         def one(x):
             return vmemfft.fft_vmem(x, -1, tb_override=tb, levels=levels,
-                                    rowmajor_out=rowmajor, scale=scale)
+                                    rowmajor_out=rowmajor, scale=scale,
+                                    plan_override=plan, gauss_mask=mask)
 
     @partial(jax.jit, static_argnums=1)
     def run(x, k):
