@@ -369,15 +369,24 @@ def bench_fft_sweep(passes=3, sizes=(10, 12, 14, 16, 18, 20)):
         @partial(jax.jit, static_argnums=1)
         def run(x, iters, n=n):
             def body(i, x):
-                # auto: four-step mm at every size after the r3 re-tune
-                # (ops/fft.py _VMEM_AUTO_SIZES is empty). The chain
-                # normalization rides the fused scale epilogue — outside
-                # the kernel it would cost an extra HBM pass per
-                # iteration that the mm path fuses but pallas cannot.
+                # auto: four-step mm everywhere except the sizes the
+                # measured table routes to the VMEM kernel (ops/fft.py
+                # _VMEM_AUTO_SIZES — 2^18 via the transposed-L2 variant
+                # after the r3 race). The chain normalization rides the
+                # fused scale epilogue — outside the kernel it would
+                # cost an extra HBM pass per iteration that the mm path
+                # fuses but pallas cannot.
                 return fft_split(x, -1, "auto", scale=1.0 / np.sqrt(n))
             return jax.lax.fori_loop(0, iters, body, x)
 
-        iters = 200 if logn <= 14 else 50
+        # Chain length: keep every chain >= ~50 ms of device work. The
+        # estimator divides host-clock chain-delta jitter (relay sync
+        # noise, ~ms) by `reps`; the r2 setting (iters=50/25 at the big
+        # sizes => 9-19 ms chains) let that jitter contribute 30%+ of
+        # the published number, which is why 2^16-2^20 medians sat far
+        # below their interleaved-A/B mins while the 200-iter small
+        # sizes tracked theirs.
+        iters = 200
         _sync(run((re, im), 1))
         _sync(run((re, im), iters))
 

@@ -444,13 +444,13 @@ def _fft_bluestein(x: Cplx, sign: int, impl: str) -> Cplx:
 def _use_vmem_kernel(x: Cplx, sign: int) -> bool:
     """auto-mode gate for the VMEM-resident Pallas FFT (pallas/vmemfft.py).
 
-    Measured policy (interleaved A/B on the target chip): r2 had the
-    kernel winning at n >= 2^16 with large working sets, but the r3
-    plan-table re-tune plus the fused-scale epilogue flipped every size
-    to the four-step mm path (_VMEM_AUTO_SIZES is currently empty; see
-    the table comment there and bench_results/vmemfft_ab.json). The
-    kernel is inherently bf16x3, so it is skipped when exact f32 leaves
-    are in force (exact_precision() / set_fast_math(False))."""
+    Measured policy (interleaved A/B on the target chip): the r3
+    plan-table re-tune plus the fused-scale epilogue first flipped every
+    size to the four-step mm path; the transposed-L2 kernel variant then
+    won 2^18 back decisively (see the _VMEM_AUTO_SIZES table comment and
+    bench_results/vmemfft_ab.json). The kernel is inherently bf16x3, so
+    it is skipped when exact f32 leaves are in force
+    (exact_precision() / set_fast_math(False))."""
     if _fast_mode() == "off":
         return False
     re = x[0]
@@ -507,19 +507,18 @@ _IMPLS = ("auto", "mm", "stockham", "xla", "vmem")
 
 # Auto-mode routing set for the VMEM-resident Pallas kernel, from
 # interleaved A/B vs the mm path on the target chip
-# (tools/vmemfft_ab.py -> bench_results/vmemfft_ab.json). r3: after the
-# plan-table re-tune (see _fft_plans.py) mm closed the r2 gap at every
-# size. 2^16 was the last holdout (kernel won 243.8 vs 258.7 us before
-# the fused-scale epilogue landed), but the final production-context
-# probe — auto(vmem)+scale vs mm+scale, interleaved, 4 rounds — went
-# to mm 4/4 (best 183.1 vs 243.5 us; bench_results/vmemfft_ab.json
-# "2^16" entry). At 2^17 mm by a hair (315.9 vs 319.9), 2^18 outright
-# (307.1 vs 448.5, 3/3), likewise 2^19/2^20 (n1=128). The 2-level
-# small-size kernels LOSE to the re-tuned mm everywhere (e.g. 2^12:
-# mm-n1=64 168 us vs kernel 434). The kernels stay available via
-# impl="vmem"; auto routes mm everywhere until a measurement says
-# otherwise.
-_VMEM_AUTO_SIZES: set = set()
+# (tools/vmemfft_ab.py -> bench_results/vmemfft_ab.json). r3 history:
+# the plan-table re-tune (see _fft_plans.py) first flipped every size
+# to mm — the original kernel's L2 lowers as a k1-loop of small
+# matmuls (stage attribution in bench_results/vmemfft_profile.json).
+# The transposed-L2 variant (vmemfft._vmemfft_t_kernel, levels=5)
+# fixed that: at 2^18 it wins outright (t3_tb2 236.7 us vs mm 344.4,
+# 4/4 rounds, 10 s Mosaic compile), so 2^18 routes to the kernel. At
+# 2^16 mm still wins (242.6 vs t3 309.6) — the balanced 256x256
+# Gauss-leaf tree is too strong there. The 2-level small-size kernels
+# LOSE to the re-tuned mm everywhere (e.g. 2^12: mm-n1=64 168 us vs
+# kernel 434). Everything stays available via impl="vmem".
+_VMEM_AUTO_SIZES: set = {1 << 18}
 
 # Below this size, one matmul leaf is a full transform; the Stockham path
 # wins only for tiny batch*N where matmul setup dominates.
