@@ -512,12 +512,18 @@ _IMPLS = ("auto", "mm", "stockham", "xla", "vmem")
 # to mm — the original kernel's L2 lowers as a k1-loop of small
 # matmuls (stage attribution in bench_results/vmemfft_profile.json).
 # The transposed-L2 variant (vmemfft._vmemfft_t_kernel, levels=5)
-# fixed that: at 2^18 it wins outright (t3_tb2 236.7 us vs mm 344.4,
-# 4/4 rounds, 10 s Mosaic compile), so 2^18 routes to the kernel. At
-# 2^16 mm still wins (242.6 vs t3 309.6) — the balanced 256x256
-# Gauss-leaf tree is too strong there. The 2-level small-size kernels
-# LOSE to the re-tuned mm everywhere (e.g. 2^12: mm-n1=64 168 us vs
-# kernel 434). Everything stays available via impl="vmem".
+# fixed that: at 2^18 the kernel wins every honest-chain round
+# (t3_tb1/tb2 331.6/333.6 us vs mm 369.7, kernel variants 5/5 rounds,
+# ~10 s Mosaic compile), so 2^18 routes to the kernel. At 2^16 mm
+# wins outright (237.4 vs t3 307.5+, 5/5 rounds) — the balanced
+# 256x256 Gauss-leaf tree is too strong there. The 2-level
+# small-size kernels LOSE to the re-tuned mm everywhere (e.g. 2^12:
+# mm-n1=64 168 us vs kernel 434). Everything stays available via
+# impl="vmem". The kernel's residual ceiling is VPU-bound: the
+# Dekker hi/lo stacking costs ~9 VPU ops/elem/level and Mosaic has
+# no native Precision.HIGH dots ("Unsupported dot precision: HIGH"),
+# so the explicit 6f-stack is the only bf16x3 form available
+# in-kernel (see vmemfft_profile.json stack_depth attribution).
 _VMEM_AUTO_SIZES: set = {1 << 18}
 
 # Below this size, one matmul leaf is a full transform; the Stockham path

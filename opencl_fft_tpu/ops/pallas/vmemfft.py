@@ -571,9 +571,10 @@ def _build(n: int, sign: int, rows: int, interpret: bool, tb_override=None,
 # Measured level choice for sizes present in both plan tables
 # (tools/vmemfft_ab.py): 2 = two-level kernel, 3 = three-level,
 # 5 = transposed-L2 three-level (one wide L2 dot instead of Mosaic's
-# k1-loop of small matmuls). r3 race at 2^18: t3_tb2 236.7 us vs
-# mm 344.4 (4/4 rounds) vs l3_tb2 485.9 — the transpose fix flipped
-# the size back to the kernel (bench_results/vmemfft_ab.json).
+# k1-loop of small matmuls). r3 honest-chain race at 2^18: t3_tb2
+# 333.6 us vs mm 369.7 (kernel variants won 5/5 rounds; t3_tb1 /
+# g3_tb2_m4 within 1%) — the transpose fix flipped the size back to
+# the kernel (bench_results/vmemfft_ab.json).
 _LEVELS = {
     1 << 13: 2,
     1 << 14: 2,

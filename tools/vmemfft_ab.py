@@ -124,7 +124,11 @@ def main():
 
     for logn in [int(s) for s in args.sizes.split(",")]:
         n = 1 << logn
-        iters = 200 if logn <= 14 else (50 if logn <= 18 else 25)
+        # Chains must carry >= ~50 ms of device work: the per-round
+        # delta divides host-clock jitter (relay sync noise, ~ms) by
+        # iters, and the old 50/25-iter chains at 2^16-2^20 (6-19 ms)
+        # made in-window rankings mush (same fix as bench_fft_sweep).
+        iters = 200
         variants = (args.variants.split(",") if args.variants
                     else default_variants(logn))
         runners = {}

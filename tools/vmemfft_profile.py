@@ -202,7 +202,9 @@ def main():
     args = ap.parse_args()
     n = 1 << args.logn
     rows = max(1, (32 << 20) // (8 * n))
-    iters = 50 if args.logn <= 18 else 25
+    # >=50ms chains so relay sync jitter / iters stays small
+    # (same fix as bench_fft_sweep / vmemfft_ab)
+    iters = 200
     names = args.variants.split(",") if args.variants else list(VARIANTS)
 
     runners = {}
