@@ -149,7 +149,9 @@ def main():
 
     logn = args.logn
     n = 1 << logn
-    iters = 200 if logn <= 14 else 50
+    # >=50ms chains at every size: the delta estimator divides
+    # relay sync jitter by reps (same fix as bench_fft_sweep)
+    iters = 200
     only = {c for c in args.only.split(",") if c}
     runners = {}
     for name, (patch, out_t, gauss) in candidates(logn).items():
