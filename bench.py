@@ -70,7 +70,10 @@ def _time_chained(fn, make_state, args, reps=4, warm=1, floor_s=0.0):
         return time.time() - t0
 
     floor = max(floor_s, 1e-7)
-    dt, n = median_chain_delta(run, reps, floor, short=warm)
+    # >=50ms chain spans: per-reading relay sync jitter (~ms) must be
+    # divided by enough chained work to stay <5% of the signal
+    dt, n = median_chain_delta(run, reps, floor, short=warm,
+                               min_chain_s=0.05)
     if dt is None:
         raise Unmeasurable(
             f"only {n} physical timing delta(s) above floor "

@@ -91,7 +91,7 @@ def rt_ratio(pts: int, ir_len: int, scan_blocks: int = 512, reps: int = 4,
     else:
         floor_block = max(4 * cfg.nparts * cfg.bins * 4 / 3e12, 0.2e-6)
     delta, n = median_chain_delta(run, reps, floor_block * scan_blocks,
-                                  tries=4)
+                                  tries=4, min_chain_s=0.05)
     if delta is None:
         raise Unmeasurable(
             f"M={pts} L={ir_len}: only {n} delta(s) above the bandwidth "

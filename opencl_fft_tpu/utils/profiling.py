@@ -55,7 +55,8 @@ def _force(x) -> float:
 def median_chain_delta(timed: Callable[[int], float], reps: int,
                        floor: float, *, short: int = 1, samples: int = 3,
                        min_samples: int = 2, tries: int = 5,
-                       pair: int = 2):
+                       pair: int = 2, min_chain_s: float = 0.0,
+                       max_reps_scale: int = 256):
     """Median of floor-guarded long-minus-short chain deltas — THE timing
     estimator for this environment (used by bench.py, bench/sweep.py,
     tools/serving_scaling.py).
@@ -70,22 +71,45 @@ def median_chain_delta(timed: Callable[[int], float], reps: int,
     discarded and the chain doubled; the estimate is the median of up to
     `samples` surviving deltas.
 
+    ``min_chain_s``: minimum long-minus-short span the chain must carry.
+    Each host reading has ~ms-scale relay sync jitter that the delta
+    divides by `reps`; a chain spanning only a few ms of device work
+    publishes that jitter as signal (the r3 finding: 50/25-iter FFT
+    chains put 2^16-2^20 medians 30%+ off their interleaved-A/B values).
+    A physically-valid delta whose span is below the target grows `reps`
+    toward it and is retried (not counted as a sample, but consuming a
+    try); growth is capped at `max_reps_scale`x the starting reps so a
+    mis-estimated target cannot run away.
+
     Returns (delta_seconds_per_call, n_valid). n_valid == 0 means the
     window never produced a physical measurement; n_valid below
     `min_samples` means a single (possibly corrupted) delta survived —
     callers must treat BOTH as unmeasurable and omit, never clamp.
     """
     deltas = []
-    for _ in range(tries):
+    reps_cap = reps * max_reps_scale
+    grows = 0
+    t = 0
+    while t < tries:
         t_short = min(timed(short) for _ in range(pair))
         t_long = min(timed(short + reps) for _ in range(pair))
-        d = (t_long - t_short) / reps
-        if d > floor:
-            deltas.append(d)
-            if len(deltas) >= samples:
-                break
-        else:
-            reps *= 2                        # longer chain, retry
+        span = t_long - t_short
+        d = span / reps
+        if d <= floor:
+            reps = min(reps * 2, reps_cap)   # longer chain, retry
+            t += 1
+            continue
+        if span < min_chain_s and reps < reps_cap and grows < 8:
+            # physically valid but too short to out-divide sync jitter:
+            # grow toward the target span (own budget, not a failed try)
+            grow = int(np.ceil(min_chain_s / max(span, min_chain_s / 16)))
+            reps = min(reps * max(grow, 2), reps_cap)
+            grows += 1
+            continue
+        deltas.append(d)
+        t += 1
+        if len(deltas) >= samples:
+            break
     n = len(deltas)
     if n < min_samples:
         return None, n

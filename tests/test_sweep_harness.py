@@ -139,3 +139,30 @@ def test_median_chain_delta_contract():
     # every delta below the floor -> (None, 0), never a clamped value
     d, n = median_chain_delta(lambda k: 0.010, 4, 1e-3)
     assert d is None and n == 0
+
+
+def test_median_chain_delta_min_chain_span():
+    """min_chain_s grows reps until the long-minus-short span carries the
+    target device-work duration (the r3 SNR fix: a chain spanning a few
+    ms publishes relay sync jitter as signal), without consuming sample
+    tries, and capped at max_reps_scale."""
+    from opencl_fft_tpu.utils.profiling import median_chain_delta
+
+    calls = []
+
+    def timed(k):                       # exact 1 ms per chained call
+        calls.append(k)
+        return 1e-3 * k
+
+    d, n = median_chain_delta(timed, 4, 1e-5, min_chain_s=0.05)
+    assert n == 3 and abs(d - 1e-3) < 1e-9
+    # the accepted samples ran on grown chains spanning >= 50 ms
+    assert max(calls) - 1 >= 50, calls
+
+    # growth is capped: a target no chain can reach still returns the
+    # honest per-call delta from the capped chain
+    calls.clear()
+    d, n = median_chain_delta(timed, 2, 1e-9, min_chain_s=10.0,
+                              max_reps_scale=8)
+    assert n >= 2 and abs(d - 1e-3) < 1e-9
+    assert max(calls) - 1 <= 16, calls

@@ -188,7 +188,8 @@ def main():
             for m in modes:
                 run, nb = runners[m]
                 dt, _nv = median_chain_delta(run, args.reps,
-                                             floor_by_mode[m], short=1)
+                                             floor_by_mode[m], short=1,
+                                             min_chain_s=0.05)
                 if dt is not None:
                     best[m] = min(best[m], dt / nb)
         measured = {m: t for m, t in best.items() if t < float("inf")}

@@ -81,7 +81,8 @@ def main():
         for _ in range(args.rounds):
             for m, (run, _) in runners.items():
                 dt, _n = median_chain_delta(
-                    lambda k: run(k), args.reps, floors[m])
+                    lambda k: run(k), args.reps, floors[m],
+                    min_chain_s=0.05)
                 if dt is not None:
                     best[m] = min(best[m], dt / nb)
         measured = {m: v for m, v in best.items() if np.isfinite(v)}

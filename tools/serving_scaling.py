@@ -199,7 +199,8 @@ def measure(batch: int, tv: bool, rounds: int, reps: int,
         rnd = {}
         for m, run in runners.items():
             dt, _n = median_chain_delta(run, reps,
-                                        floors[m] * scan_blocks, short=1)
+                                        floors[m] * scan_blocks, short=1,
+                                        min_chain_s=0.05)
             if dt is not None:
                 rnd[m] = dt / scan_blocks
                 rows[m].append(dt / scan_blocks)
