@@ -18,7 +18,8 @@ run() {  # run <name> <timeout-s> <cmd...>
 }
 
 probe() {
-  timeout 120 python -c "import jax, jax.numpy as jnp; x=jnp.ones((8,128)); float(jnp.sum(x*x))" \
+  # 300s: backend init through a congested relay can exceed 120s
+  timeout 300 python -c "import jax, jax.numpy as jnp; x=jnp.ones((8,128)); float(jnp.sum(x*x))" \
     || { echo "TPU unreachable — aborting"; exit 1; }
 }
 
