@@ -125,6 +125,9 @@ _INNER_OVERRIDES: dict = {}         # non-root factors only (see
 #                                     _plan_lookup's docstring)
 _GAUSS_BY_ROOT: dict = {}           # root n -> Gauss-leaf threshold (see
 #                                     _leaf_dft / _fft_plans.GAUSS)
+_FLAT_PLANS: dict = {}              # n -> factor tuple for the
+#                                     zero-transpose flat chain
+#                                     (_fft_mm_flat); measured adoption
 _SMALL_WS_ELEMS = 1 << 18           # < 2MB split working set => "small"
 
 try:                                       # tuned tables are optional
@@ -133,6 +136,7 @@ try:                                       # tuned tables are optional
     _SPLIT_OVERRIDES_SMALL.update(getattr(_P, "PLANS_SMALL", {}))
     _INNER_OVERRIDES.update(getattr(_P, "PLANS_INNER", {}))
     _GAUSS_BY_ROOT.update(getattr(_P, "GAUSS", {}))
+    _FLAT_PLANS.update(getattr(_P, "FLAT", {}))
 except ImportError:
     pass
 
@@ -211,6 +215,37 @@ def _fourstep_twiddle_np(n1: int, n2: int, sign: int, k1_major: bool = False,
         ph = np.outer(np.arange(n2, dtype=np.float64),
                       np.arange(n1, dtype=np.float64))
     w = np.exp(sign * 2j * np.pi * ph / n)
+    return w.real.astype(npdt), w.imag.astype(npdt)
+
+
+@functools.lru_cache(maxsize=None)
+def _flat_twiddle_np(factors: Tuple[int, ...], lv: int, sign: int,
+                     npdt=np.float32) -> Tuple[np.ndarray, np.ndarray]:
+    """Natural-order-output twiddle after level ``lv`` of a flat chain.
+
+    With factors (f1..fL) and digits k_{lv+1}..k_1 already produced
+    (axis order of the data at that point), the coupling of the NEXT
+    input digit n_{lv+2} to everything produced so far is one table
+        T[k_{lv+1}, ..., k_1, n] = exp(sign*2i*pi * kappa * n / P)
+    where kappa = sum_j k_{j+1} * (f1*...*f_j) is the digit-composed
+    output index so far and P = f1*...*f_{lv+2}. This is the same total
+    phase as the recursive four-step's (root twiddle x inner twiddles),
+    just partitioned per level so every multiply is elementwise in the
+    flat chain's native layout (no transposes anywhere).
+    """
+    fs = factors
+    shape = tuple(fs[j] for j in range(lv, -1, -1))     # (f_{lv+1},..,f1)
+    kappa = np.zeros(shape, np.float64)
+    for ax, j in enumerate(range(lv, -1, -1)):
+        place = float(int(np.prod(fs[:j], dtype=np.int64)))
+        idx = np.arange(fs[j], dtype=np.float64) * place
+        bshape = [1] * len(shape)
+        bshape[ax] = fs[j]
+        kappa = kappa + idx.reshape(bshape)
+    nnext = np.arange(fs[lv + 1], dtype=np.float64)
+    P = float(int(np.prod(fs[:lv + 2], dtype=np.int64)))
+    ph = kappa[..., None] * nnext / P
+    w = np.exp(sign * 2j * np.pi * ph)
     return w.real.astype(npdt), w.imag.astype(npdt)
 
 
@@ -356,6 +391,86 @@ def _fft_mm(x: Cplx, sign: int, inner: bool = False,
     return shape_to(re, (n,)), shape_to(im, (n,))
 
 
+def _fft_mm_flat(x: Cplx, sign: int, factors: Tuple[int, ...],
+                 gauss_min: Optional[int] = None) -> Cplx:
+    """Zero-transpose multi-level DFT: operand-order dot_general chain.
+
+    Same leaf matrices and total twiddle phase as the recursive four-step
+    (_fft_mm), but the digit reordering that _fft_mm pays as explicit
+    ``swapaxes`` passes is absorbed into the OUTPUT ORDER of each level's
+    dot_general: the leaf matrix rides as a batch-broadcast LHS, so the
+    fresh spectral digit lands immediately after the batch axis and the
+    previously produced digits shift right — after the last level the
+    layout is (b, k_L, ..., k_1) == natural order, with ZERO transpose
+    passes. This is the VMEM kernel's zero-relayout dataflow
+    (pallas/vmemfft.py design rules) lifted to the XLA level, where the
+    dots run at full MXU speed: L levels == L fused HBM passes total.
+
+    Each factor must be a dense leaf (pow2, <= _MAX_DIRECT). Twiddles
+    (_flat_twiddle_np) are elementwise in the chain's native layout and
+    fuse into the adjacent dot. Honors the same per-leaf precision and
+    Gauss 3-matmul gates as _fft_mm. Replaces the per-stage launch
+    structure of the reference (cl_fft.cpp:138-151) like the other
+    paths; adopted per size by measured A/B only (_FLAT_PLANS).
+    """
+    re, im = x
+    n = re.shape[-1]
+    assert int(np.prod(factors)) == n, (factors, n)
+    if gauss_min is None:
+        gauss_min = _GAUSS_BY_ROOT.get(n, _GAUSS_MIN_N)
+    npdt = np.dtype(re.dtype)
+    lead = re.shape[:-1]
+    b = int(np.prod(lead)) if lead else 1
+    L = len(factors)
+    rest = n // factors[0]
+    re = re.reshape(b, factors[0], rest)
+    im = im.reshape(b, factors[0], rest)
+    # loop invariant entering level lv: shape (b, k_lv, ..., k_1, f, R)
+    # with f = factors[lv] the fresh input digit at axis 1+lv and R the
+    # untransformed remainder (the R axis is absent once it reaches 1,
+    # keeping the minor/lane dim a real factor, never a padded 1).
+    for lv, f in enumerate(factors):
+        prec = _HIGHEST if npdt == np.float64 else _leaf_precision(f)
+        c_ax = 1 + lv
+        dims = (((2,), (c_ax,)), ((0,), (0,)))
+        if prec == jax.lax.Precision.HIGH and f >= gauss_min:
+            u, upv, vmu = (jnp.broadcast_to(jnp.asarray(a), (b, f, f))
+                           for a in _leaf_gauss_np(f, sign, npdt))
+            m1 = jax.lax.dot_general(u, re + im, dims, precision=prec)
+            m2 = jax.lax.dot_general(upv, im, dims, precision=prec)
+            m3 = jax.lax.dot_general(vmu, re, dims, precision=prec)
+            re, im = m1 - m2, m1 + m3
+        else:
+            # _leaf_matrix_np is the data-as-LHS block [[U, V], [-V, U]];
+            # with the leaf as LHS the column form [[U, -V], [V, U]] is
+            # needed — U, V are symmetric, so that is just the transpose.
+            w = jnp.broadcast_to(
+                jnp.asarray(_leaf_matrix_np(f, sign, npdt).T.copy()),
+                (b, 2 * f, 2 * f))
+            z = jnp.concatenate([re, im], axis=c_ax)
+            y = jax.lax.dot_general(w, z, dims, precision=prec)
+            re, im = jnp.split(y, 2, axis=1)
+        # layout now (b, k_{lv+1}, k_lv, ..., k_1[, R]); split the next
+        # input digit out of R and apply the level twiddle elementwise
+        if lv + 1 < L:
+            fnext = factors[lv + 1]
+            dshape = (b,) + tuple(factors[j] for j in range(lv, -1, -1))
+            rnext = re.shape[-1] // fnext if re.ndim == len(dshape) + 1 else 1
+            twr, twi = _flat_twiddle_np(tuple(factors), lv, sign, npdt)
+            if rnext > 1:
+                re = re.reshape(dshape + (fnext, rnext))
+                im = im.reshape(dshape + (fnext, rnext))
+                twr = jnp.asarray(twr)[None, ..., None]
+                twi = jnp.asarray(twi)[None, ..., None]
+            else:
+                re = re.reshape(dshape + (fnext,))
+                im = im.reshape(dshape + (fnext,))
+                twr = jnp.asarray(twr)[None, ...]
+                twi = jnp.asarray(twi)[None, ...]
+            re, im = re * twr - im * twi, re * twi + im * twr
+    return re.reshape(lead + (n,)), im.reshape(lead + (n,))
+
+
 # ---------------------------------------------------------------------------
 # Implementation: radix-2 Stockham autosort (VPU path)
 # ---------------------------------------------------------------------------
@@ -485,12 +600,20 @@ def _fft_dispatch(x: Cplx, sign: int, impl: str, scale: float = 1.0) -> Cplx:
     if impl == "vmem":
         return _fft_vmem(x, sign, scale)
     out = None
-    if impl in ("auto", "mm"):
-        if impl == "auto" and x[0].shape[-1] <= _STOCKHAM_MAX:
+    if impl in ("auto", "mm", "flat"):
+        n = x[0].shape[-1]
+        flat_plan = _FLAT_PLANS.get(n)
+        if impl == "auto" and n <= _STOCKHAM_MAX:
             out = _fft_stockham(x, sign)
         elif impl == "auto" and _use_vmem_kernel(x, sign):
             return _fft_vmem(x, sign, scale)
+        elif (impl == "flat" or (impl == "auto" and
+                                 x[0].size >= _SMALL_WS_ELEMS)) \
+                and flat_plan and len(flat_plan) >= 2:
+            out = _fft_mm_flat(x, sign, tuple(flat_plan))
         else:
+            # impl="flat" without a plan entry falls back to mm (the
+            # Bluestein core also lands here for padded sizes)
             out = _fft_mm(x, sign)
     elif impl == "stockham":
         out = _fft_stockham(x, sign)
@@ -503,7 +626,7 @@ def _fft_dispatch(x: Cplx, sign: int, impl: str, scale: float = 1.0) -> Cplx:
         out = (out[0] * scale, out[1] * scale)
     return out
 
-_IMPLS = ("auto", "mm", "stockham", "xla", "vmem")
+_IMPLS = ("auto", "mm", "stockham", "xla", "vmem", "flat")
 
 # Auto-mode routing set for the VMEM-resident Pallas kernel, from
 # interleaved A/B vs the mm path on the target chip

@@ -274,3 +274,101 @@ def test_exact_precision_is_thread_local():
     assert seen["worker_in_ctx"] == "off"
     assert seen["main_while_worker_in_ctx"] == "auto"
     assert seen["worker_after"] == "auto"
+
+
+# ---------------------------------------------------------------------------
+# Flat zero-transpose chain (_fft_mm_flat): digit order, twiddle partition,
+# gauss/block leaf parity, dispatch fallback, fused scale.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("factors", [(8, 8), (16, 8), (8, 4, 8),
+                                     (16, 16, 16), (8, 8, 8, 8),
+                                     (32, 2, 4)])
+@pytest.mark.parametrize("sign", [-1, 1])
+def test_flat_matches_numpy(factors, sign):
+    import jax.numpy as jnp
+
+    from opencl_fft_tpu.ops import fft as F
+
+    n = int(np.prod(factors))
+    x = randc((3, n))
+    re = jnp.asarray(x.real)
+    im = jnp.asarray(x.imag)
+    yr, yi = F._fft_mm_flat((re, im), sign, factors, gauss_min=1 << 30)
+    ref = np.fft.fft(x) if sign == -1 else np.fft.ifft(x) * n
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    scale = np.max(np.abs(ref)) + 1e-20
+    np.testing.assert_allclose(got, ref, atol=2e-5 * scale, rtol=0)
+
+
+def test_flat_gauss_leaves_match_block():
+    """Gauss 3-matmul leaves in the flat chain agree with the block form
+    (same contract as _leaf_dft's two forms)."""
+    import jax.numpy as jnp
+
+    from opencl_fft_tpu.ops import fft as F
+
+    factors = (64, 16, 8)
+    n = int(np.prod(factors))
+    x = randc((2, n))
+    re = jnp.asarray(x.real)
+    im = jnp.asarray(x.imag)
+    br, bi = F._fft_mm_flat((re, im), -1, factors, gauss_min=1 << 30)
+    gr, gi = F._fft_mm_flat((re, im), -1, factors, gauss_min=8)
+    ref = np.fft.fft(x)
+    scale = np.max(np.abs(ref))
+    for yr, yi in ((br, bi), (gr, gi)):
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        np.testing.assert_allclose(got, ref, atol=2e-5 * scale, rtol=0)
+
+
+def test_flat_dispatch_plan_and_fallback():
+    """impl='flat' uses _FLAT_PLANS when present (with the fused scale)
+    and falls back to mm for unplanned sizes."""
+    import jax.numpy as jnp
+
+    from opencl_fft_tpu.ops import fft as F
+
+    n = 4096
+    x = randc((3, n))
+    re = jnp.asarray(x.real)
+    im = jnp.asarray(x.imag)
+    ref = np.fft.fft(x)
+    scale = np.max(np.abs(ref))
+
+    # no plan: mm fallback
+    yr, yi = F.fft_split((re, im), -1, "flat")
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    np.testing.assert_allclose(got, ref, atol=2e-5 * scale, rtol=0)
+
+    F._FLAT_PLANS[n] = (32, 16, 8)
+    try:
+        yr, yi = F.fft_split((re, im), -1, "flat", scale=1.0 / n)
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        np.testing.assert_allclose(got, ref / n, atol=2e-5 * scale / n,
+                                   rtol=0)
+    finally:
+        del F._FLAT_PLANS[n]
+
+
+def test_flat_f64():
+    import jax.numpy as jnp
+
+    from opencl_fft_tpu.ops import fft as F
+    from opencl_fft_tpu.utils.numerics import require_x64
+
+    try:
+        require_x64()
+    except Exception:
+        pytest.skip("x64 unavailable")
+    n = 1024
+    x = (RNG.standard_normal((2, n)) + 1j * RNG.standard_normal((2, n)))
+    re = jnp.asarray(x.real, jnp.float64)
+    im = jnp.asarray(x.imag, jnp.float64)
+    yr, yi = F._fft_mm_flat((re, im), -1, (16, 8, 8), gauss_min=1 << 30)
+    ref = np.fft.fft(x)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    assert got.dtype == np.complex128 or np.asarray(yr).dtype == np.float64
+    np.testing.assert_allclose(got, ref, atol=1e-10 * np.abs(ref).max(),
+                               rtol=0)

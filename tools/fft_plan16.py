@@ -30,17 +30,39 @@ import jax.numpy as jnp
 from opencl_fft_tpu.ops import fft as F
 
 
+# Curated zero-transpose flat-chain plans (_fft_mm_flat) per log2(n):
+# every factor a dense leaf, minor factor biased to 128 lanes. Each also
+# gets a Gauss-leaf variant (suffix g).
+_FLAT_CANDS = {
+    10: [(32, 32), (8, 128)],
+    11: [(16, 128), (32, 64)],
+    12: [(32, 128), (64, 64)],
+    14: [(128, 128), (16, 8, 128)],
+    16: [(64, 32, 32), (32, 32, 64), (256, 256), (16, 32, 128)],
+    17: [(64, 64, 32), (32, 64, 64), (64, 32, 64), (8, 128, 128)],
+    18: [(64, 64, 64), (64, 32, 128), (32, 64, 128), (128, 16, 128),
+         (16, 128, 128)],
+    19: [(128, 64, 64), (64, 64, 128), (64, 128, 64), (32, 128, 128)],
+    20: [(128, 64, 128), (64, 128, 128), (128, 128, 64), (64, 64, 256)],
+}
+
+
 def candidates(logn: int):
-    """Candidate trees for one size: name -> (patch, out_t, gauss).
+    """Candidate trees for one size: name -> (patch, out_t, gauss[, flat]).
 
     Always includes the status quo; adds inner-factor restructurings
     (dense leaf, transpose-free >=64 splits), the balanced dense-dense
-    split where both factors fit _MAX_DIRECT, and Gauss-leaf (g) /
-    fused-transpose (t) toggles of the status-quo tree."""
+    split where both factors fit _MAX_DIRECT, Gauss-leaf (g) /
+    fused-transpose (t) toggles of the status-quo tree, and the
+    zero-transpose flat chains (F...) from _FLAT_CANDS."""
     n = 1 << logn
     n1 = F._split_factors(n, 1 << 30)[0]
     n2 = n // n1
     cands = {"cur": ({}, False, None)}
+    for fac in _FLAT_CANDS.get(logn, ()):
+        name = "F" + "x".join(str(f) for f in fac)
+        cands[name] = ({}, False, None, fac)
+        cands[name + "g"] = ({}, False, 64, fac)
     # Gauss 3-matmul leaves / fused-transpose second leaf on the
     # status-quo tree (and combined) — cheap structural toggles
     cands["cur_g"] = ({}, False, 64)
@@ -90,7 +112,7 @@ def candidates(logn: int):
 
 
 def make_runner(logn: int, patch: dict, out_t: bool, iters: int,
-                gauss=None):
+                gauss=None, flat=None):
     n = 1 << logn
     batch = max(1, (32 << 20) // (8 * n))
     rng = np.random.default_rng(1)
@@ -101,6 +123,7 @@ def make_runner(logn: int, patch: dict, out_t: bool, iters: int,
     saved = {k: F._SPLIT_OVERRIDES.get(k) for k in patch}
     old_t = F._OUT_T_MIN_N2
     old_g = F._GAUSS_BY_ROOT.get(n, None)
+    old_f = F._FLAT_PLANS.get(n, None)
     F._SPLIT_OVERRIDES.update(patch)
     F._OUT_T_MIN_N2 = 64 if out_t else (1 << 30)
     if gauss is None:
@@ -109,11 +132,15 @@ def make_runner(logn: int, patch: dict, out_t: bool, iters: int,
         #                                     unless explicitly g-tagged
     else:
         F._GAUSS_BY_ROOT[n] = gauss
+    impl = "mm"
+    if flat is not None:
+        F._FLAT_PLANS[n] = tuple(flat)
+        impl = "flat"
     try:
         @partial(jax.jit, static_argnums=1)
         def run(x, k):
             def body(i, x):
-                return F.fft_split(x, -1, "mm", scale=scale)
+                return F.fft_split(x, -1, impl, scale=scale)
             return jax.lax.fori_loop(0, k, body, x)
 
         def sync(o):
@@ -127,6 +154,11 @@ def make_runner(logn: int, patch: dict, out_t: bool, iters: int,
             F._GAUSS_BY_ROOT.pop(n, None)
         else:
             F._GAUSS_BY_ROOT[n] = old_g
+        if flat is not None:
+            if old_f is None:
+                F._FLAT_PLANS.pop(n, None)
+            else:
+                F._FLAT_PLANS[n] = old_f
         for k, v in saved.items():
             if v is None:
                 F._SPLIT_OVERRIDES.pop(k, None)
@@ -154,12 +186,14 @@ def main():
     iters = 200
     only = {c for c in args.only.split(",") if c}
     runners = {}
-    for name, (patch, out_t, gauss) in candidates(logn).items():
+    for name, spec in candidates(logn).items():
         if only and name not in only:
             continue
-        print(f"compiling {name} {patch} out_t={out_t} gauss={gauss} ...",
-              file=sys.stderr, flush=True)
-        runners[name] = make_runner(logn, patch, out_t, iters, gauss)
+        patch, out_t, gauss = spec[:3]
+        flat = spec[3] if len(spec) > 3 else None
+        print(f"compiling {name} {patch} out_t={out_t} gauss={gauss} "
+              f"flat={flat} ...", file=sys.stderr, flush=True)
+        runners[name] = make_runner(logn, patch, out_t, iters, gauss, flat)
 
     from opencl_fft_tpu.utils.profiling import median_chain_delta
 
