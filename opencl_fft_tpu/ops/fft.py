@@ -412,6 +412,13 @@ def _fft_mm_flat(x: Cplx, sign: int, factors: Tuple[int, ...],
     Gauss 3-matmul gates as _fft_mm. Replaces the per-stage launch
     structure of the reference (cl_fft.cpp:138-151) like the other
     paths; adopted per size by measured A/B only (_FLAT_PLANS).
+
+    Measured r3 (bench_results/fft_flat_ab.json): LOSES to the
+    recursive four-step at 2^18 on every plan (best 416.8 us vs cur
+    371.0, 4/4 rounds) — XLA lowers batch-dim dots with middle-axis
+    contractions worse than the swapaxes+leaf recursion (whose
+    transposes it already folds), so _FLAT_PLANS stays empty and this
+    path is opt-in documentation of the negative result.
     """
     re, im = x
     n = re.shape[-1]

@@ -145,11 +145,57 @@ def _leaf_gauss_stacked_np(f: int, sign: int, tb: int = 0):
 
 
 @functools.lru_cache(maxsize=None)
-def _twiddle_np(f: int, rest: int, sign: int):
+def _leaf_hilo_np(f: int, sign: int, tb: int = 0):
+    """(Bh, Bl) bf16 hi/lo pair of the (2f, 2f) column-form block matrix
+    (tb-broadcast when tb > 0) — the un-stacked tables for the lean
+    kernel's separate-dot bf16x3 form."""
+    import ml_dtypes
+    jk = np.outer(np.arange(f, dtype=np.float64),
+                  np.arange(f, dtype=np.float64))
+    w = np.exp(sign * 2j * np.pi * jk / f)
+    u, v = w.real, w.imag
+    b = np.block([[u, -v], [v, u]]).astype(np.float32)
+    hi = b.astype(ml_dtypes.bfloat16)
+    lo = (b - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    if tb:
+        hi = np.broadcast_to(hi, (tb,) + hi.shape).copy()
+        lo = np.broadcast_to(lo, (tb,) + lo.shape).copy()
+    return hi, lo
+
+
+@functools.lru_cache(maxsize=None)
+def _leaf_gauss_hilo_np(f: int, sign: int, tb: int = 0):
+    """Six bf16 (f, f) matrices (Uh, Ul, Vh, Vl, Sh, Sl) with S = U + V
+    (tb-broadcast when tb > 0) — un-stacked Gauss tables for the lean
+    kernel."""
+    import ml_dtypes
+    jk = np.outer(np.arange(f, dtype=np.float64),
+                  np.arange(f, dtype=np.float64))
+    w = np.exp(sign * 2j * np.pi * jk / f)
+    out = []
+    for m in (w.real, w.imag, w.real + w.imag):
+        m32 = m.astype(np.float32)
+        hi = m32.astype(ml_dtypes.bfloat16)
+        lo = (m32 - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+        for a in (hi, lo):
+            if tb:
+                a = np.broadcast_to(a, (tb,) + a.shape).copy()
+            out.append(a)
+    return tuple(out)
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddle_np(f: int, rest: int, sign: int, scale: float = 1.0):
     """Level twiddle w^(k_f * j_rest), w = exp(sign*2i*pi/(f*rest));
-    shape (f, rest), split f32 re/im."""
+    shape (f, rest), split f32 re/im.
+
+    ``scale`` is folded INTO the table (host-side, exact — every level
+    after the twiddle is linear): production passes the fused epilogue
+    scale here so the kernels skip the trailing full-canvas multiply
+    (2 VPU ops/elem on the output canvas; the kernels are VPU-bound,
+    bench_results/vmemfft_profile.json)."""
     ph = np.outer(np.arange(f, dtype=np.float64), np.arange(rest, dtype=np.float64))
-    w = np.exp(sign * 2j * np.pi * ph / (f * rest))
+    w = scale * np.exp(sign * 2j * np.pi * ph / (f * rest))
     return w.real.astype(np.float32), w.imag.astype(np.float32)
 
 
@@ -331,6 +377,99 @@ def _vmemfft_tmix_kernel(f1, f2, f3, tb, scale, mask, *refs):
     out_i[:] = im
 
 
+def _vmemfft_lean_kernel(f1, f2, f3, tb, scale, mask, *refs):
+    """Transposed-L2 three-level kernel with NO stacked-operand concats.
+
+    Same dataflow as _vmemfft_tmix_kernel, but the bf16x3 product is
+    issued as SEPARATE dots on raw hi/lo planes instead of one stacked
+    contraction: the _stack6/_stack3 concats copy 6 (or 3x3) bf16 planes
+    per level through VMEM, and the kernels are VPU/copy-bound
+    (bench_results/vmemfft_profile.json stack_depth attribution), so
+    trading the copies for extra dot issues + f32 accumulate adds is a
+    measured question — this variant exists to race it (levels=7).
+
+    Block levels (mask bit clear): z = [re; im] hi/lo pairs, ONE 2-plane
+    concat each, then y = Bh@zh + Bl@zh + Bh@zl (3 dots, 2 adds).
+    Gauss levels (mask bit set): no concats at all — each of the three
+    real products M@x is Mh@xh + Mh@xl + Ml@xh on raw planes.
+
+    refs layout: in_r, in_i, per-level tables (3 gauss [U,V,S] hi/lo
+    pairs -> 6 refs if the mask bit is set, else [Bh, Bl] -> 2 refs),
+    t1r, t1i, t2r, t2i, out_r, out_i.
+    """
+    it = iter(refs)
+    in_r, in_i = next(it), next(it)
+    tabs = [tuple(next(it) for _ in range(6 if mask >> lv & 1 else 2))
+            for lv in range(3)]
+    t1r, t1i, t2r, t2i = next(it), next(it), next(it), next(it)
+    out_r, out_i = next(it), next(it)
+
+    def hilo(x):
+        xh = x.astype(jnp.bfloat16)
+        xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+        return xh, xl
+
+    def x3dot(mh, ml, xh, xl, dims):
+        y = jax.lax.dot_general(mh[:], xh, dims,
+                                preferred_element_type=jnp.float32)
+        y += jax.lax.dot_general(ml[:], xh, dims,
+                                 preferred_element_type=jnp.float32)
+        y += jax.lax.dot_general(mh[:], xl, dims,
+                                 preferred_element_type=jnp.float32)
+        return y
+
+    def level(lv, f, re, im, axis, dims):
+        t = tabs[lv]
+        if len(t) == 6:
+            uh, ul, vh, vl, sh, sl = t
+            reh, rel = hilo(re)
+            imh, iml = hilo(im)
+            s_h, s_l = hilo(re + im)
+            p1 = x3dot(uh, ul, reh, rel, dims)     # U @ re
+            p2 = x3dot(vh, vl, imh, iml, dims)     # V @ im
+            p3 = x3dot(sh, sl, s_h, s_l, dims)     # (U+V) @ (re+im)
+            # out = (U@re - V@im, (U+V)@(re+im) - U@re - V@im)
+            return p1 - p2, p3 - p1 - p2
+        bh, bl = t
+        reh, rel = hilo(re)
+        imh, iml = hilo(im)
+        zh = jnp.concatenate([reh, imh], axis=axis)
+        zl = jnp.concatenate([rel, iml], axis=axis)
+        y = jax.lax.dot_general(bh[:], zh, dims,
+                                preferred_element_type=jnp.float32)
+        y += jax.lax.dot_general(bl[:], zh, dims,
+                                 preferred_element_type=jnp.float32)
+        y += jax.lax.dot_general(bh[:], zl, dims,
+                                 preferred_element_type=jnp.float32)
+        return y[:, :f], y[:, f:]
+
+    dims_mid = (((2,), (1,)), ((0,), (0,)))    # contract middle canvas dim
+    dims_lane = (((2,), (2,)), ((0,), (0,)))   # contract lane (minor) dim
+
+    re, im = level(0, f1, in_r[:], in_i[:], 1, dims_mid)
+    tr, ti = t1r[:], t1i[:]
+    re, im = re * tr - im * ti, re * ti + im * tr       # (tb, k1, R1)
+
+    re = jnp.transpose(re.reshape(tb, f1, f2, f3), (0, 2, 1, 3))
+    im = jnp.transpose(im.reshape(tb, f1, f2, f3), (0, 2, 1, 3))
+    re, im = level(1, f2, re.reshape(tb, f2, f1 * f3),
+                   im.reshape(tb, f2, f1 * f3), 1, dims_mid)
+    re = re.reshape(tb, f2, f1, f3)                     # (tb, k2, k1, f3)
+    im = im.reshape(tb, f2, f1, f3)
+    tr = t2r[:][None, :, None, :]
+    ti = t2i[:][None, :, None, :]
+    pr = re * tr - im * ti
+    pi = re * ti + im * tr
+
+    re, im = level(2, f3, pr.reshape(tb, f2 * f1, f3),
+                   pi.reshape(tb, f2 * f1, f3), 2, dims_lane)
+    if scale != 1.0:
+        re = re * scale
+        im = im * scale
+    out_r[:] = re
+    out_i[:] = im
+
+
 def _vmemfft2_kernel(f1, f2, tb, scale, in_r, in_i, w1, w2, t1r, t1i,
                      out_r, out_i):
     """Two-level variant with NO batched dots.
@@ -421,7 +560,9 @@ def _build3h(n: int, sign: int, rows: int, interpret: bool, tb_override=None,
     while rows % tb:
         tb //= 2
     t1r, t1i = _twiddle_np(f1, f2 * f3, sign)
-    t2r, t2i = _twiddle_np(f2, f3, sign)
+    # the fused normalization rides the L2 twiddle table (host fold,
+    # exact); the kernel's trailing scale multiply is dead
+    t2r, t2i = _twiddle_np(f2, f3, sign, scale)
     tables = [
         _leaf_stacked_np(f1, sign, tb),
         _leaf_stacked_np(f2, sign),
@@ -429,7 +570,7 @@ def _build3h(n: int, sign: int, rows: int, interpret: bool, tb_override=None,
         t1r.reshape(1, f1, f2 * f3), t1i.reshape(1, f1, f2 * f3),
         t2r.reshape(f2, 1, f3), t2i.reshape(f2, 1, f3),
     ]
-    kern = functools.partial(_vmemfft3h_kernel, f1, f2, f3, tb, scale)
+    kern = functools.partial(_vmemfft3h_kernel, f1, f2, f3, tb, 1.0)
     table_specs = [pl.BlockSpec(t.shape, (lambda nd: lambda b: (0,) * nd)(t.ndim),
                                 memory_space=pltpu.VMEM) for t in tables]
     call = pl.pallas_call(
@@ -470,14 +611,16 @@ def _build2(n: int, sign: int, rows: int, interpret: bool, tb_override=None,
         tb = tb_override
     while rows % tb:
         tb //= 2
-    t1r, t1i = _twiddle_np(f1, f2, sign)
+    # fused normalization folded into the (only) twiddle table — see
+    # _twiddle_np; L2 is linear, so this is exact
+    t1r, t1i = _twiddle_np(f1, f2, sign, scale)
     tables = [
         _leaf_stacked_np(f1, sign),
         _leaf_stacked_np(f2, sign),
         t1r.reshape(f1, 1, f2),
         t1i.reshape(f1, 1, f2),
     ]
-    kern = functools.partial(_vmemfft2_kernel, f1, f2, tb, scale)
+    kern = functools.partial(_vmemfft2_kernel, f1, f2, tb, 1.0)
     table_specs = [pl.BlockSpec(t.shape, (lambda nd: lambda b: (0,) * nd)(t.ndim),
                                 memory_space=pltpu.VMEM) for t in tables]
     if rowmajor_out:
@@ -512,7 +655,7 @@ def _build2(n: int, sign: int, rows: int, interpret: bool, tb_override=None,
 @functools.lru_cache(maxsize=None)
 def _build(n: int, sign: int, rows: int, interpret: bool, tb_override=None,
            plan_override=None, scale: float = 1.0, transposed: bool = False,
-           gauss_mask: int = 0):
+           gauss_mask: int = 0, lean: bool = False):
     f1, f2, f3, tb = plan_override or _PLANS[n]
     if tb_override:
         tb = tb_override
@@ -520,7 +663,20 @@ def _build(n: int, sign: int, rows: int, interpret: bool, tb_override=None,
         tb //= 2
     # Tables stay NUMPY in this cache: jnp constants created inside one
     # jit trace must not leak into another (UnexpectedTracerError).
-    if gauss_mask:
+    # fused normalization folded into the L2 twiddle table — see
+    # _twiddle_np; everything after it (L3) is linear, so this is exact
+    if lean:
+        tables = []
+        for lv, f in enumerate((f1, f2, f3)):
+            if gauss_mask >> lv & 1:
+                tables += list(_leaf_gauss_hilo_np(f, sign, tb))
+            else:
+                tables += list(_leaf_hilo_np(f, sign, tb))
+        tables += [*_twiddle_np(f1, f2 * f3, sign),
+                   *_twiddle_np(f2, f3, sign, scale)]
+        kern = functools.partial(_vmemfft_lean_kernel, f1, f2, f3, tb,
+                                 1.0, gauss_mask)
+    elif gauss_mask:
         tables = []
         for lv, f in enumerate((f1, f2, f3)):
             if gauss_mask >> lv & 1:
@@ -528,19 +684,19 @@ def _build(n: int, sign: int, rows: int, interpret: bool, tb_override=None,
             else:
                 tables.append(_leaf_stacked_np(f, sign, tb))
         tables += [*_twiddle_np(f1, f2 * f3, sign),
-                   *_twiddle_np(f2, f3, sign)]
+                   *_twiddle_np(f2, f3, sign, scale)]
         kern = functools.partial(_vmemfft_tmix_kernel, f1, f2, f3, tb,
-                                 scale, gauss_mask)
+                                 1.0, gauss_mask)
     else:
         tables = [
             _leaf_stacked_np(f1, sign, tb),
             _leaf_stacked_np(f2, sign, tb),
             _leaf_stacked_np(f3, sign, tb),
             *_twiddle_np(f1, f2 * f3, sign),
-            *_twiddle_np(f2, f3, sign),
+            *_twiddle_np(f2, f3, sign, scale),
         ]
         body = _vmemfft_t_kernel if transposed else _vmemfft_kernel
-        kern = functools.partial(body, f1, f2, f3, tb, scale)
+        kern = functools.partial(body, f1, f2, f3, tb, 1.0)
     table_specs = [pl.BlockSpec(t.shape, (lambda nd: lambda b: (0,) * nd)(t.ndim),
                                 memory_space=pltpu.VMEM) for t in tables]
     call = pl.pallas_call(
@@ -571,14 +727,27 @@ def _build(n: int, sign: int, rows: int, interpret: bool, tb_override=None,
 # Measured level choice for sizes present in both plan tables
 # (tools/vmemfft_ab.py): 2 = two-level kernel, 3 = three-level,
 # 5 = transposed-L2 three-level (one wide L2 dot instead of Mosaic's
-# k1-loop of small matmuls). r3 honest-chain race at 2^18: t3_tb2
-# 333.6 us vs mm 369.7 (kernel variants won 5/5 rounds; t3_tb1 /
-# g3_tb2_m4 within 1%) — the transpose fix flipped the size back to
-# the kernel (bench_results/vmemfft_ab.json).
+# k1-loop of small matmuls), 6 = transposed-L2 with Gauss leaves on
+# the _MASKS levels. r3 honest-chain races at 2^18
+# (bench_results/vmemfft_ab.json): the transpose fix first flipped the
+# size back to the kernel (t3_tb1 331.5 vs mm 351.9-369.7, kernel
+# 5/5 rounds); the Gauss-L3 + folded-scale variant then won every
+# round of two further windows (g3_tb1_m4 320.1-324.0 us, 5/5 and
+# 2/5+3/5 with g3_tb2_m4) — L3's f3=128 fills the Gauss rows, so the
+# 25% MAC cut is free there, while m6 (Gauss on the half-filled
+# f2=64 L2) loses. The lean separate-dot variant (levels=7) loses
+# ~12% — stacked contractions read the canvas once where 3 dots
+# stream it 3x (measured negative, kept for the record).
 _LEVELS = {
     1 << 13: 2,
     1 << 14: 2,
-    1 << 18: 5,
+    1 << 18: 6,
+}
+
+# Default Gauss level mask per size for levels-6/7 kernels when the
+# caller does not pass one (bit l = level l+1); measured per size.
+_MASKS = {
+    1 << 18: 4,
 }
 
 
@@ -586,7 +755,7 @@ def fft_vmem(x: Cplx, sign: int, interpret: bool = False,
              tb_override: int = 0, levels: int = 0,
              rowmajor_out: bool = True, scale: float = 1.0,
              plan_override: Tuple[int, ...] | None = None,
-             gauss_mask: int = 7) -> Cplx:
+             gauss_mask: int | None = None) -> Cplx:
     """Unnormalized DFT over the last axis, whole transform in VMEM.
 
     x: split (re, im) float32 planes, shape (..., n) with n in the plan
@@ -596,10 +765,14 @@ def fft_vmem(x: Cplx, sign: int, interpret: bool = False,
     4 = hybrid no-batch-dot 3-level, 5 = transposed-L2 3-level,
     6 = transposed-L2 with Gauss 3-product leaves on the levels in
     ``gauss_mask`` (bit l = level l+1; 25% fewer MXU MACs per level,
-    worth it only where the factor fills the MXU rows).
-    ``scale`` multiplies the result INSIDE the kernel epilogue — a
-    normalization applied outside a pallas_call cannot be fused by XLA
-    and costs a full extra HBM pass over the working set.
+    worth it only where the factor fills the MXU rows), 7 = lean
+    transposed-L2 (separate hi/lo dots, no stacked-operand concats;
+    honors ``gauss_mask`` like 6).
+    ``scale`` multiplies the result INSIDE the kernel (folded into the
+    L2 twiddle table host-side) — a normalization applied outside a
+    pallas_call cannot be fused by XLA and costs a full extra HBM pass
+    over the working set. ``gauss_mask=None`` uses the measured per-size
+    default (_MASKS, falling back to all levels).
     """
     re, im = x
     n = re.shape[-1]
@@ -609,6 +782,8 @@ def fft_vmem(x: Cplx, sign: int, interpret: bool = False,
     rows = int(np.prod(lead)) if lead else 1
     if not levels:
         levels = _LEVELS.get(n, 2 if n in _PLANS2 else 3)
+    if gauss_mask is None:
+        gauss_mask = _MASKS.get(n, 7)
     if levels == 2 and n in _PLANS2:
         call, tables, (f1, f2) = _build2(n, sign, rows, interpret,
                                          tb_override or None,
@@ -640,10 +815,11 @@ def fft_vmem(x: Cplx, sign: int, interpret: bool = False,
                                             tb_override or None,
                                             plan_override=plan_override,
                                             scale=scale,
-                                            transposed=levels in (5, 6),
+                                            transposed=levels in (5, 6, 7),
                                             gauss_mask=(gauss_mask
-                                                        if levels == 6
-                                                        else 0))
+                                                        if levels in (6, 7)
+                                                        else 0),
+                                            lean=levels == 7)
         re3 = re.reshape(rows, f1, f2 * f3)
         im3 = im.reshape(rows, f1, f2 * f3)
         out_r, out_i = call(re3, im3, *tables)

@@ -73,6 +73,7 @@ def make_runner(logn: int, variant: str, iters: int):
         levels = (4 if variant.startswith("h3")
                   else 5 if variant.startswith("t3")   # transposed-L2 3-level
                   else 6 if variant.startswith("g3")   # + Gauss leaves
+                  else 7 if variant.startswith("n3")   # lean (no concats)
                   else int(variant[1]))
         rowmajor = not variant.startswith("l2x")   # l2x = XLA-transpose out
         parts = variant.split("_")
