@@ -539,6 +539,190 @@ def _vmemfft3h_kernel(f1, f2, f3, tb, scale, in_r, in_i, w1, w2, w3, t1r, t1i,
     out_i[:] = y[f3:]
 
 
+def _vmemfft_front2_kernel(f1, f2, fc, mask, *refs):
+    """Front-two-levels kernel: L1 + T1 + digit transpose + L2 + T2 only.
+
+    The whole-transform kernels above lose at 2^19/2^20 because the grid
+    is rows-only (batch 4-8 at the ~32MB bench point) — too few steps to
+    pipeline the DMA against compute, so the HBM trip serializes with the
+    3-level body (measured 413-423 us vs mm 357 at 2^20,
+    bench_results/vmemfft_ab.json). This kernel fuses only the first TWO
+    levels and grids over (rows x f3-chunks): f3 is untouched by L1/L2
+    (both twiddle tables slice cleanly along it), so chunking it by
+    fc = 128 lanes multiplies the grid by f3/fc and restores pipelining.
+    The remaining f3-point leaf runs OUTSIDE as one XLA dot_general whose
+    operand order emits the final (k3, k2*k1) natural-order transpose for
+    free (ops/fft._leaf_dft_out_t) — 2 HBM round trips total vs the mm
+    path's 3 and the whole-transform kernel's 1 + unpipelined body.
+
+    Each grid cell holds one (f1, f2, fc) sub-canvas; both dots are PLAIN
+    contractions with the shared leaf stack on the LHS (no batch dims —
+    Mosaic lowers batched dots as per-row loops, CLAUDE.md). ``mask``
+    selects the Gauss 3-product form per level (bit l = level l+1), same
+    tradeoff as _vmemfft_tmix_kernel.
+
+    refs: in_r, in_i, per-level tables (3 gauss [U,V,S] or 1 block
+    stack), t1r, t1i, t2r, t2i, out_r, out_i.
+
+    Measured r3 (bench_results/vmemfft_ab.json): LOSES everywhere —
+    2^18: 417-438 us across plans vs the whole-transform Gauss kernel's
+    317.8 (4/4 rounds); 2^20: 457.5/530.2 us vs mm 360.4 (5/5). The
+    restored pipelining does not pay for the second HBM round trip plus
+    the per-grid-step overhead of small-factor dots (f <= 64 underfills
+    the 128-row MXU even in block form). Kept as an opt-in documented
+    negative (levels=8): with the 2-level XLA tree compute-infeasible at
+    the 1.5e-5 budget and this 2-pass hybrid measured out, the mm path's
+    ~3-HBM-pass structure at 2^20 (94% of its pass floor) and the fused
+    kernel at 2^18 are the honest plateau.
+    """
+    it = iter(refs)
+    in_r, in_i = next(it), next(it)
+    tabs = [tuple(next(it) for _ in range(3 if mask >> lv & 1 else 1))
+            for lv in range(2)]
+    t1r, t1i, t2r, t2i = next(it), next(it), next(it), next(it)
+    out_r, out_i = next(it), next(it)
+    dims = (((1,), (0,)), ((), ()))
+
+    def level(lv, f, re, im):
+        t = tabs[lv]
+        if len(t) == 3:
+            p1 = jax.lax.dot_general(t[0][:], _stack3(re, 0), dims,
+                                     preferred_element_type=jnp.float32)
+            p2 = jax.lax.dot_general(t[1][:], _stack3(im, 0), dims,
+                                     preferred_element_type=jnp.float32)
+            p3 = jax.lax.dot_general(t[2][:], _stack3(re + im, 0), dims,
+                                     preferred_element_type=jnp.float32)
+            return p1 - p2, p3 - p1 - p2
+        y = jax.lax.dot_general(t[0][:], _stack6(re, im, 0), dims,
+                                preferred_element_type=jnp.float32)
+        return y[:f], y[f:]
+
+    # L1 — contract f1: (2f1, 6f1) x (6f1, f2*fc)
+    re = in_r[:].reshape(f1, f2 * fc)
+    im = in_i[:].reshape(f1, f2 * fc)
+    re, im = level(0, f1, re, im)                       # (k1, f2*fc)
+    tr = t1r[:].reshape(f1, f2 * fc)
+    ti = t1i[:].reshape(f1, f2 * fc)
+    re, im = re * tr - im * ti, re * ti + im * tr
+
+    # digit transpose (k1, f2, fc) -> (f2, k1, fc); minor dim untouched
+    re = jnp.transpose(re.reshape(f1, f2, fc), (1, 0, 2)).reshape(f2, f1 * fc)
+    im = jnp.transpose(im.reshape(f1, f2, fc), (1, 0, 2)).reshape(f2, f1 * fc)
+    re, im = level(1, f2, re, im)                       # (k2, k1*fc)
+    re = re.reshape(f2, f1, fc)
+    im = im.reshape(f2, f1, fc)
+    tr = t2r[:][:, None, :]                             # (f2, 1, fc)
+    ti = t2i[:][:, None, :]
+    pr = re * tr - im * ti
+    pi = re * ti + im * tr
+    out_r[:] = pr.reshape(1, f2, f1, fc)
+    out_i[:] = pi.reshape(1, f2, f1, fc)
+
+
+# Front-2 hybrid plans: n -> (f1, f2, f3) with f3 >= 256 chunked by
+# fc = 128 lanes (grid = rows x f3/128) and the f3 leaf as one XLA dot.
+# Factor placement minimizes MXU row/depth underfill of the stacked
+# block dots: C(f) = ceil(2f/128)*ceil(6f/128)/f is lowest at f = 64.
+_PLANS_F2 = {
+    1 << 18: (32, 32, 256),
+    1 << 19: (64, 32, 256),
+    1 << 20: (64, 64, 256),
+}
+
+# Measured Gauss level mask per size for the front-2 kernel (bit l =
+# level l+1); default 0 (block form) — f <= 64 leaves half-fill the
+# Gauss rows.
+_MASKS_F2: dict = {}
+
+
+@functools.lru_cache(maxsize=None)
+def _build_front2(n: int, sign: int, rows: int, interpret: bool,
+                  plan_override=None, scale: float = 1.0, mask: int = 0):
+    f1, f2, f3 = (plan_override or _PLANS_F2[n])[:3]
+    if f1 * f2 * f3 != n:
+        raise ValueError(f"front2 plan {(f1, f2, f3)} != n={n}")
+    fc = min(128, f3)
+    t1r, t1i = _twiddle_np(f1, f2 * f3, sign)
+    # the fused normalization rides the T2 table (host fold, exact: the
+    # outside f3 leaf is linear)
+    t2r, t2i = _twiddle_np(f2, f3, sign, scale)
+    tables = []
+    for lv, f in enumerate((f1, f2)):
+        if mask >> lv & 1:
+            tables += list(_leaf_gauss_stacked_np(f, sign))
+        else:
+            tables.append(_leaf_stacked_np(f, sign))
+    tables += [t1r.reshape(f1, f2, f3), t1i.reshape(f1, f2, f3), t2r, t2i]
+    kern = functools.partial(_vmemfft_front2_kernel, f1, f2, fc, mask)
+    tab_specs = []
+    for t in tables[:-4]:
+        tab_specs.append(pl.BlockSpec(
+            t.shape, (lambda nd: lambda r, c: (0,) * nd)(t.ndim),
+            memory_space=pltpu.VMEM))
+    tab_specs += [
+        pl.BlockSpec((f1, f2, fc), lambda r, c: (0, 0, c),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((f1, f2, fc), lambda r, c: (0, 0, c),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((f2, fc), lambda r, c: (0, c),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((f2, fc), lambda r, c: (0, c),
+                     memory_space=pltpu.VMEM),
+    ]
+    call = pl.pallas_call(
+        kern,
+        grid=(rows, f3 // fc),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, f2, f1, f3), jnp.float32),
+            jax.ShapeDtypeStruct((rows, f2, f1, f3), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((1, f1, f2, fc), lambda r, c: (r, 0, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f1, f2, fc), lambda r, c: (r, 0, 0, c),
+                         memory_space=pltpu.VMEM),
+        ] + tab_specs,
+        out_specs=(
+            pl.BlockSpec((1, f2, f1, fc), lambda r, c: (r, 0, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f2, f1, fc), lambda r, c: (r, 0, 0, c),
+                         memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )
+    return call, tables, (f1, f2, f3)
+
+
+def fft_vmem_front2(x: Cplx, sign: int, interpret: bool = False,
+                    scale: float = 1.0,
+                    plan_override: Tuple[int, ...] | None = None,
+                    gauss_mask: int = 0, gauss_l3: bool = True) -> Cplx:
+    """Unnormalized DFT via the front-2 kernel + one XLA f3-leaf pass.
+
+    Matches fft_split(x, sign, "mm") within the bf16x3 budget. The f3
+    leaf honors gauss_l3 (Gauss 3-matmul form, on by default — f3 >= 256
+    fills the MXU rows) and lands in natural order via the transposed-
+    output einsum (no separate transpose pass).
+    """
+    from .. import fft as _fft     # lazy: fft.py imports this module lazily
+    re, im = x
+    n = re.shape[-1]
+    lead = re.shape[:-1]
+    rows = int(np.prod(lead)) if lead else 1
+    plan = tuple(plan_override[:3]) if plan_override else None
+    call, tables, (f1, f2, f3) = _build_front2(
+        n, sign, rows, interpret, plan, scale, gauss_mask)
+    re4 = re.reshape(rows, f1, f2, f3)
+    im4 = im.reshape(rows, f1, f2, f3)
+    yr, yi = call(re4, im4, *[jnp.asarray(t) for t in tables])
+    yr = yr.reshape(rows, f2 * f1, f3)
+    yi = yi.reshape(rows, f2 * f1, f3)
+    yr, yi = _fft._leaf_dft_out_t(yr, yi, sign,
+                                  gauss_min=1 if gauss_l3 else 1 << 30)
+    return yr.reshape(lead + (n,)), yi.reshape(lead + (n,))
+
+
 # Hybrid-kernel plans: n -> (f1, f2, f3, tb) with f3 = 128 lanes and
 # f1 * tb >= 128 (the merged (row, k1) lane dimension of the output).
 _PLANS3H = {
@@ -767,7 +951,9 @@ def fft_vmem(x: Cplx, sign: int, interpret: bool = False,
     ``gauss_mask`` (bit l = level l+1; 25% fewer MXU MACs per level,
     worth it only where the factor fills the MXU rows), 7 = lean
     transposed-L2 (separate hi/lo dots, no stacked-operand concats;
-    honors ``gauss_mask`` like 6).
+    honors ``gauss_mask`` like 6), 8 = front-2 hybrid (L1+L2 kernel
+    gridded over rows x f3-chunks + one XLA f3-leaf pass — see
+    fft_vmem_front2).
     ``scale`` multiplies the result INSIDE the kernel (folded into the
     L2 twiddle table host-side) — a normalization applied outside a
     pallas_call cannot be fused by XLA and costs a full extra HBM pass
@@ -782,6 +968,12 @@ def fft_vmem(x: Cplx, sign: int, interpret: bool = False,
     rows = int(np.prod(lead)) if lead else 1
     if not levels:
         levels = _LEVELS.get(n, 2 if n in _PLANS2 else 3)
+    if levels == 8:                       # front-2 hybrid (kernel + XLA leaf)
+        return fft_vmem_front2(
+            x, sign, interpret=interpret, scale=scale,
+            plan_override=plan_override,
+            gauss_mask=(gauss_mask if gauss_mask is not None
+                        else _MASKS_F2.get(n, 0)))
     if gauss_mask is None:
         gauss_mask = _MASKS.get(n, 7)
     if levels == 2 and n in _PLANS2:

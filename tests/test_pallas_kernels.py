@@ -311,6 +311,42 @@ def test_vmemfft_roundtrip_and_determinism():
     assert np.array_equal(np.asarray(fi), np.asarray(i2))
 
 
+@pytest.mark.parametrize("n,plan,mask", [
+    (1 << 15, (16, 8, 256), 0),       # plan override, block both levels
+    (1 << 15, (16, 8, 256), 3),       # Gauss on both kernel levels
+    (1 << 18, None, 0),               # default _PLANS_F2 entry
+])
+@pytest.mark.parametrize("sign", [-1, 1])
+def test_vmemfft_front2_matches_numpy(n, plan, mask, sign):
+    """Front-2 hybrid (levels=8): L1+L2 kernel gridded over rows x
+    f3-chunks + one XLA f3-leaf pass must match numpy within the same
+    bf16x3 budget as the whole-transform kernels."""
+    from opencl_fft_tpu.ops.pallas.vmemfft import fft_vmem_front2
+    x = (RNG.standard_normal((2, n)) + 1j * RNG.standard_normal((2, n)))
+    s = 1.0 / np.sqrt(n)
+    re, im = fft_vmem_front2(
+        (jnp.asarray(x.real, jnp.float32), jnp.asarray(x.imag, jnp.float32)),
+        sign, interpret=True, plan_override=plan, gauss_mask=mask, scale=s)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    ref = (np.fft.fft(x) if sign == -1 else np.fft.ifft(x) * n) * s
+    scale = np.max(np.abs(ref))
+    np.testing.assert_allclose(got, ref, atol=1e-4 * scale, rtol=0)
+
+
+def test_vmemfft_front2_via_levels8():
+    """fft_vmem(levels=8) routes to the front-2 hybrid (identical
+    output), so the A/B tool's variant plumbing exercises production
+    dispatch."""
+    from opencl_fft_tpu.ops.pallas.vmemfft import fft_vmem_front2
+    n = 1 << 18
+    x = (RNG.standard_normal((1, n)) + 1j * RNG.standard_normal((1, n)))
+    sp = (jnp.asarray(x.real, jnp.float32), jnp.asarray(x.imag, jnp.float32))
+    ar, ai = fft_vmem(sp, -1, interpret=True, levels=8)
+    br, bi = fft_vmem_front2(sp, -1, interpret=True)
+    assert np.array_equal(np.asarray(ar), np.asarray(br))
+    assert np.array_equal(np.asarray(ai), np.asarray(bi))
+
+
 def test_deinterleave_matrices_are_exact_partition():
     """M1/M2 must be one-hot (bit-exact on the MXU) and together cover
     every (Yre, Yim) element exactly once: [y @ M1, y @ M2] is a

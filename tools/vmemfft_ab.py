@@ -74,12 +74,13 @@ def make_runner(logn: int, variant: str, iters: int):
                   else 5 if variant.startswith("t3")   # transposed-L2 3-level
                   else 6 if variant.startswith("g3")   # + Gauss leaves
                   else 7 if variant.startswith("n3")   # lean (no concats)
+                  else 8 if variant.startswith("f2")   # front-2 hybrid
                   else int(variant[1]))
         rowmajor = not variant.startswith("l2x")   # l2x = XLA-transpose out
         parts = variant.split("_")
-        tb = int(parts[1][2:])                     # _tb<k>
+        tb = int(parts[1][2:])                     # _tb<k> (unused for f2)
         plan = None                                # _p<f1>x<f2>x<f3> override
-        mask = 7                                   # _m<mask> gauss levels
+        mask = 7 if levels != 8 else None          # _m<mask> gauss levels
         for p in parts[2:]:
             if p.startswith("p"):
                 plan = tuple(int(f) for f in p[1:].split("x")) + (tb,)
