@@ -292,6 +292,18 @@ def main():
     check("pconv_offline == sequential", d / (np.max(np.abs(seq3)) + 1e-9),
           1e-5)
 
+    # zero-latency convolver: streamed output == offline scipy with NO
+    # added latency (non-uniform Gardner partitioning over 3 engines)
+    from opencl_fft_tpu.models.lowlatency import ZeroLatencyConvolver
+    ir_zl = rng.standard_normal(600).astype(np.float32)
+    sig_zl = rng.standard_normal(64 * 12).astype(np.float32)
+    zl = ZeroLatencyConvolver(ir_zl, block=64, pmax=256)
+    y_zl = np.concatenate([np.asarray(zl.process(sig_zl[i: i + 64]))
+                           for i in range(0, sig_zl.size, 64)])
+    ref_zl = sps.fftconvolve(sig_zl, ir_zl)[: y_zl.size]
+    check("zero-latency conv vs scipy",
+          np.max(np.abs(y_zl - ref_zl)) / np.max(np.abs(ref_zl)), 5e-5)
+
     st_c = P.pconv_init(cfg2)
     seq_tv = []
     for i in range(16):
