@@ -30,8 +30,12 @@ Scheduling invariants (asserted by ``plan_segments``):
   one-partition latency exactly matches its tap offset (consumed with
   engine-block delay d = offset/pts = 1);
 * once P reaches ``pmax`` the remaining taps run as ONE uniform engine
-  at pts = pmax with integer delay d = offset/pmax >= 2 (offset and
-  pmax are both powers of two times B).
+  at pts = pmax covering [pmax, ir_len); because the doubling phase
+  maintains offset == pts throughout, the terminal segment also starts
+  at offset == pmax, so EVERY segment (doubling or terminal) runs at
+  consumption delay d = offset/pts == 1 — the tightest schedule the
+  latency-hiding identity permits (the queue machinery handles any
+  d >= 1, should a future planner relax the schedule).
 
 Every engine fires on its own cadence (pts/B base blocks) inside a
 ``lax.cond`` — compiler-friendly control flow, no recompiles across

@@ -976,6 +976,10 @@ def fft_vmem(x: Cplx, sign: int, interpret: bool = False,
                         else _MASKS_F2.get(n, 0)))
     if gauss_mask is None:
         gauss_mask = _MASKS.get(n, 7)
+    if levels in (2, 4) and plan_override is not None:
+        raise ValueError(
+            f"plan_override applies to the 3-level kernels (levels 3/5/6/7"
+            f"/8); the levels={levels} path uses its own fixed plan")
     if levels == 2 and n in _PLANS2:
         call, tables, (f1, f2) = _build2(n, sign, rows, interpret,
                                          tb_override or None,
@@ -1003,6 +1007,9 @@ def fft_vmem(x: Cplx, sign: int, interpret: bool = False,
             f1p, f2p, f3p = plan_override[:3]
             if f1p * f2p * f3p != n:
                 raise ValueError(f"plan_override {plan_override} != n={n}")
+            if len(plan_override) == 3:       # default tb from the tuned plan
+                plan_override = (f1p, f2p, f3p, _PLANS[n][3])
+            plan_override = tuple(plan_override)
         call, tables, (f1, f2, f3) = _build(n, sign, rows, interpret,
                                             tb_override or None,
                                             plan_override=plan_override,

@@ -43,9 +43,9 @@ def test_plan_rejects_bad_shapes():
 
 
 @pytest.mark.parametrize("L,B,pmax", [
-    (5000, 64, 256),     # doubling + terminal (delay 1)
-    (5000, 64, 128),     # terminal engine with delay 2
-    (9000, 64, 64),      # uniform tail with delay 2 straight away
+    (5000, 64, 256),     # doubling + terminal
+    (5000, 64, 128),     # short doubling phase, 39-partition terminal
+    (9000, 64, 64),      # no doubling: uniform tail straight away
     (1000, 64, 1024),    # doubling only
     (300, 128, 1024),    # two segments
     (64, 64, 1024),      # head only

@@ -311,6 +311,26 @@ def test_vmemfft_roundtrip_and_determinism():
     assert np.array_equal(np.asarray(fi), np.asarray(i2))
 
 
+def test_vmemfft_three_factor_plan_override_defaults_tb():
+    """A 3-tuple plan_override (no tb) is legal at the public surface:
+    tb defaults from the tuned plan instead of crashing in _build."""
+    n = 1 << 14
+    x = RNG.standard_normal((2, n)) + 1j * RNG.standard_normal((2, n))
+    sp = (jnp.asarray(x.real, jnp.float32), jnp.asarray(x.imag, jnp.float32))
+    re, im = fft_vmem(sp, -1, interpret=True, levels=3,
+                      plan_override=(32, 32, 16))
+    got = np.asarray(re) + 1j * np.asarray(im)
+    ref = np.fft.fft(x)
+    np.testing.assert_allclose(got, ref, atol=1e-4 * np.max(np.abs(ref)),
+                               rtol=0)
+    with pytest.raises(ValueError):          # wrong factor product
+        fft_vmem(sp, -1, interpret=True, levels=3,
+                 plan_override=(32, 32, 8))
+    with pytest.raises(ValueError):          # ignored-by-path is an error
+        fft_vmem(sp, -1, interpret=True, levels=2,
+                 plan_override=(32, 32, 16))
+
+
 @pytest.mark.parametrize("n,plan,mask", [
     (1 << 15, (16, 8, 256), 0),       # plan override, block both levels
     (1 << 15, (16, 8, 256), 3),       # Gauss on both kernel levels

@@ -79,7 +79,8 @@ def main():
                             "between relay windows)")}
     for logn in sizes:
         n = 1 << logn
-        iters = 200 if logn <= 14 else 50
+        iters = 200    # fixed-trip chain convention (CLAUDE.md): shorter
+        #                chains at 2^16+ published sync jitter as signal
         runners = {v: make_runner(logn, g, iters) for v, g in VARIANTS.items()}
         best = {v: float("inf") for v in runners}
         wins = {v: 0 for v in runners}

@@ -205,7 +205,13 @@ def measure(batch: int, tv: bool, rounds: int, reps: int,
                 rnd[m] = dt / scan_blocks
                 rows[m].append(dt / scan_blocks)
         if rnd:
-            wins[min(rnd, key=rnd.get)] += 1
+            # wins decide the same-latency/precision winner below, so tally
+            # them within that pool — a cross-class arm (chunk8 buys K
+            # blocks of latency, scan_bf16 ~1e-3 error) taking the window
+            # must not strip the production pool of its drift-immune signal
+            pool_rnd = {m: t for m, t in rnd.items()
+                        if m not in ("chunk8", "scan_bf16")} or rnd
+            wins[min(pool_rnd, key=pool_rnd.get)] += 1
     measured = {m: float(np.median(v)) for m, v in rows.items()
                 if len(v) >= min(2, rounds)}
     if not measured:

@@ -116,7 +116,9 @@ def main():
         est = max(t_probe / 255, 1e-7)
         iters = int(np.clip(np.ceil(0.05 / est), 512, 1 << 16))
         sync(run((st, x0), iters))                   # compile the final chain
-        floor = bytes_pb * blocks_per_step / 3e12
+        # bytes_pb is already per chain ITERATION (per base block for zl,
+        # per engine block for the uniform arms) — no cadence scaling
+        floor = bytes_pb / 3e12
         runners[name] = (timed, iters, floor, blocks_per_step, latency)
         print(f"{name}: est {est*1e6:.2f} us/step, chain iters={iters}",
               file=sys.stderr, flush=True)
