@@ -76,11 +76,22 @@ def _fast_mode() -> str:
     return getattr(_FAST_TLS, "mode", None) or _FAST_MODE
 
 
-def set_fast_math(enabled: Optional[bool]) -> None:
+def set_fast_math(enabled: "Optional[bool] | str") -> None:
     """Leaf-matmul precision policy: True = bf16x3 (Precision.HIGH)
     everywhere, False = full f32 everywhere, None = size-gated default
-    (HIGH only for leaves >= 64)."""
+    (HIGH only for leaves >= 64), "turbo" = pure-bf16 leaves
+    (Precision.DEFAULT, ~3x the bf16x3 MXU rate) for leaves >= 64.
+
+    "turbo" is an explicit accuracy trade (~4e-3 relative per matmul
+    stage vs ~1.5e-5 for bf16x3) for spectral display / analysis
+    workloads, in the spirit of ``PconvConfig(ring_dtype="bf16")``. The
+    convolution engines are unaffected: they wrap their internal
+    transforms in ``exact_precision()``, which overrides any process
+    mode. tools/fft_turbo_ab.py measures the speed/error trade on-chip."""
     global _FAST_MODE
+    if enabled == "turbo":
+        _FAST_MODE = "turbo"
+        return
     _FAST_MODE = "auto" if enabled is None else ("on" if enabled else "off")
 
 
@@ -90,6 +101,9 @@ def _leaf_precision(n: int):
         return jax.lax.Precision.HIGH
     if mode == "off":
         return _HIGHEST
+    if mode == "turbo":
+        return (jax.lax.Precision.DEFAULT if n >= _FAST_LEAF_MIN
+                else _HIGHEST)
     return jax.lax.Precision.HIGH if n >= _FAST_LEAF_MIN else _HIGHEST
 
 
@@ -572,8 +586,9 @@ def _use_vmem_kernel(x: Cplx, sign: int) -> bool:
     won 2^18 back decisively (see the _VMEM_AUTO_SIZES table comment and
     bench_results/vmemfft_ab.json). The kernel is inherently bf16x3, so
     it is skipped when exact f32 leaves are in force
-    (exact_precision() / set_fast_math(False))."""
-    if _fast_mode() == "off":
+    (exact_precision() / set_fast_math(False)) and under "turbo"
+    (pure-bf16 mm leaves outrun the kernel's bf16x3 passes)."""
+    if _fast_mode() in ("off", "turbo"):
         return False
     re = x[0]
     if re.dtype != jnp.float32:

@@ -245,6 +245,39 @@ def test_inner_plan_overrides_scope():
         del F._INNER_OVERRIDES[512]
 
 
+def test_turbo_mode_policy():
+    """"turbo" selects pure-bf16 leaves (>=64) but never touches the
+    convolution engines (exact_precision overrides it) nor small leaves,
+    and restores cleanly. On CPU DEFAULT == f32, so this pins the policy
+    plumbing; tpu_smoke pins the on-chip error budget."""
+    import jax as _jax
+    import jax.numpy as jnp
+
+    from opencl_fft_tpu.ops import fft as F
+
+    F.set_fast_math("turbo")
+    try:
+        assert F._fast_mode() == "turbo"
+        assert F._leaf_precision(128) == _jax.lax.Precision.DEFAULT
+        assert F._leaf_precision(32) == _jax.lax.Precision.HIGHEST
+        with F.exact_precision():
+            assert F._leaf_precision(128) == _jax.lax.Precision.HIGHEST
+        assert F._leaf_precision(128) == _jax.lax.Precision.DEFAULT
+        # the bf16x3 VMEM kernel must not be auto-selected under turbo
+        re = jnp.zeros((64, 1 << 18), jnp.float32)
+        assert not F._use_vmem_kernel((re, re), -1)
+        # numerically correct end-to-end (exact on CPU where DEFAULT=f32)
+        x = RNG.standard_normal((2, 4096)).astype(np.float32)
+        r, i = F.fft_split((jnp.asarray(x), jnp.zeros_like(jnp.asarray(x))),
+                           -1, "mm")
+        ref = np.fft.fft(x)
+        err = np.abs(np.asarray(r) + 1j * np.asarray(i) - ref).max()
+        assert err / np.abs(ref).max() < 1e-4
+    finally:
+        F.set_fast_math(None)
+    assert F._fast_mode() == "auto"
+
+
 def test_exact_precision_is_thread_local():
     """exact_precision must not leak across threads (review finding r3:
     the realtime pipeline traces on a worker thread concurrently with
