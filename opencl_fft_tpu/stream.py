@@ -141,7 +141,12 @@ class ClconvProcessor:
     ir          — impulse response samples (the function-table contents)
     parts       — partition size; parts == 1 selects the direct engine
                   (opcode.cpp:185), in which case `block_size` (the ksmps
-                  analog) fixes the direct engine's vector size
+                  analog) fixes the direct engine's vector size.
+                  parts == 0 (beyond-parity) selects the zero-added-
+                  latency non-uniform engine (models/lowlatency.py):
+                  block_size-sample blocks in/out, `latency` == 0 —
+                  the reference structurally cannot do this
+                  (opcode.cpp:240-249 reads the previous block)
     skip, size  — optional IR table offset / length (opcode.cpp:181-182)
     scale       — 0dbfs multiplier applied to the IR (opcode.cpp:190-191)
     """
@@ -159,7 +164,13 @@ class ClconvProcessor:
         coefs = ir[skip: skip + length] * np.float32(scale)
         self.parts = parts
         self.dconv = parts == 1
-        if self.dconv:
+        self.zero_latency = parts == 0
+        if self.zero_latency:
+            from .models.lowlatency import ZeroLatencyConvolver
+            self.block_size = block_size
+            self._engine = ZeroLatencyConvolver(coefs, block=block_size,
+                                                impl=impl)
+        elif self.dconv:
             self.block_size = block_size
             self._engine = Cldconv(device_index, length, block_size,
                                    on_message, user_data)
@@ -176,11 +187,17 @@ class ClconvProcessor:
     @property
     def latency(self) -> int:
         """Samples of pipeline delay added by the block buffering."""
-        return 0 if self.dconv else self.parts
+        return 0 if (self.dconv or self.zero_latency) else self.parts
 
     def process(self, block: np.ndarray) -> np.ndarray:
         """One audio block in, one out (the aperf body, opcode.cpp:229-252)."""
         block = np.asarray(block, np.float32).reshape(-1)
+        if self.zero_latency:
+            if block.size != self.block_size:
+                raise ArgumentError(
+                    f"zero-latency engine is fixed at {self.block_size}"
+                    f"-sample blocks")
+            return self._engine.process(block)
         if self.dconv:
             if block.size != self.block_size:
                 raise ArgumentError(

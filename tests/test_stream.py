@@ -61,6 +61,22 @@ def test_clconv_direct_dispatch():
     np.testing.assert_allclose(got, expect, atol=2e-5 * np.max(np.abs(expect)), rtol=0)
 
 
+def test_clconv_zero_latency_dispatch():
+    """parts == 0 (beyond-parity) selects the non-uniform zero-latency
+    engine: long-IR streaming with latency == 0, honoring skip/scale."""
+    ir = RNG.standard_normal(700).astype(np.float32)
+    x = RNG.standard_normal(640).astype(np.float32)
+    p = ClconvProcessor(ir, parts=0, block_size=64, skip=4, scale=0.5)
+    assert p.zero_latency and p.latency == 0
+    got = np.concatenate([p.process(x[i * 64:(i + 1) * 64])
+                          for i in range(10)])
+    expect = sps.fftconvolve(x, 0.5 * ir[4:])[: got.size]
+    np.testing.assert_allclose(got, expect,
+                               atol=3e-5 * np.max(np.abs(expect)), rtol=0)
+    with pytest.raises(ArgumentError):
+        p.process(np.zeros(32, np.float32))     # wrong block size
+
+
 def test_clconv_skip_size_scale():
     """Optional skip/size table args and 0dbfs IR scaling
     (opcode.cpp:181-191)."""

@@ -42,6 +42,9 @@ for s in $stages; do
     fftwin)       run fftwin 3600 python tools/fft_windows.py ;;
     bench)        run bench 5400 python bench.py ;;
     plan16)       run plan16 3600 python tools/fft_plan16.py --logn 16 ;;
+    zlprobe)      run zlprobe 3600 python tools/zl_probe.py ;;
+    turbo)        run turbo 3600 python tools/fft_turbo_ab.py ;;
+    gauss)        run gauss 3600 python tools/fft_gauss_ab.py ;;
     *)            echo "unknown stage $s" ;;
   esac
 done
