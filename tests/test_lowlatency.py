@@ -102,6 +102,26 @@ def test_state_is_pytree_and_deterministic():
     assert np.array_equal(ya, yb)                    # bitwise rerun
 
 
+def test_checkpoint_resume_bit_exact(tmp_path):
+    """ZLState is one pytree: save mid-stream, restore into a fresh
+    convolver, and the continuation is bit-identical (SURVEY §5.4)."""
+    from opencl_fft_tpu.utils.checkpoint import load_state, save_state
+
+    ir = RNG.standard_normal(900).astype(np.float32)
+    blocks = RNG.standard_normal((12, 64)).astype(np.float32)
+    a = ZeroLatencyConvolver(ir, block=64, pmax=256)
+    for b in blocks[:5]:
+        a.process(b)
+    path = str(tmp_path / "zl.npz")
+    save_state(path, a.state)
+    rest = np.stack([a.process(b) for b in blocks[5:]])
+
+    b2 = ZeroLatencyConvolver(ir, block=64, pmax=256)
+    b2.state = load_state(path, b2.state)
+    resumed = np.stack([b2.process(b) for b in blocks[5:]])
+    assert np.array_equal(rest, resumed)
+
+
 def test_reset_restores_initial_output():
     ir = RNG.standard_normal(600).astype(np.float32)
     x = RNG.standard_normal(64).astype(np.float32)
