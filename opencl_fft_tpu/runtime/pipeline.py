@@ -158,3 +158,62 @@ class RealtimePipeline:
 
     def pull_available(self) -> int:
         return self._out.available()
+
+
+class ProcessorPipeline:
+    """RealtimePipeline for any block processor (the opcode-layer
+    surface): wraps an object with ``process(block) -> block`` — e.g.
+    ``ClconvProcessor`` (including ``parts=0``, the zero-added-latency
+    engine) or ``CltvconvProcessor`` via a lambda — behind the same
+    native SPSC rings and device worker thread.
+
+    ``prime_blocks`` may be 0: with the zero-latency engine the emitted
+    stream then equals the offline convolution with NO algorithmic
+    offset — the only latency left is scheduling (the consumer must
+    tolerate the worker's compute time, or budget prime_blocks >= 1).
+    """
+
+    def __init__(self, processor, block_size: int,
+                 prime_blocks: int = 1, capacity_blocks: int = 64):
+        if not native_available():
+            raise RuntimeError("native runtime unavailable (no toolchain)")
+        if prime_blocks < 0:
+            raise ValueError("prime_blocks must be >= 0")
+        self._proc = processor
+        self.block_size = int(block_size)
+        cap = capacity_blocks * self.block_size
+        self._in_x = NativeRingBuffer(cap)
+        self._out = NativeRingBuffer(cap + max(prime_blocks, 1)
+                                     * self.block_size)
+        if prime_blocks:
+            self._out.write(np.zeros(prime_blocks * self.block_size,
+                                     np.float32))
+        self.prime_blocks = prime_blocks
+        self.underrun_samples = 0
+        self.overrun_samples = 0
+        self.blocks_processed = 0
+        self._stop_evt = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    def _work_once(self) -> bool:
+        bs = self.block_size
+        if self._in_x.available() < bs or self._out.space() < bs:
+            return False
+        out = self._proc.process(self._in_x.read(bs))
+        self._out.write(np.ascontiguousarray(out, np.float32))
+        self.blocks_processed += 1
+        return True
+
+    _worker = RealtimePipeline._worker
+    start = RealtimePipeline.start
+    stop = RealtimePipeline.stop
+    __enter__ = RealtimePipeline.__enter__
+    __exit__ = RealtimePipeline.__exit__
+    pull = RealtimePipeline.pull
+    pull_available = RealtimePipeline.pull_available
+
+    def push(self, x: np.ndarray) -> int:
+        x = np.ascontiguousarray(x, np.float32)
+        n = self._in_x.write(x)
+        self.overrun_samples += x.size - n
+        return n

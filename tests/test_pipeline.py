@@ -108,6 +108,40 @@ def test_tv_pipeline_matches_offline():
     np.testing.assert_array_equal(got[prime * pts:], offline)
 
 
+def test_processor_pipeline_zero_latency_stream():
+    """ProcessorPipeline wraps the opcode-layer surface: the parts=0
+    (zero-added-latency) processor behind the native rings emits the
+    offline convolution offset ONLY by the priming budget — no
+    algorithmic partition latency anywhere in the chain."""
+    from scipy import signal as sps
+
+    from opencl_fft_tpu.runtime.pipeline import ProcessorPipeline
+    from opencl_fft_tpu.stream import ClconvProcessor
+
+    bs, prime, sr = 64, 2, 1500.0   # ~43 ms/block >> the ~7 ms CPU step
+    ir = RNG.standard_normal(500).astype(np.float32) * 0.1
+    nblocks = 24
+    blocks = RNG.standard_normal((nblocks, bs)).astype(np.float32)
+    proc = ClconvProcessor(ir, parts=0, block_size=bs)
+    assert proc.latency == 0
+
+    pipe = ProcessorPipeline(proc, bs, prime_blocks=prime)
+    pipe.cfg = type("C", (), {"pts": bs})()     # satisfy _paced_duplex
+    pipe.tv = False
+    with pipe:
+        pipe.push(blocks[0])                    # warm the jit
+        while pipe.blocks_processed < 1:
+            time.sleep(1e-3)
+        got = _paced_duplex(pipe, blocks[1:], sr, extra_pulls=prime + 1)
+
+    assert pipe.underrun_samples == 0
+    assert pipe.blocks_processed == nblocks
+    np.testing.assert_array_equal(got[: prime * bs], np.zeros(prime * bs))
+    ref = sps.fftconvolve(blocks.reshape(-1), ir)[: nblocks * bs]
+    np.testing.assert_allclose(got[prime * bs: prime * bs + ref.size], ref,
+                               atol=3e-5 * np.max(np.abs(ref)), rtol=0)
+
+
 def test_overrun_and_underrun_are_counted():
     cfg = P.PconvConfig.for_ir_length(64 * 4, 64)
     pipe = RealtimePipeline(cfg, ir=np.zeros(cfg.cvs, np.float32),
