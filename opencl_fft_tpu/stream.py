@@ -149,12 +149,14 @@ class ClconvProcessor:
                   (opcode.cpp:240-249 reads the previous block)
     skip, size  — optional IR table offset / length (opcode.cpp:181-182)
     scale       — 0dbfs multiplier applied to the IR (opcode.cpp:190-191)
+    pmax        — zero-latency engine only: largest partition size of the
+                  non-uniform plan (clamped to >= block_size)
     """
 
     def __init__(self, ir: np.ndarray, parts: int, device_index: int = 0,
                  skip: int = 0, size: int = 0, scale: float = 1.0,
                  block_size: int = 64, bin0_mode: str = "exact",
-                 impl: str = "auto",
+                 impl: str = "auto", pmax: int = 1024,
                  on_message: Optional[MessageCallback] = None,
                  user_data: Any = None):
         ir = np.asarray(ir, np.float32).reshape(-1)
@@ -168,8 +170,9 @@ class ClconvProcessor:
         if self.zero_latency:
             from .models.lowlatency import ZeroLatencyConvolver
             self.block_size = block_size
-            self._engine = ZeroLatencyConvolver(coefs, block=block_size,
-                                                impl=impl)
+            self._engine = ZeroLatencyConvolver(
+                coefs, block=block_size, pmax=max(pmax, block_size),
+                impl=impl)
         elif self.dconv:
             self.block_size = block_size
             self._engine = Cldconv(device_index, length, block_size,
