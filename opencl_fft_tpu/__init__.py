@@ -31,6 +31,8 @@ from .ops.dconv import (DconvConfig, DconvState, dconv_init, dconv_step,
 from .stream import (ClfftProcessor, ClrfftProcessor, ClconvProcessor,
                      CltvconvProcessor)
 from .models.convolver import Convolver, TVConvolver, BatchedFFT
+from .models.lowlatency import ZeroLatencyConvolver
+from .ops.fft import set_fast_math, exact_precision
 from .utils.errors import Status, error_string, FftError
 from .utils.numerics import np2
 
@@ -47,6 +49,7 @@ __all__ = [
     "DconvConfig", "DconvState", "dconv_init", "dconv_step", "dconv_step_tv",
     "dconv_stream", "convolve_direct",
     "ClfftProcessor", "ClrfftProcessor", "ClconvProcessor", "CltvconvProcessor",
-    "Convolver", "TVConvolver", "BatchedFFT",
+    "Convolver", "TVConvolver", "BatchedFFT", "ZeroLatencyConvolver",
+    "set_fast_math", "exact_precision",
     "Status", "error_string", "FftError", "np2",
 ]
