@@ -56,8 +56,7 @@ def main():
     pipe = RealtimePipeline(cfg, ir=ir, prime_blocks=4,
                             capacity_blocks=16).start()
     pipe.push(blocks[0])
-    while pipe.blocks_processed < 1:       # jit warm-up outside the clock
-        time.sleep(1e-3)
+    pipe.wait_for_blocks(1, timeout=600)   # jit warm-up outside the clock
     t0 = time.monotonic()
     fed = 1
     pulled = 0
@@ -76,8 +75,7 @@ def main():
     pipe = RealtimePipeline(cfg, ir=ir, prime_blocks=4,
                             capacity_blocks=16).start()
     pipe.push(blocks[0])
-    while pipe.blocks_processed < 1:
-        time.sleep(1e-3)
+    pipe.wait_for_blocks(1, timeout=600)
     period = pts / SR
     nxt = time.monotonic()
     peak = 0.0
@@ -109,8 +107,7 @@ def main():
     zpipe = ProcessorPipeline(proc, bs, prime_blocks=4,
                               capacity_blocks=64).start()
     zpipe.push(blocks3[0])
-    while zpipe.blocks_processed < 1:         # jit warm-up off the clock
-        time.sleep(1e-3)
+    zpipe.wait_for_blocks(1, timeout=600)     # jit warm-up off the clock
     t0 = time.monotonic()
     fed = 1
     while zpipe.blocks_processed < nblk3:
@@ -126,6 +123,30 @@ def main():
           f"0 samples (vs {pts} in phases 1-2), unpaced {rt3:.2f}x real "
           f"time{'' if rt3 >= 1.2 else ' — per-block sync floor of this'}"
           f"{'' if rt3 >= 1.2 else ' environment; throughput is phase 1'}")
+
+    if rt3 >= 1.2:                            # budget fits: pace it for real
+        proc3 = ClconvProcessor(ir, parts=0, block_size=bs, pmax=8192)
+        zpipe = ProcessorPipeline(proc3, bs, prime_blocks=4,
+                                  capacity_blocks=64).start()
+        zpipe.push(blocks3[0])
+        zpipe.wait_for_blocks(1, timeout=600)
+        period3 = bs / SR
+        nxt = time.monotonic()
+        for i in range(1, nblk3):
+            nxt += period3
+            while time.monotonic() < nxt:
+                time.sleep(period3 / 100)
+            zpipe.push(blocks3[i])
+            zpipe.pull(bs)
+        zpipe.stop()
+        ok3 = zpipe.underrun_samples == 0 and zpipe.overrun_samples == 0
+        print(f"phase 3 (paced @48kHz): {nblk3 - 1} callbacks, "
+              f"underruns={zpipe.underrun_samples} "
+              f"overruns={zpipe.overrun_samples} -> "
+              f"{'REALTIME OK' if ok3 else 'NOT KEEPING UP'}")
+    else:
+        print("phase 3 paced callback skipped: unpaced rate below the "
+              "1.2x budget (per-block relay sync floor)")
     return 0 if ok else 1
 
 

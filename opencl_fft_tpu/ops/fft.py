@@ -89,8 +89,16 @@ def set_fast_math(enabled: "Optional[bool] | str") -> None:
     transforms in ``exact_precision()``, which overrides any process
     mode. tools/fft_turbo_ab.py measures the speed/error trade on-chip."""
     global _FAST_MODE
-    if enabled == "turbo":
-        _FAST_MODE = "turbo"
+    if isinstance(enabled, str):
+        # strings must name a mode exactly — a truthy fallthrough would
+        # turn set_fast_math("off") into bf16x3-everywhere silently
+        aliases = {"turbo": "turbo", "on": "on", "off": "off", "auto": "auto"}
+        mode = aliases.get(enabled.lower())
+        if mode is None:
+            raise ValueError(
+                f"set_fast_math: unknown mode {enabled!r} "
+                f"(expected True/False/None or one of {sorted(aliases)})")
+        _FAST_MODE = mode
         return
     _FAST_MODE = "auto" if enabled is None else ("on" if enabled else "off")
 

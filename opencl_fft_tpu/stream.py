@@ -170,9 +170,13 @@ class ClconvProcessor:
         if self.zero_latency:
             from .models.lowlatency import ZeroLatencyConvolver
             self.block_size = block_size
-            self._engine = ZeroLatencyConvolver(
-                coefs, block=block_size, pmax=max(pmax, block_size),
-                impl=impl)
+            try:
+                self._engine = ZeroLatencyConvolver(
+                    coefs, block=block_size, pmax=max(pmax, block_size),
+                    impl=impl)
+            except ValueError as e:   # plan validation (e.g. non-pow2
+                # block) speaks this surface's error dialect
+                raise ArgumentError(str(e)) from e
         elif self.dconv:
             self.block_size = block_size
             self._engine = Cldconv(device_index, length, block_size,

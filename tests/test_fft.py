@@ -278,6 +278,31 @@ def test_turbo_mode_policy():
     assert F._fast_mode() == "auto"
 
 
+def test_set_fast_math_string_modes_are_validated():
+    """String args must name a mode exactly — a truthy fallthrough would
+    turn set_fast_math("off") into bf16x3-everywhere silently (review
+    finding r3)."""
+    import jax as _jax
+
+    from opencl_fft_tpu.ops import fft as F
+
+    try:
+        F.set_fast_math("off")
+        assert F._fast_mode() == "off"
+        assert F._leaf_precision(128) == _jax.lax.Precision.HIGHEST
+        F.set_fast_math("on")
+        assert F._fast_mode() == "on"
+        F.set_fast_math("auto")
+        assert F._fast_mode() == "auto"
+        F.set_fast_math("TURBO")        # case-insensitive alias
+        assert F._fast_mode() == "turbo"
+        with pytest.raises(ValueError, match="unknown mode"):
+            F.set_fast_math("fastest")
+        assert F._fast_mode() == "turbo"   # rejected arg changes nothing
+    finally:
+        F.set_fast_math(None)
+
+
 def test_exact_precision_is_thread_local():
     """exact_precision must not leak across threads (review finding r3:
     the realtime pipeline traces on a worker thread concurrently with

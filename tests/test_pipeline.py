@@ -23,9 +23,9 @@ RNG = np.random.default_rng(11)
 
 
 def _paced_duplex(pipe, blocks, sr, extra_pulls=0):
-    """Simulated sound card: every pts/sr seconds push one input block and
-    pull one output block (duplex callback)."""
-    pts = pipe.cfg.pts
+    """Simulated sound card: every block/sr seconds push one input block
+    and pull one output block (duplex callback)."""
+    pts = pipe.block                 # _PipelineBase attr, both pipelines
     period = pts / sr
     outs = []
     nxt = time.monotonic()
@@ -35,7 +35,7 @@ def _paced_duplex(pipe, blocks, sr, extra_pulls=0):
         while time.monotonic() < nxt:
             time.sleep(period / 50)
         if blk is not None:
-            if pipe.tv:
+            if getattr(pipe, "tv", False):
                 pipe.push(blk[0], blk[1])
             else:
                 pipe.push(blk)
@@ -65,8 +65,7 @@ def test_lti_pipeline_matches_offline_zero_underruns():
 
     with RealtimePipeline(cfg, ir=ir, prime_blocks=prime) as pipe:
         pipe.push(blocks[0])         # warm the jit outside the paced loop
-        while pipe.blocks_processed < 1:
-            time.sleep(1e-3)
+        pipe.wait_for_blocks(1)
         # paced pulls: prime zero-blocks + all nblocks outputs
         got = _paced_duplex(pipe, blocks[1:], sr, extra_pulls=prime + 1)
 
@@ -98,8 +97,7 @@ def test_tv_pipeline_matches_offline():
 
     with RealtimePipeline(cfg, tv=True, prime_blocks=prime) as pipe:
         pipe.push(bx[0], bh[0])      # warm the jit outside the paced loop
-        while pipe.blocks_processed < 1:
-            time.sleep(1e-3)
+        pipe.wait_for_blocks(1)
         got = _paced_duplex(pipe, list(zip(bx[1:], bh[1:])), sr,
                             extra_pulls=prime + 1)
     assert pipe.underrun_samples == 0
@@ -126,12 +124,9 @@ def test_processor_pipeline_zero_latency_stream():
     assert proc.latency == 0
 
     pipe = ProcessorPipeline(proc, bs, prime_blocks=prime)
-    pipe.cfg = type("C", (), {"pts": bs})()     # satisfy _paced_duplex
-    pipe.tv = False
     with pipe:
         pipe.push(blocks[0])                    # warm the jit
-        while pipe.blocks_processed < 1:
-            time.sleep(1e-3)
+        pipe.wait_for_blocks(1)
         got = _paced_duplex(pipe, blocks[1:], sr, extra_pulls=prime + 1)
 
     assert pipe.underrun_samples == 0
@@ -140,6 +135,60 @@ def test_processor_pipeline_zero_latency_stream():
     ref = sps.fftconvolve(blocks.reshape(-1), ir)[: nblocks * bs]
     np.testing.assert_allclose(got[prime * bs: prime * bs + ref.size], ref,
                                atol=3e-5 * np.max(np.abs(ref)), rtol=0)
+
+
+def test_processor_pipeline_rejects_block_size_mismatch():
+    """Fixed-block processors (direct / zero-latency engines) must be
+    rejected at construction, not die later inside the worker thread."""
+    from opencl_fft_tpu.runtime.pipeline import ProcessorPipeline
+    from opencl_fft_tpu.stream import ClconvProcessor
+
+    ir = RNG.standard_normal(256).astype(np.float32)
+    proc = ClconvProcessor(ir, parts=0, block_size=64)
+    with pytest.raises(ValueError, match="fixed at 64"):
+        ProcessorPipeline(proc, 128)
+
+
+def test_worker_death_is_surfaced_not_silent():
+    """A processor that raises must not silently deadlock the pipeline:
+    the error re-raises from wait_for_blocks / push / pull / __exit__."""
+    from opencl_fft_tpu.runtime.pipeline import ProcessorPipeline
+
+    class Broken:
+        def process(self, block):
+            raise RuntimeError("engine exploded")
+
+    pipe = ProcessorPipeline(Broken(), 64, prime_blocks=1).start()
+    pipe.push(np.zeros(64, np.float32))
+    with pytest.raises(RuntimeError, match="worker died"):
+        pipe.wait_for_blocks(1, timeout=5.0)
+    with pytest.raises(RuntimeError, match="worker died"):
+        pipe.push(np.zeros(64, np.float32))
+    with pytest.raises(RuntimeError, match="worker died"):
+        pipe.pull(64)
+    pipe.stop()
+    # context exit surfaces it too (when no other exception is in flight)
+    pipe2 = ProcessorPipeline(Broken(), 64, prime_blocks=1)
+    with pytest.raises(RuntimeError, match="worker died"):
+        with pipe2:
+            pipe2._in_x.write(np.zeros(64, np.float32))  # ring op only:
+            # bypass push()'s own check so __exit__ does the surfacing
+            deadline = time.monotonic() + 5.0
+            while pipe2.error is None and time.monotonic() < deadline:
+                time.sleep(1e-3)
+
+
+def test_wait_for_blocks_times_out():
+    from opencl_fft_tpu.runtime.pipeline import ProcessorPipeline
+
+    class Idle:
+        def process(self, block):    # pragma: no cover — never fed
+            return block
+
+    pipe = ProcessorPipeline(Idle(), 64).start()
+    with pytest.raises(TimeoutError):
+        pipe.wait_for_blocks(1, timeout=0.05)
+    pipe.stop()
 
 
 def test_overrun_and_underrun_are_counted():

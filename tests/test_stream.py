@@ -75,6 +75,9 @@ def test_clconv_zero_latency_dispatch():
                                atol=3e-5 * np.max(np.abs(expect)), rtol=0)
     with pytest.raises(ArgumentError):
         p.process(np.zeros(32, np.float32))     # wrong block size
+    with pytest.raises(ArgumentError, match="power of two"):
+        ClconvProcessor(ir, parts=0, block_size=63)   # plan validation
+        # speaks the surface's error dialect (not a bare ValueError)
 
 
 def test_clconv_skip_size_scale():

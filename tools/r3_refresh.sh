@@ -5,6 +5,7 @@
 # going on failure (later stages still produce artifacts).
 #
 #   bash tools/r3_refresh.sh [stage...]   # default: all stages in order
+#   (plan16 — the any-size factor-tree race — is on-demand only)
 set -u
 cd "$(dirname "$0")/.."
 
@@ -23,7 +24,7 @@ probe() {
     || { echo "TPU unreachable — aborting"; exit 1; }
 }
 
-stages=${*:-smoke dconv blockstep2048 sweep512 sweep2048 serving fftwin bench}
+stages=${*:-smoke dconv blockstep2048 sweep512 sweep2048 serving fftwin zlprobe turbo gauss bench}
 
 for s in $stages; do
   probe
