@@ -24,7 +24,8 @@ from .ops.rfft import rfft, irfft, rfft_split, irfft_split
 from .ops.pconv import (PconvConfig, PconvState, pconv_init, pconv_step,
                         pconv_step_tv, pconv_stream, pconv_stream_tv,
                         push_ir, convolve, convolve_oneshot, pconv_chunk,
-                        pconv_chunk_tv)
+                        pconv_chunk_tv, XfadeState, pconv_begin_xfade,
+                        pconv_step_xfade)
 from .ops.stft import stft, istft, spectrogram
 from .ops.dconv import (DconvConfig, DconvState, dconv_init, dconv_step,
                         dconv_step_tv, dconv_stream, convolve_direct)
@@ -44,7 +45,8 @@ __all__ = [
     "rfft", "irfft", "rfft_split", "irfft_split",
     "PconvConfig", "PconvState", "pconv_init", "pconv_step", "pconv_step_tv",
     "pconv_stream", "pconv_stream_tv", "push_ir", "convolve",
-    "convolve_oneshot", "pconv_chunk", "pconv_chunk_tv", "stft", "istft",
+    "convolve_oneshot", "pconv_chunk", "pconv_chunk_tv", "XfadeState",
+    "pconv_begin_xfade", "pconv_step_xfade", "stft", "istft",
     "spectrogram",
     "DconvConfig", "DconvState", "dconv_init", "dconv_step", "dconv_step_tv",
     "dconv_stream", "convolve_direct",

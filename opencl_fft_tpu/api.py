@@ -210,6 +210,8 @@ class Clpconv:
                 device=self.device, donate_argnums=(0,))
             self._push = jax.jit(functools.partial(_pconv.push_ir, self.cfg),
                                  device=self.device, donate_argnums=(0,))
+            self._xf = None            # in-progress crossfaded IR swap
+            self._xf_fns = None        # lazily-jitted (begin, step)
         except Exception as e:
             self._err = getattr(e, "status", Status.UNKNOWN)
             self._msg(str(e), self._user_data)
@@ -221,7 +223,44 @@ class Clpconv:
         ir = np.asarray(ir, dtype=np.float32).reshape(-1)
         if ir.size != self.cfg.cvs:
             raise SizeError(f"IR must have {self.cfg.cvs} samples, got {ir.size}")
+        if self._xf is not None:       # instant swap cancels any fade
+            self.state = self._xf.state     # (keep the live input ring)
+            self._xf = None
         self.state = self._push(self.state, ir)
+        return int(Status.SUCCESS)
+
+    def push_ir_xfade(self, ir: np.ndarray, fade_blocks: int = 8) -> int:
+        """Click-free IR replacement on a live stream (beyond parity —
+        the reference's push_ir swaps instantly, cl_conv.cpp:353-388).
+
+        The next ``fade_blocks`` convolution() calls emit a per-sample
+        linear blend from the outgoing to the incoming convolution (both
+        exact over the whole input history); after that the engine runs
+        purely on the new IR. A second call before the fade completes
+        adopts the previous target as the outgoing path and fades to the
+        new one (the residual blend toward the abandoned target is
+        dropped, so back-to-back retargeting trades a bounded step for
+        never stacking more than two paths).
+        """
+        if self._err != Status.SUCCESS:
+            return int(self._err)
+        ir = np.asarray(ir, dtype=np.float32).reshape(-1)
+        if ir.size != self.cfg.cvs:
+            raise SizeError(f"IR must have {self.cfg.cvs} samples, got {ir.size}")
+        if fade_blocks < 1:
+            raise ArgumentError(f"fade_blocks must be >= 1, got {fade_blocks}")
+        if self._xf_fns is None:
+            self._xf_fns = (
+                jax.jit(functools.partial(_pconv.pconv_begin_xfade, self.cfg),
+                        device=self.device),
+                jax.jit(functools.partial(_pconv.pconv_step_xfade, self.cfg),
+                        device=self.device, donate_argnums=(0,)))
+        if self._xf is not None:       # retarget mid-fade (see docstring)
+            self.state = self._xf.state
+            self._xf = None
+        self._xf = self._xf_fns[0](self.state, ir)
+        self._fade_pos = 0
+        self._fade_total = int(fade_blocks)
         return int(Status.SUCCESS)
 
     def convolution(self, output: np.ndarray, input1: np.ndarray,
@@ -237,7 +276,20 @@ class Clpconv:
         b1 = np.asarray(input1, dtype=np.float32).reshape(-1)
         if b1.size != self.cfg.pts:
             raise SizeError(f"block must have {self.cfg.pts} samples, got {b1.size}")
-        if input2 is None:
+        if self._xf is not None and input2 is not None:
+            raise ArgumentError(
+                "time-varying streaming during an IR crossfade is undefined"
+                " — let the fade finish or use push_ir for an instant swap")
+        if self._xf is not None:
+            pts, total = self.cfg.pts, self._fade_total * self.cfg.pts
+            ramp = (np.arange(pts, dtype=np.float32) + 1
+                    + self._fade_pos * pts) / np.float32(total)
+            self._xf, out = self._xf_fns[1](self._xf, b1, ramp)
+            self._fade_pos += 1
+            if self._fade_pos >= self._fade_total:    # ramp hit exactly 1
+                self.state = self._xf.state
+                self._xf = None
+        elif input2 is None:
             self.state, out = self._step(self.state, b1)
         else:
             b2 = np.asarray(input2, dtype=np.float32).reshape(-1)

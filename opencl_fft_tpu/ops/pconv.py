@@ -449,7 +449,7 @@ def pconv_step_tv(cfg: PconvConfig, state: PconvState, block_x: Float,
             wp=rp, wp2=(state.wp2 - 1) % cfg.nparts, tail=tail), out
     both = jnp.stack([jnp.asarray(block_x, cfg._jdtype),
                       jnp.asarray(block_h, cfg._jdtype)])
-    fr, fi = _forward_partition(cfg, both)            # (2, bins)
+    fr, fi = _forward_partition(cfg, both)            # (2, bins) [tv]
     spec_x_re = _ring_write2(state.spec_x_re, fr[0], state.wp, cfg.nparts)
     spec_x_im = _ring_write2(state.spec_x_im, fi[0], state.wp, cfg.nparts)
     z0 = jnp.asarray(0, state.wp2.dtype)
@@ -465,6 +465,71 @@ def pconv_step_tv(cfg: PconvConfig, state: PconvState, block_x: Float,
     )
     out, tail = _mac_inverse_ola(cfg, state, wp)
     return state._replace(tail=tail), out
+
+
+class XfadeState(NamedTuple):
+    """In-progress click-free IR replacement (see pconv_begin_xfade).
+
+    ``state`` carries the shared input spectral ring, the INCOMING IR's
+    coefficient ring, and the incoming path's OLA tail; the outgoing IR's
+    coefficients and tail ride alongside until the fade completes.
+    """
+
+    state: PconvState
+    old_h_re: Float   # (nparts, bins) outgoing coefficient ring
+    old_h_im: Float
+    old_tail: Float   # (pts,) outgoing-path OLA tail
+
+
+def pconv_begin_xfade(cfg: PconvConfig, state: PconvState, new_ir: Float
+                      ) -> XfadeState:
+    """Begin a crossfaded IR replacement on a live LTI stream.
+
+    The reference's ``push_ir`` (cl_conv.cpp:353-388) replaces the
+    coefficient ring instantly — on a live stream that is a click. This
+    (beyond-parity) path keeps BOTH coefficient rings and blends the two
+    convolutions over a caller-chosen window (pconv_step_xfade).
+
+    The incoming path's OLA tail is reconstructed exactly by re-running
+    the previous block's MAC + inverse against the new coefficients over
+    the retained input ring (the frequency-delay line already holds the
+    full dependency window), so from the first faded sample the output
+    equals (1-r)·conv(x, old_ir) + r·conv(x, new_ir) over the WHOLE input
+    history — no transient beyond the fade itself.
+    """
+    new_state = push_ir(cfg, state, new_ir)
+    acc = _spectral_mac(cfg, new_state, state.wp)
+    _, tail_new = _inverse_and_ola(cfg, new_state, acc)
+    return XfadeState(state=new_state._replace(tail=tail_new),
+                      old_h_re=state.spec_h_re, old_h_im=state.spec_h_im,
+                      old_tail=state.tail)
+
+
+def pconv_step_xfade(cfg: PconvConfig, xf: XfadeState, block: Float,
+                     ramp: Float) -> Tuple[XfadeState, Float]:
+    """One LTI block during a crossfaded IR replacement.
+
+    ``ramp``: (pts,) blend weights in [0, 1] for the incoming IR (0 = all
+    outgoing, 1 = all incoming). Both paths share one forward transform
+    and one input-ring write; each keeps its own OLA tail, so both
+    convolutions stay exact throughout the fade. Once the ramp has reached
+    1, continue with ``xf.state`` via pconv_step and drop the rest.
+    """
+    st = xf.state
+    xr, xi = _forward_partition(cfg, block)
+    st = st._replace(
+        spec_x_re=_ring_write2(st.spec_x_re, xr, st.wp, cfg.nparts),
+        spec_x_im=_ring_write2(st.spec_x_im, xi, st.wp, cfg.nparts),
+        wp=(st.wp + 1) % cfg.nparts)
+    out_new, tail_new = _mac_inverse_ola(cfg, st, st.wp)
+    st_old = st._replace(spec_h_re=xf.old_h_re, spec_h_im=xf.old_h_im,
+                         tail=xf.old_tail)
+    out_old, tail_old = _mac_inverse_ola(cfg, st_old, st.wp)
+    ramp = jnp.asarray(ramp, out_new.dtype)
+    out = out_old + ramp * (out_new - out_old)
+    return XfadeState(state=st._replace(tail=tail_new),
+                      old_h_re=xf.old_h_re, old_h_im=xf.old_h_im,
+                      old_tail=tail_old), out
 
 
 def pconv_chunk(cfg: PconvConfig, state: PconvState, blocks: Float

@@ -165,6 +165,7 @@ class ClconvProcessor:
             raise ArgumentError(f"bad skip/size ({skip}/{size}) for IR of {ir.size}")
         coefs = ir[skip: skip + length] * np.float32(scale)
         self.parts = parts
+        self._ir_scale = np.float32(scale)
         self.dconv = parts == 1
         self.zero_latency = parts == 0
         if self.zero_latency:
@@ -195,6 +196,41 @@ class ClconvProcessor:
     def latency(self) -> int:
         """Samples of pipeline delay added by the block buffering."""
         return 0 if (self.dconv or self.zero_latency) else self.parts
+
+    def set_ir(self, ir: np.ndarray, skip: int = 0, size: int = 0,
+               scale: Optional[float] = None, fade_blocks: int = 8) -> None:
+        """Replace the impulse response on the live stream (beyond parity;
+        partitioned engine only — the reference would tear down and
+        rebuild the opcode).
+
+        Applies the same skip/size/scale prep as the constructor (scale
+        defaults to the constructor's). The prepared IR must fit the
+        engine's analysis size (it is zero-padded up). ``fade_blocks``
+        partition blocks of per-sample crossfade make the swap click-free
+        (Clpconv.push_ir_xfade); ``fade_blocks=0`` swaps instantly
+        (reference push_ir semantics, cl_conv.cpp:353-388).
+        """
+        if self.dconv or self.zero_latency:
+            raise ArgumentError(
+                "set_ir requires the partitioned engine (parts > 1)")
+        ir = np.asarray(ir, np.float32).reshape(-1)
+        length = (size if size else ir.size) - skip
+        if length <= 0 or skip < 0 or skip + length > ir.size:
+            raise ArgumentError(
+                f"bad skip/size ({skip}/{size}) for IR of {ir.size}")
+        if scale is None:
+            scale = self._ir_scale
+        cvs = self._engine.cfg.cvs
+        if length > cvs:
+            raise ArgumentError(
+                f"new IR ({length} taps after skip/size) exceeds the "
+                f"engine's analysis size ({cvs}); construct a new processor")
+        padded = np.zeros(cvs, np.float32)
+        padded[:length] = ir[skip: skip + length] * np.float32(scale)
+        if fade_blocks:
+            self._engine.push_ir_xfade(padded, fade_blocks)
+        else:
+            self._engine.push_ir(padded)
 
     def process(self, block: np.ndarray) -> np.ndarray:
         """One audio block in, one out (the aperf body, opcode.cpp:229-252)."""

@@ -138,3 +138,67 @@ def test_get_log_has_real_build_info():
     assert "XLA build log" in log
     assert "StableHLO" in log
     assert "compiled:" in log        # memory analysis of the executable
+
+
+def test_clpconv_push_ir_xfade_surface():
+    """Fade bookkeeping on the class surface: TV streaming is rejected
+    mid-fade, an instant push_ir cancels the fade on the LIVE ring (not
+    the stale pre-fade state), and after fade_blocks calls the engine
+    runs purely on the new IR."""
+    from scipy import signal as sps
+
+    from opencl_fft_tpu.utils.errors import ArgumentError
+
+    pts, nparts, K = 32, 4, 2
+    pc = Clpconv(0, pts * nparts, pts)
+    h0 = RNG.standard_normal(pts * nparts).astype(np.float32)
+    h1 = RNG.standard_normal(pts * nparts).astype(np.float32)
+    assert pc.push_ir(h0) == 0
+    x = RNG.standard_normal(8 * pts).astype(np.float32)
+    out = np.zeros(pts, np.float32)
+    for i in range(3):
+        pc.convolution(out, x[i * pts:(i + 1) * pts])
+    assert pc.push_ir_xfade(h1, fade_blocks=K) == 0
+    with pytest.raises(ArgumentError, match="crossfade"):
+        pc.convolution(out, x[:pts], x[:pts])    # TV mid-fade undefined
+    outs = []
+    for i in range(3, 8):
+        pc.convolution(out, x[i * pts:(i + 1) * pts])
+        outs.append(out.copy())
+    assert pc._xf is None                        # fade completed
+    # post-fade blocks equal the pure-new convolution over all history
+    y_new = sps.fftconvolve(x, h1)
+    tail = np.concatenate(outs[K:])
+    expect = y_new[(3 + K) * pts: 8 * pts]
+    np.testing.assert_allclose(tail, expect,
+                               atol=3e-5 * np.max(np.abs(y_new)), rtol=0)
+    # bad fade args
+    with pytest.raises(ArgumentError):
+        pc.push_ir_xfade(h1, fade_blocks=0)
+
+
+def test_clpconv_push_ir_mid_fade_keeps_live_ring():
+    """An instant push_ir during a fade must collapse to the CURRENT
+    input ring (blocks streamed during the fade included), not the
+    pre-fade snapshot."""
+    from scipy import signal as sps
+
+    pts, nparts = 32, 4
+    pc = Clpconv(0, pts * nparts, pts)
+    h0 = RNG.standard_normal(pts * nparts).astype(np.float32)
+    h1 = RNG.standard_normal(pts * nparts).astype(np.float32)
+    pc.push_ir(h0)
+    x = RNG.standard_normal(6 * pts).astype(np.float32)
+    out = np.zeros(pts, np.float32)
+    pc.convolution(out, x[:pts])
+    pc.push_ir_xfade(h1, fade_blocks=4)
+    pc.convolution(out, x[pts: 2 * pts])         # one faded block
+    pc.push_ir(h1)                               # instant swap mid-fade
+    outs = []
+    for i in range(2, 6):
+        pc.convolution(out, x[i * pts:(i + 1) * pts])
+        outs.append(out.copy())
+    y_new = sps.fftconvolve(x, h1)
+    got = np.concatenate(outs)
+    np.testing.assert_allclose(got, y_new[2 * pts: 6 * pts],
+                               atol=3e-5 * np.max(np.abs(y_new)), rtol=0)

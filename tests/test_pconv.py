@@ -306,3 +306,66 @@ def test_forward_partition_honors_explicit_impl():
                                    err_msg=impl)
     np.testing.assert_allclose(outs["xla"], outs["auto"],
                                atol=2e-5 * np.abs(ref).max())
+
+
+# -- crossfaded IR replacement (beyond parity) ---------------------------
+
+def test_xfade_blends_two_exact_convolutions():
+    """During a crossfaded IR swap the output equals the per-sample blend
+    (1-r)*conv(x, h_old) + r*conv(x, h_new) over the WHOLE input history
+    (both paths exact: the incoming path's OLA tail is reconstructed from
+    the retained input ring), and after the fade it is conv(x, h_new)."""
+    pts, nparts, fade_blocks = 64, 6, 4
+    cfg = PconvConfig.for_ir_length(pts * nparts, pts)
+    h_old = RNG.standard_normal(cfg.cvs).astype(np.float32)
+    h_new = RNG.standard_normal(cfg.cvs).astype(np.float32)
+    nblocks, start = 16, 7                      # fade begins mid-stream
+    x = RNG.standard_normal(nblocks * pts).astype(np.float32)
+    blocks = x.reshape(nblocks, pts)
+
+    st = pconv.push_ir(cfg, pconv_init(cfg), h_old)
+    outs = []
+    xf = None
+    for i in range(nblocks):
+        if i == start:
+            xf = pconv.pconv_begin_xfade(cfg, st, h_new)
+        if xf is not None and i - start < fade_blocks:
+            j = i - start
+            ramp = (np.arange(pts, dtype=np.float32) + 1 + j * pts) \
+                / np.float32(fade_blocks * pts)
+            xf, o = pconv.pconv_step_xfade(cfg, xf, blocks[i], ramp)
+            if j == fade_blocks - 1:
+                st, xf = xf.state, None
+        else:
+            st, o = pconv_step(cfg, st, blocks[i])
+        outs.append(np.asarray(o))
+    got = np.concatenate(outs)
+
+    y_old = sps.fftconvolve(x, h_old)[: got.size]
+    y_new = sps.fftconvolve(x, h_new)[: got.size]
+    r = np.zeros(got.size, np.float32)
+    r[(start + fade_blocks) * pts:] = 1.0
+    t = np.arange(fade_blocks * pts, dtype=np.float32)
+    r[start * pts: (start + fade_blocks) * pts] = \
+        (t + 1) / np.float32(fade_blocks * pts)
+    expect = (1 - r) * y_old + r * y_new
+    tol = 3e-5 * np.max(np.abs(expect))
+    np.testing.assert_allclose(got, expect, atol=tol, rtol=0)
+
+
+def test_xfade_is_jittable_and_deterministic():
+    pts, nparts = 32, 4
+    cfg = PconvConfig.for_ir_length(pts * nparts, pts)
+    h0 = RNG.standard_normal(cfg.cvs).astype(np.float32)
+    h1 = RNG.standard_normal(cfg.cvs).astype(np.float32)
+    blk = RNG.standard_normal(pts).astype(np.float32)
+    ramp = np.linspace(0, 1, pts, dtype=np.float32)
+
+    import functools
+    begin = jax.jit(functools.partial(pconv.pconv_begin_xfade, cfg))
+    step = jax.jit(functools.partial(pconv.pconv_step_xfade, cfg))
+    st = pconv.push_ir(cfg, pconv_init(cfg), h0)
+    st, _ = pconv_step(cfg, st, blk)
+    a = np.asarray(step(begin(st, h1), blk, ramp)[1])
+    b = np.asarray(step(begin(st, h1), blk, ramp)[1])
+    np.testing.assert_array_equal(a, b)        # bitwise rerun stability

@@ -181,3 +181,53 @@ def test_bad_args_raise():
         ClconvProcessor(np.ones(10, np.float32), parts=4, skip=20)
     with pytest.raises(ArgumentError):
         CltvconvProcessor(parts=8, size=12)   # not a multiple
+
+
+def test_clconv_set_ir_crossfade():
+    """set_ir on a live stream: the emitted stream equals the parts-delayed
+    per-sample blend (1-r)*conv(x, old) + r*conv(x, new), then pure new —
+    click-free IR hot-swap the reference cannot do (its push_ir swaps the
+    coefficient ring instantly, cl_conv.cpp:353-388)."""
+    parts, fade_blocks, swap_at = 64, 3, 4      # swap after 4 blocks
+    h_old = RNG.standard_normal(parts * 3).astype(np.float32)
+    h_new = RNG.standard_normal(parts * 3).astype(np.float32)
+    nblocks = 12
+    x = RNG.standard_normal(nblocks * parts).astype(np.float32)
+
+    p = ClconvProcessor(h_old, parts)
+    outs = []
+    for i in range(nblocks):
+        if i == swap_at:
+            p.set_ir(h_new, fade_blocks=fade_blocks)
+        outs.append(p.process(x[i * parts:(i + 1) * parts]))
+    got = np.concatenate(outs)
+
+    y_old = sps.fftconvolve(x, h_old)[: got.size]
+    y_new = sps.fftconvolve(x, h_new)[: got.size]
+    r = np.zeros(got.size, np.float32)          # ramp in conv-time coords
+    f0, f1 = swap_at * parts, (swap_at + fade_blocks) * parts
+    r[f0:f1] = (np.arange(fade_blocks * parts) + 1) / np.float32(f1 - f0)
+    r[f1:] = 1.0
+    blended = (1 - r) * y_old + r * y_new
+    expect = np.concatenate([np.zeros(parts, np.float32), blended])[: got.size]
+    tol = 3e-5 * np.max(np.abs(blended))
+    np.testing.assert_allclose(got, expect, atol=tol, rtol=0)
+
+
+def test_clconv_set_ir_instant_and_errors():
+    parts = 64
+    ir = RNG.standard_normal(parts * 2).astype(np.float32)
+    p = ClconvProcessor(ir, parts)
+    p.process(np.zeros(parts, np.float32))
+    p.set_ir(np.zeros(parts * 2, np.float32), fade_blocks=0)   # instant swap
+    out = p.process(RNG.standard_normal(parts).astype(np.float32))
+    # previous block was zeros-in and the IR is now zero: silence
+    np.testing.assert_array_equal(out, np.zeros(parts, np.float32))
+    with pytest.raises(ArgumentError, match="exceeds"):
+        p.set_ir(np.zeros(parts * 5, np.float32))
+    z = ClconvProcessor(ir, parts=0, block_size=64)
+    with pytest.raises(ArgumentError, match="partitioned"):
+        z.set_ir(ir)
+    d = ClconvProcessor(ir, parts=1, block_size=64)
+    with pytest.raises(ArgumentError, match="partitioned"):
+        d.set_ir(ir)
