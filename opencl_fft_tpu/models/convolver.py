@@ -85,6 +85,8 @@ class Convolver:
         self.cfg = cfg
         self.batch = batch
         self.state = batched_state(cfg, batch)
+        self._xf = None            # in-progress crossfaded IR swap
+        self._xf_fns = None        # lazily-jitted (begin, step, push_masked)
         self._step = jax.jit(_vmapped(_p.pconv_step, cfg), donate_argnums=(0,))
         self._push = jax.jit(_vmapped_push(cfg), donate_argnums=(0,))
         # jitted entry points are built ONCE — a fresh jax.jit wrapper per
@@ -107,10 +109,77 @@ class Convolver:
 
     def push_ir(self, irs: Float) -> None:
         """irs: (batch, cvs)."""
+        self._collapse_fade()
         self.state = self._push(self.state, jnp.asarray(irs, jnp.float32))
+
+    def _collapse_fade(self) -> None:
+        if getattr(self, "_xf", None) is not None:
+            self.state = self._xf.state
+            self._xf = None
+
+    def set_ir(self, irs: Float, channels=None, fade_blocks: int = 8) -> None:
+        """Replace per-channel IRs on the live batched stream (the serving
+        hot-swap): each swapped channel crossfades between its two exact
+        convolutions over the next ``fade_blocks`` step() calls while
+        untouched channels are bit-exactly unaffected (their old/new
+        coefficient rings are identical, so the blend is a no-op).
+
+        irs: (k, cvs) with ``channels`` a length-k index list, or
+        (batch, cvs) with ``channels=None`` to swap every channel.
+        ``fade_blocks=0`` swaps instantly (reference push_ir semantics,
+        cl_conv.cpp:353-388 — a click on a live stream). A second call
+        mid-fade adopts the in-flight targets and fades to the new ones.
+        """
+        import numpy as np
+
+        irs = jnp.asarray(irs, jnp.float32)
+        if irs.ndim != 2 or irs.shape[1] != self.cfg.cvs:
+            raise ValueError(
+                f"irs must be (k, {self.cfg.cvs}), got {irs.shape}")
+        if channels is None:
+            if irs.shape[0] != self.batch:
+                raise ValueError(
+                    f"channels=None needs (batch={self.batch}, cvs) irs, "
+                    f"got {irs.shape}")
+            full, mask = irs, jnp.ones((self.batch,), bool)
+        else:
+            idx = np.asarray(channels, np.int32).reshape(-1)
+            if idx.size != irs.shape[0]:
+                raise ValueError(
+                    f"{idx.size} channel indices for {irs.shape[0]} IRs")
+            if idx.size != np.unique(idx).size:
+                raise ValueError("duplicate channel indices")
+            if idx.size and (idx.min() < 0 or idx.max() >= self.batch):
+                raise ValueError(
+                    f"channel indices out of range [0, {self.batch})")
+            full = jnp.zeros((self.batch, self.cfg.cvs), jnp.float32
+                             ).at[idx].set(irs)
+            mask = jnp.zeros((self.batch,), bool).at[idx].set(True)
+        if fade_blocks < 0:
+            raise ValueError(f"fade_blocks must be >= 0, got {fade_blocks}")
+        self._collapse_fade()
+        if self._xf_fns is None:
+            begin, step, push_masked = _vmapped_xfade(self.cfg)
+            self._xf_fns = (jax.jit(begin), jax.jit(step, donate_argnums=(0,)),
+                            jax.jit(push_masked, donate_argnums=(0,)))
+        if fade_blocks == 0:
+            self.state = self._xf_fns[2](self.state, full, mask)
+            return
+        self._xf = self._xf_fns[0](self.state, full, mask)
+        self._fade_pos, self._fade_total = 0, int(fade_blocks)
 
     def step(self, blocks: Float) -> Float:
         """blocks: (batch, pts) -> (batch, pts)."""
+        if getattr(self, "_xf", None) is not None:
+            import numpy as np
+            pts = self.cfg.pts
+            ramp = (np.arange(pts, dtype=np.float32) + 1
+                    + self._fade_pos * pts) / np.float32(self._fade_total * pts)
+            self._xf, out = self._xf_fns[1](self._xf, blocks, ramp)
+            self._fade_pos += 1
+            if self._fade_pos >= self._fade_total:
+                self._collapse_fade()
+            return out
         self.state, out = self._step(self.state, blocks)
         return out
 
@@ -120,6 +189,10 @@ class Convolver:
         chunk > 1 groups that many blocks per fused pconv_chunk call
         (bit-equal to per-block streaming; requires nblocks % chunk == 0
         and chunk <= nparts)."""
+        if self._xf is not None:
+            raise RuntimeError(
+                "an IR crossfade is in progress — drive step() for the "
+                "remaining fade blocks before bulk streaming")
         blocks = jnp.asarray(blocks, jnp.float32)
         if chunk > 1:
             n, b, pts = blocks.shape
@@ -149,6 +222,10 @@ class Convolver:
         above the measured channel-count crossover
         (chunkmac.CHUNKMAC_MAX_BATCH)."""
         from ..ops.pallas.chunkmac import CHUNKMAC_MAX_BATCH
+        if self._xf is not None:
+            raise RuntimeError(
+                "an IR crossfade is in progress — drive step() for the "
+                "remaining fade blocks before bulk rendering")
         blocks = jnp.asarray(blocks, jnp.float32)
         if not _p._use_chunkmac(self.cfg) or self.batch > CHUNKMAC_MAX_BATCH:
             return self.stream(blocks)
@@ -168,6 +245,51 @@ def _vmapped_push(cfg):
                 tail=0, wp=None, wp2=None),
         )(state, irs)
     return wrapped
+
+
+_STATE_AXES = _p.PconvState(spec_x_re=0, spec_x_im=0, spec_h_re=0,
+                            spec_h_im=0, tail=0, wp=None, wp2=None)
+_XF_AXES = _p.XfadeState(state=_STATE_AXES, old_h_re=0, old_h_im=0,
+                         old_tail=0)
+
+
+def _vmapped_xfade(cfg):
+    """Batched crossfaded IR replacement (ops/pconv.pconv_*_xfade).
+
+    ``begin(state, irs, mask)`` starts a fade only for channels where
+    ``mask`` is True: masked-out channels keep their current coefficient
+    ring and tail on BOTH paths, so the per-sample blend is exactly a
+    no-op for them (old == new bitwise) while swapped channels fade
+    between their two exact convolutions. ``step`` shares one ramp across
+    the batch (all channels of a set_ir call fade on the same schedule).
+    """
+    if cfg.pallas != "off":
+        cfg = dataclasses.replace(cfg, pallas="off")
+
+    def begin(state, irs, mask):
+        xf = jax.vmap(lambda st, ir: _p.pconv_begin_xfade(cfg, st, ir),
+                      in_axes=(_STATE_AXES, 0), out_axes=_XF_AXES)(state, irs)
+        m2, m3 = mask[:, None], mask[:, None, None]
+        st = state._replace(
+            spec_h_re=jnp.where(m3, xf.state.spec_h_re, state.spec_h_re),
+            spec_h_im=jnp.where(m3, xf.state.spec_h_im, state.spec_h_im),
+            tail=jnp.where(m2, xf.state.tail, state.tail))
+        return _p.XfadeState(state=st, old_h_re=state.spec_h_re,
+                             old_h_im=state.spec_h_im, old_tail=state.tail)
+
+    def step(xf, blocks, ramp):
+        return jax.vmap(lambda f, b: _p.pconv_step_xfade(cfg, f, b, ramp),
+                        in_axes=(_XF_AXES, 0),
+                        out_axes=(_XF_AXES, 0))(xf, blocks)
+
+    def push_masked(state, irs, mask):
+        new = _vmapped_push(cfg)(state, irs)
+        m3 = mask[:, None, None]
+        return state._replace(
+            spec_h_re=jnp.where(m3, new.spec_h_re, state.spec_h_re),
+            spec_h_im=jnp.where(m3, new.spec_h_im, state.spec_h_im))
+
+    return begin, step, push_masked
 
 
 class TVConvolver:

@@ -192,3 +192,89 @@ def test_batched_stream_accepts_per_channel_ring_pointers():
     _, out_tv_scalar = P.pconv_stream_batched_tv(cfg, st_tv, blocks, blocks)
     np.testing.assert_array_equal(np.asarray(out_tv_vec),
                                   np.asarray(out_tv_scalar))
+
+
+def test_convolver_set_ir_crossfade_per_channel():
+    """Serving hot-swap: set_ir on a channel subset crossfades only those
+    channels between their two exact convolutions; untouched channels are
+    BIT-exactly unaffected (old == new coefficients -> the blend is a
+    no-op for them)."""
+    import pytest
+
+    pts, nparts, batch, K, swap_at = 32, 4, 3, 2, 3
+    cfg = P.PconvConfig.for_ir_length(pts * nparts, pts)
+    irs0 = RNG.standard_normal((batch, cfg.cvs)).astype(np.float32)
+    ir_new = RNG.standard_normal((1, cfg.cvs)).astype(np.float32)
+    nblocks = 10
+    x = RNG.standard_normal((nblocks, batch, pts)).astype(np.float32)
+
+    conv = Convolver(cfg, batch)
+    conv.push_ir(irs0)
+    # bit-exactness oracle for untouched channels: an identical engine
+    # that never swaps
+    ref = Convolver(cfg, batch)
+    ref.push_ir(irs0)
+
+    outs, refs = [], []
+    for i in range(nblocks):
+        if i == swap_at:
+            conv.set_ir(ir_new, channels=[1], fade_blocks=K)
+        outs.append(np.asarray(conv.step(x[i])))
+        refs.append(np.asarray(ref.step(x[i])))
+    got = np.stack(outs)          # (nblocks, batch, pts)
+    unswapped = np.stack(refs)
+
+    # untouched channels: bitwise equal to the never-swapped engine
+    np.testing.assert_array_equal(got[:, 0], unswapped[:, 0])
+    np.testing.assert_array_equal(got[:, 2], unswapped[:, 2])
+
+    # swapped channel: blended then pure-new, vs scipy
+    xs = x[:, 1].reshape(-1)
+    y_old = sps.fftconvolve(xs, irs0[1])[: nblocks * pts]
+    y_new = sps.fftconvolve(xs, ir_new[0])[: nblocks * pts]
+    r = np.zeros(nblocks * pts, np.float32)
+    f0, f1 = swap_at * pts, (swap_at + K) * pts
+    r[f0:f1] = (np.arange(K * pts) + 1) / np.float32(K * pts)
+    r[f1:] = 1.0
+    expect = (1 - r) * y_old + r * y_new
+    np.testing.assert_allclose(got[:, 1].reshape(-1), expect,
+                               atol=3e-5 * np.max(np.abs(expect)), rtol=0)
+
+    # bulk paths refuse to run mid-fade
+    conv.set_ir(ir_new, channels=[0], fade_blocks=4)
+    with pytest.raises(RuntimeError, match="crossfade"):
+        conv.stream(x)
+    with pytest.raises(RuntimeError, match="crossfade"):
+        conv.render(x)
+
+
+def test_convolver_set_ir_instant_and_validation():
+    import pytest
+
+    pts, nparts, batch = 32, 2, 2
+    cfg = P.PconvConfig.for_ir_length(pts * nparts, pts)
+    conv = Convolver(cfg, batch)
+    irs = RNG.standard_normal((batch, cfg.cvs)).astype(np.float32)
+    conv.push_ir(irs)
+    x = RNG.standard_normal((batch, pts)).astype(np.float32)
+    conv.step(x)
+
+    # instant swap of every channel == push_ir semantics
+    new = RNG.standard_normal((batch, cfg.cvs)).astype(np.float32)
+    conv.set_ir(new, fade_blocks=0)
+    ref = Convolver(cfg, batch)
+    ref.push_ir(irs)
+    ref.step(x)
+    ref.push_ir(new)
+    x2 = RNG.standard_normal((batch, pts)).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(conv.step(x2)),
+                                  np.asarray(ref.step(x2)))
+
+    with pytest.raises(ValueError, match="channels=None"):
+        conv.set_ir(new[:1])
+    with pytest.raises(ValueError, match="indices"):
+        conv.set_ir(new, channels=[0, 1, 1][:2] + [1])   # duplicate
+    with pytest.raises(ValueError, match="out of range"):
+        conv.set_ir(new[:1], channels=[5])
+    with pytest.raises(ValueError, match="irs must be"):
+        conv.set_ir(np.zeros((1, 7), np.float32), channels=[0])
