@@ -110,6 +110,36 @@ def main():
     got = np.asarray(P.convolve_oneshot(jnp.asarray(sig), jnp.asarray(ir)))
     check("oneshot conv", np.max(np.abs(got - ref)) / np.max(np.abs(ref)), 5e-5)
 
+    # crossfaded IR hot-swap: blend of the two exact convolutions
+    cfg_xf = P.PconvConfig.for_ir_length(pts * 4, pts)
+    h_old = rng.standard_normal(cfg_xf.cvs).astype(np.float32)
+    h_new = rng.standard_normal(cfg_xf.cvs).astype(np.float32)
+    xsig = rng.standard_normal(8 * pts).astype(np.float32)
+    st_xf = P.push_ir(cfg_xf, P.pconv_init(cfg_xf), h_old)
+    outs, xf, K, start = [], None, 2, 3
+    for i in range(8):
+        blk = jnp.asarray(xsig[i * pts:(i + 1) * pts])
+        if i == start:
+            xf = P.pconv_begin_xfade(cfg_xf, st_xf, h_new)
+        if xf is not None and i - start < K:
+            ramp = (np.arange(pts, dtype=np.float32) + 1
+                    + (i - start) * pts) / np.float32(K * pts)
+            xf, o = P.pconv_step_xfade(cfg_xf, xf, blk, jnp.asarray(ramp))
+            if i - start == K - 1:
+                st_xf, xf = xf.state, None
+        else:
+            st_xf, o = P.pconv_step(cfg_xf, st_xf, blk)
+        outs.append(np.asarray(o))
+    gotx = np.concatenate(outs)
+    y0 = sps.fftconvolve(xsig, h_old)[: gotx.size]
+    y1 = sps.fftconvolve(xsig, h_new)[: gotx.size]
+    rv = np.zeros(gotx.size, np.float32)
+    rv[start * pts:(start + K) * pts] = (np.arange(K * pts) + 1) / (K * pts)
+    rv[(start + K) * pts:] = 1.0
+    expx = (1 - rv) * y0 + rv * y1
+    check("IR hot-swap blend", np.max(np.abs(gotx - expx)) / np.max(np.abs(expx)),
+          5e-5)
+
     # direct convolution
     h = rng.standard_normal(128).astype(np.float32)
     got = np.asarray(D.convolve_direct(jnp.asarray(sig[:2048]), jnp.asarray(h),
