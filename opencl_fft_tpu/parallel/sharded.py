@@ -176,6 +176,118 @@ def make_sharded_pconv_step(cfg: _p.PconvConfig, mesh: Mesh, tv: bool = True):
     return jax.jit(sm)
 
 
+# ---------------------------------------------------------------------------
+# crossfaded IR replacement on the sharded engine
+# ---------------------------------------------------------------------------
+
+def make_sharded_pconv_xfade(cfg: _p.PconvConfig, mesh: Mesh):
+    """Jitted (begin, step) for a click-free IR replacement on the
+    (dp, tp)-sharded LTI engine — the sharded form of
+    ``ops/pconv.pconv_begin_xfade`` / ``pconv_step_xfade``.
+
+    ``begin(state, irs, mask)`` starts a fade for the channels where
+    ``mask`` (dp-sharded, (batch,)) is True. Masked-out channels keep
+    their coefficient shards and tail bitwise on BOTH fade paths, so the
+    blend is algebraically a no-op for them — within f32 ulp noise, not
+    bitwise: the faded step's stacked inverse is a different XLA program
+    than the plain step's, so reduction orders differ (the vmapped
+    ``models.Convolver.set_ir`` is where untouched channels are pinned
+    bit-exact). The incoming path's OLA tail is reconstructed from the
+    replicated input ring (one extra psum, once).
+
+    ``step(xf, block, ramp)`` runs one faded block: both paths' local
+    partition-MACs are stacked so the fade rides ONE psum of a
+    (2, b, bins) plane — doubled ICI bytes, no extra collective latency.
+    When the host-side ramp schedule reaches 1, continue with the plain
+    ``make_sharded_pconv_step`` step on ``xf``'s base keys (drop
+    ``old_*``).
+    """
+    nparts, tp = cfg.nparts, mesh.shape["tp"]
+    if nparts % tp:
+        raise ValueError(f"nparts {nparts} must divide over tp={tp}")
+    local = nparts // tp
+    b0 = 2.0 if cfg.bin0_mode == "exact" else 1.0
+
+    state_specs = dict(
+        spec_x_re=P("dp", None, None), spec_x_im=P("dp", None, None),
+        spec_h_re=P("dp", "tp", None), spec_h_im=P("dp", "tp", None),
+        tail=P("dp", None), wp=P(), wp2=P(),
+    )
+    xf_specs = dict(state_specs,
+                    old_h_re=P("dp", "tp", None),
+                    old_h_im=P("dp", "tp", None),
+                    old_tail=P("dp", None))
+
+    def _local_mac(x_re, x_im, hr, hi, wp, lo):
+        q = lo + jnp.arange(local)
+        idx = (wp + q) % nparts
+        gxr = jnp.take(x_re, idx, axis=1)                 # (b, local, bins)
+        gxi = jnp.take(x_im, idx, axis=1)
+        acc_r = jnp.sum(gxr * hr - gxi * hi, axis=1)
+        acc_i = jnp.sum(gxr * hi + gxi * hr, axis=1)
+        acc_r = acc_r.at[:, 0].set(
+            b0 * jnp.sum(gxr[:, :, 0] * hr[:, :, 0], axis=1))
+        acc_i = acc_i.at[:, 0].set(
+            b0 * jnp.sum(gxi[:, :, 0] * hi[:, :, 0], axis=1))
+        return acc_r, acc_i
+
+    def begin_body(st, ir_local, mask):
+        lo = jax.lax.axis_index("tp") * local
+        parts = ir_local.reshape(ir_local.shape[0], nparts, cfg.pts)
+        hr, hi = _p._forward_partition(cfg, parts)         # (b, nparts, bins)
+        local_slots = lo + jnp.arange(local)
+        src = (st["wp2"] - local_slots) % nparts           # push_ir layout
+        m3 = mask[:, None, None]
+        hr_sel = jnp.where(m3, jnp.take(hr, src, axis=1), st["spec_h_re"])
+        hi_sel = jnp.where(m3, jnp.take(hi, src, axis=1), st["spec_h_im"])
+        # incoming-path tail: re-run the previous block's MAC (read
+        # pointer == current wp) against the selected coefficients
+        acc_r, acc_i = _local_mac(st["spec_x_re"], st["spec_x_im"],
+                                  hr_sel, hi_sel, st["wp"], lo)
+        acc_r = jax.lax.psum(acc_r, "tp")
+        acc_i = jax.lax.psum(acc_i, "tp")
+        y = irfft_split((acc_r, acc_i), cfg.impl)
+        xf = dict(st)
+        xf["spec_h_re"], xf["spec_h_im"] = hr_sel, hi_sel
+        xf["tail"] = jnp.where(mask[:, None], y[..., cfg.pts:], st["tail"])
+        xf["old_h_re"], xf["old_h_im"] = st["spec_h_re"], st["spec_h_im"]
+        xf["old_tail"] = st["tail"]
+        return xf
+
+    def step_body(xf, bx, ramp):
+        lo = jax.lax.axis_index("tp") * local
+        xr, xi = _p._forward_partition(cfg, bx)
+        st = dict(xf)
+        upd = lambda ring, row: jax.lax.dynamic_update_slice(
+            ring, row[:, None, :], (0, st["wp"], 0))
+        st["spec_x_re"] = upd(st["spec_x_re"], xr)
+        st["spec_x_im"] = upd(st["spec_x_im"], xi)
+        wp = (st["wp"] + 1) % nparts
+        st["wp"] = wp
+        nr, ni = _local_mac(st["spec_x_re"], st["spec_x_im"],
+                            st["spec_h_re"], st["spec_h_im"], wp, lo)
+        orr, oi = _local_mac(st["spec_x_re"], st["spec_x_im"],
+                             st["old_h_re"], st["old_h_im"], wp, lo)
+        acc_r = jax.lax.psum(jnp.stack([nr, orr]), "tp")   # (2, b, bins)
+        acc_i = jax.lax.psum(jnp.stack([ni, oi]), "tp")
+        y = irfft_split((acc_r, acc_i), cfg.impl)          # (2, b, 2*pts)
+        out_new = (y[0, :, : cfg.pts] + st["tail"]) / cfg.pts
+        out_old = (y[1, :, : cfg.pts] + st["old_tail"]) / cfg.pts
+        st["tail"] = y[0, :, cfg.pts:]
+        st["old_tail"] = y[1, :, cfg.pts:]
+        out = out_old + ramp[None, :] * (out_new - out_old)
+        return st, out
+
+    begin = jax.shard_map(
+        begin_body, mesh=mesh,
+        in_specs=(state_specs, P("dp", None), P("dp")), out_specs=xf_specs)
+    step = jax.shard_map(
+        step_body, mesh=mesh,
+        in_specs=(xf_specs, P("dp", None), P(None)),
+        out_specs=(xf_specs, P("dp", None)))
+    return jax.jit(begin), jax.jit(step)
+
+
 def sharded_push_ir(cfg: _p.PconvConfig, mesh: Mesh, state, ir: Float):
     """Batched push_ir for the sharded state. ir: (batch, cvs)."""
     nparts, tp = cfg.nparts, mesh.shape["tp"]

@@ -201,3 +201,82 @@ class TestDistFFT:
         mesh = make_mesh((1, 8))
         with pytest.raises(ValueError):
             dist_fft(np.zeros(8, np.complex64), mesh, axis="tp")
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
+def test_sharded_xfade_blends_and_preserves_untouched(shape):
+    """Sharded IR hot-swap: swapped channels blend their two exact
+    convolutions (scipy oracle); untouched channels match a never-swapped
+    sharded engine to f32 ulp noise (the stacked-inverse fade step is a
+    different XLA program, so reduction orders differ — the bitwise
+    guarantee lives on the vmapped Convolver); after the fade the plain
+    step carries on from xf's base keys."""
+    from scipy import signal as sps
+
+    mesh = make_mesh(shape)
+    pts, nparts, batch, K, start = 32, 8, 8, 2, 3
+    cfg = P.PconvConfig.for_ir_length(pts * nparts, pts)
+    irs0 = RNG.standard_normal((batch, cfg.cvs)).astype(np.float32)
+    ir_new = RNG.standard_normal(cfg.cvs).astype(np.float32)
+    swap_ch = 5
+    nblocks = 10
+    x = RNG.standard_normal((nblocks, batch, pts)).astype(np.float32)
+
+    def fresh():
+        st = _put_state(sharded.sharded_pconv_init(cfg, batch), mesh)
+        ird = jax.device_put(jnp.asarray(irs0),
+                             NamedSharding(mesh, P_("dp", None)))
+        return sharded.sharded_push_ir(cfg, mesh, st, ird)
+
+    step = sharded.make_sharded_pconv_step(cfg, mesh, tv=False)
+    begin, step_xf = sharded.make_sharded_pconv_xfade(cfg, mesh)
+
+    # swap target: (batch, cvs) with only swap_ch's row meaningful
+    irs_new = np.zeros((batch, cfg.cvs), np.float32)
+    irs_new[swap_ch] = ir_new
+    mask = np.zeros(batch, bool)
+    mask[swap_ch] = True
+    irs_new_d = jax.device_put(jnp.asarray(irs_new),
+                               NamedSharding(mesh, P_("dp", None)))
+    mask_d = jax.device_put(jnp.asarray(mask),
+                            NamedSharding(mesh, P_("dp")))
+
+    st, ref_st = fresh(), fresh()
+    outs, refs = [], []
+    xf = None
+    for i in range(nblocks):
+        if i == start:
+            xf = begin(st, irs_new_d, mask_d)
+        if xf is not None and i - start < K:
+            ramp = (np.arange(pts, dtype=np.float32) + 1
+                    + (i - start) * pts) / np.float32(K * pts)
+            xf, o = step_xf(xf, x[i], jnp.asarray(ramp))
+            if i - start == K - 1:
+                st = {k: xf[k] for k in st}     # adopt base keys
+                xf = None
+        else:
+            st, o = step(st, x[i])
+        ref_st, ro = step(ref_st, x[i])
+        outs.append(np.asarray(o))
+        refs.append(np.asarray(ro))
+    got = np.stack(outs)            # (nblocks, batch, pts)
+    unswapped = np.stack(refs)
+
+    # untouched channels: equal to the never-swapped engine to ulp noise
+    scale = np.max(np.abs(unswapped)) + 1e-9
+    for ch in range(batch):
+        if ch != swap_ch:
+            np.testing.assert_allclose(got[:, ch], unswapped[:, ch],
+                                       atol=1e-5 * scale, rtol=0)
+
+    # swapped channel: blended then pure-new vs scipy
+    xs = x[:, swap_ch].reshape(-1)
+    y_old = sps.fftconvolve(xs, irs0[swap_ch])[: nblocks * pts]
+    y_new = sps.fftconvolve(xs, ir_new)[: nblocks * pts]
+    r = np.zeros(nblocks * pts, np.float32)
+    f0, f1 = start * pts, (start + K) * pts
+    r[f0:f1] = (np.arange(K * pts) + 1) / np.float32(K * pts)
+    r[f1:] = 1.0
+    expect = (1 - r) * y_old + r * y_new
+    np.testing.assert_allclose(got[:, swap_ch].reshape(-1), expect,
+                               atol=1e-4 * np.max(np.abs(expect)), rtol=0)
