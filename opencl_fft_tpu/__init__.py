@@ -31,7 +31,8 @@ from .ops.dconv import (DconvConfig, DconvState, dconv_init, dconv_step,
                         dconv_step_tv, dconv_stream, convolve_direct)
 from .stream import (ClfftProcessor, ClrfftProcessor, ClconvProcessor,
                      CltvconvProcessor)
-from .models.convolver import Convolver, TVConvolver, BatchedFFT
+from .models.convolver import (Convolver, TVConvolver, BatchedFFT,
+                               MatrixConvolver)
 from .models.lowlatency import ZeroLatencyConvolver
 from .ops.fft import set_fast_math, exact_precision
 from .utils.errors import Status, error_string, FftError
@@ -51,7 +52,8 @@ __all__ = [
     "DconvConfig", "DconvState", "dconv_init", "dconv_step", "dconv_step_tv",
     "dconv_stream", "convolve_direct",
     "ClfftProcessor", "ClrfftProcessor", "ClconvProcessor", "CltvconvProcessor",
-    "Convolver", "TVConvolver", "BatchedFFT", "ZeroLatencyConvolver",
+    "Convolver", "TVConvolver", "BatchedFFT", "MatrixConvolver",
+    "ZeroLatencyConvolver",
     "set_fast_math", "exact_precision",
     "Status", "error_string", "FftError", "np2",
 ]

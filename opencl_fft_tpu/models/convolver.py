@@ -332,6 +332,83 @@ class TVConvolver:
         return _vmapped(_p.pconv_step_tv, self.cfg)
 
 
+class MatrixConvolver:
+    """True-stereo / matrix convolution: ``out[o] = sum_i in[i] * ir[o, i]``.
+
+    The standard convolution-reverb topology beyond per-channel
+    processing — e.g. true stereo is the (2 in -> 2 out) case with four
+    IRs (LL, LR, RL, RR). The reference has no counterpart: it would
+    take n_in*n_out `clconv` opcode instances plus manual mixing
+    (csound/opcode.cpp:157-253 is strictly 1-in 1-out).
+
+    Built on the batched ``Convolver`` with one channel per (out, in)
+    IR pair: the input block is tiled across the n_out axis, and outputs
+    reduce over n_in — both free reshapes around the batched engine, so
+    the whole matrix runs as ONE device step. IR hot-swap works per
+    matrix entry through ``set_ir(irs, entries=[(o, i), ...])``.
+    """
+
+    def __init__(self, cfg: _p.PconvConfig, n_in: int, n_out: int):
+        if n_in < 1 or n_out < 1:
+            raise ValueError(f"need n_in, n_out >= 1, got {n_in}, {n_out}")
+        self.cfg = cfg
+        self.n_in = n_in
+        self.n_out = n_out
+        self._conv = Convolver(cfg, n_out * n_in)
+
+    def push_ir(self, irs: Float) -> None:
+        """irs: (n_out, n_in, cvs)."""
+        irs = jnp.asarray(irs, jnp.float32)
+        if irs.shape != (self.n_out, self.n_in, self.cfg.cvs):
+            raise ValueError(
+                f"irs must be ({self.n_out}, {self.n_in}, {self.cfg.cvs}), "
+                f"got {irs.shape}")
+        self._conv.push_ir(irs.reshape(self.n_out * self.n_in, self.cfg.cvs))
+
+    def set_ir(self, irs: Float, entries=None, fade_blocks: int = 8) -> None:
+        """Hot-swap matrix entries on the live stream.
+
+        irs: (k, cvs) with ``entries`` a list of k (out, in) pairs, or
+        (n_out, n_in, cvs) with ``entries=None`` for the whole matrix.
+        Crossfaded exactly like ``Convolver.set_ir`` (untouched entries
+        bit-exact)."""
+        if entries is None:
+            irs = jnp.asarray(irs, jnp.float32)
+            if irs.shape != (self.n_out, self.n_in, self.cfg.cvs):
+                raise ValueError(
+                    f"irs must be ({self.n_out}, {self.n_in}, "
+                    f"{self.cfg.cvs}), got {irs.shape}")
+            self._conv.set_ir(
+                irs.reshape(self.n_out * self.n_in, self.cfg.cvs),
+                fade_blocks=fade_blocks)
+            return
+        channels = [o * self.n_in + i for (o, i) in entries]
+        for (o, i) in entries:
+            if not (0 <= o < self.n_out and 0 <= i < self.n_in):
+                raise ValueError(f"entry ({o}, {i}) out of range "
+                                 f"({self.n_out} x {self.n_in})")
+        self._conv.set_ir(irs, channels=channels, fade_blocks=fade_blocks)
+
+    def step(self, blocks: Float) -> Float:
+        """blocks: (n_in, pts) -> (n_out, pts)."""
+        blocks = jnp.asarray(blocks, jnp.float32)
+        if blocks.shape != (self.n_in, self.cfg.pts):
+            raise ValueError(
+                f"blocks must be ({self.n_in}, {self.cfg.pts}), "
+                f"got {blocks.shape}")
+        tiled = jnp.tile(blocks, (self.n_out, 1))          # (n_out*n_in, pts)
+        out = self._conv.step(tiled)
+        return out.reshape(self.n_out, self.n_in, self.cfg.pts).sum(axis=1)
+
+    def stream(self, blocks: Float, unroll: int = 8) -> Float:
+        """Offline rendering: (nblocks, n_in, pts) -> (nblocks, n_out, pts)."""
+        blocks = jnp.asarray(blocks, jnp.float32)
+        n = blocks.shape[0]
+        tiled = jnp.tile(blocks, (1, self.n_out, 1))
+        out = self._conv.stream(tiled, unroll=unroll)
+        return out.reshape(n, self.n_out, self.n_in, self.cfg.pts).sum(axis=2)
+
+
 class BatchedFFT:
     """Batched transform model (the `clfft`/`clrfft` opcodes at scale):
     many independent N-point transforms in one device program."""

@@ -278,3 +278,77 @@ def test_convolver_set_ir_instant_and_validation():
         conv.set_ir(new[:1], channels=[5])
     with pytest.raises(ValueError, match="irs must be"):
         conv.set_ir(np.zeros((1, 7), np.float32), channels=[0])
+
+
+def test_matrix_convolver_true_stereo():
+    """MatrixConvolver: out[o] = sum_i conv(in[i], ir[o,i]) — the true-
+    stereo topology as ONE batched engine; matches scipy per entry."""
+    from opencl_fft_tpu.models.convolver import MatrixConvolver
+
+    pts, nparts, n_in, n_out = 32, 4, 2, 2
+    cfg = P.PconvConfig.for_ir_length(pts * nparts, pts)
+    irs = RNG.standard_normal((n_out, n_in, cfg.cvs)).astype(np.float32)
+    nblocks = 8
+    x = RNG.standard_normal((nblocks, n_in, pts)).astype(np.float32)
+
+    m = MatrixConvolver(cfg, n_in, n_out)
+    m.push_ir(irs)
+    got = np.stack([np.asarray(m.step(x[i])) for i in range(nblocks)])
+
+    xs = x.transpose(1, 0, 2).reshape(n_in, -1)       # (n_in, T)
+    for o in range(n_out):
+        ref = sum(sps.fftconvolve(xs[i], irs[o, i])[: nblocks * pts]
+                  for i in range(n_in))
+        np.testing.assert_allclose(got[:, o].reshape(-1), ref,
+                                   atol=5e-5 * np.max(np.abs(ref)), rtol=0)
+
+    # stream() matches step-by-step
+    m2 = MatrixConvolver(cfg, n_in, n_out)
+    m2.push_ir(irs)
+    got2 = np.asarray(m2.stream(x))
+    np.testing.assert_allclose(got2, got, atol=1e-5 * np.max(np.abs(got)),
+                               rtol=0)
+
+
+def test_matrix_convolver_entry_hot_swap():
+    """Swapping one matrix entry crossfades only that path; the other
+    entries are bit-exactly unaffected."""
+    from opencl_fft_tpu.models.convolver import MatrixConvolver
+
+    pts, nparts, K, start = 32, 4, 2, 3
+    cfg = P.PconvConfig.for_ir_length(pts * nparts, pts)
+    irs = RNG.standard_normal((2, 2, cfg.cvs)).astype(np.float32)
+    new = RNG.standard_normal((1, cfg.cvs)).astype(np.float32)
+    nblocks = 10
+    x = RNG.standard_normal((nblocks, 2, pts)).astype(np.float32)
+
+    m = MatrixConvolver(cfg, 2, 2)
+    m.push_ir(irs)
+    outs = []
+    for i in range(nblocks):
+        if i == start:
+            m.set_ir(new, entries=[(1, 0)], fade_blocks=K)
+        outs.append(np.asarray(m.step(x[i])))
+    got = np.stack(outs)
+
+    xs = x.transpose(1, 0, 2).reshape(2, -1)
+    T = nblocks * pts
+    # out 0 is untouched: equals the static matrix row
+    ref0 = sum(sps.fftconvolve(xs[i], irs[0, i])[:T] for i in range(2))
+    np.testing.assert_allclose(got[:, 0].reshape(-1), ref0,
+                               atol=5e-5 * np.max(np.abs(ref0)), rtol=0)
+    # out 1 blends only the (1,0) path; (1,1) stays
+    y_old = sps.fftconvolve(xs[0], irs[1, 0])[:T]
+    y_new = sps.fftconvolve(xs[0], new[0])[:T]
+    r = np.zeros(T, np.float32)
+    f0, f1 = start * pts, (start + K) * pts
+    r[f0:f1] = (np.arange(K * pts) + 1) / np.float32(K * pts)
+    r[f1:] = 1.0
+    ref1 = (1 - r) * y_old + r * y_new \
+        + sps.fftconvolve(xs[1], irs[1, 1])[:T]
+    np.testing.assert_allclose(got[:, 1].reshape(-1), ref1,
+                               atol=5e-5 * np.max(np.abs(ref1)), rtol=0)
+
+    import pytest
+    with pytest.raises(ValueError, match="out of range"):
+        m.set_ir(new, entries=[(2, 0)])
