@@ -27,7 +27,11 @@ import sys
 import time
 from functools import partial
 
-import numpy as np
+try:
+    import numpy as np
+except ModuleNotFoundError:  # bare interpreter: fall back to the baked venv
+    sys.path.append("/opt/venv/lib/python3.12/site-packages")
+    import numpy as np
 
 SR = 48000.0
 
