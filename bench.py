@@ -456,13 +456,18 @@ def _probe_device(timeout_s: int = 180) -> bool:
     left even jax.devices() hanging indefinitely). Probe it in a
     subprocess with a hard timeout so the bench emits an honest failure
     line instead of hanging the driver."""
+    import os
     import subprocess
+    env = dict(os.environ)
+    site = os.path.dirname(os.path.dirname(np.__file__))
+    env["PYTHONPATH"] = os.pathsep.join(
+        [site] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else []))
     try:
         r = subprocess.run(
             [sys.executable, "-c",
              "import jax, jax.numpy as jnp; "
              "x = jnp.ones((8, 128)); float(jnp.sum(x * x))"],
-            timeout=timeout_s, capture_output=True)
+            timeout=timeout_s, capture_output=True, env=env)
         return r.returncode == 0
     except subprocess.TimeoutExpired:
         return False
