@@ -32,6 +32,18 @@ try:
 except ModuleNotFoundError:  # bare interpreter: fall back to the baked venv
     sys.path.append("/opt/venv/lib/python3.12/site-packages")
     import numpy as np
+    # Site startup already ran (and failed) the TPU-plugin registration
+    # hook before the stack was importable — re-run it now, before any
+    # jax import, so the pinned JAX_PLATFORMS backend actually exists.
+    import os as _os
+    _sc = "/root/.axon_site/sitecustomize.py"
+    if _os.path.exists(_sc):
+        try:
+            import importlib.util as _ilu
+            _spec = _ilu.spec_from_file_location("_axon_sitecustomize", _sc)
+            _spec.loader.exec_module(_ilu.module_from_spec(_spec))
+        except Exception:
+            pass
 
 SR = 48000.0
 
