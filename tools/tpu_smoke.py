@@ -351,6 +351,22 @@ def main():
     d = np.max(np.abs(np.concatenate(ch_tv) - np.stack(seq_tv)))
     check("pconv_chunk_tv == sequential", d / (np.max(np.abs(seq_tv)) + 1e-9), 1e-6)
 
+    from opencl_fft_tpu.models.convolver import MatrixConvolver
+    cfg_m = P.PconvConfig.for_ir_length(32 * 4, 32)
+    irs_m = rng.standard_normal((2, 2, cfg_m.cvs)).astype(np.float32)
+    xm = rng.standard_normal((8, 2, 32)).astype(np.float32)
+    mc = MatrixConvolver(cfg_m, 2, 2)
+    mc.push_ir(irs_m)
+    got_m = np.asarray(mc.stream(xm))                  # (8, 2, 32)
+    xs_m = xm.transpose(1, 0, 2).reshape(2, -1)
+    err_m = 0.0
+    for o in range(2):
+        ref_m = sum(sps.fftconvolve(xs_m[i], irs_m[o, i])[: 8 * 32]
+                    for i in range(2))
+        err_m = max(err_m, np.max(np.abs(got_m[:, o].reshape(-1) - ref_m))
+                    / np.max(np.abs(ref_m)))
+    check("matrix (true-stereo) conv vs scipy", err_m, 5e-5)
+
     print(f"\n{'ALL PASS' if not FAILED else 'FAILURES: ' + ', '.join(FAILED)}")
     sys.exit(1 if FAILED else 0)
 
