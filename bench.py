@@ -42,8 +42,12 @@ except ModuleNotFoundError:  # bare interpreter: fall back to the baked venv
             import importlib.util as _ilu
             _spec = _ilu.spec_from_file_location("_axon_sitecustomize", _sc)
             _spec.loader.exec_module(_ilu.module_from_spec(_spec))
-        except Exception:
-            pass
+        except Exception as _e:
+            # If registration truly failed, the pinned JAX_PLATFORMS
+            # backend is missing and jax will die later with an
+            # unrelated-looking error — name the root cause here.
+            print(f"warning: TPU plugin registration hook failed: {_e!r}",
+                  file=sys.stderr)
 
 SR = 48000.0
 
@@ -485,11 +489,39 @@ def _probe_device(timeout_s: int = 180) -> bool:
         return False
 
 
+def _probe_with_retry(horizon_s: float = 900.0) -> bool:
+    """Relay outages are often transient (tunnel restart, a draining jumbo
+    compile). Instead of giving up on the first failed probe — which cost
+    round 3 its only driver-verified number — re-probe with backoff for up
+    to `horizon_s` seconds, logging every attempt, before emitting the
+    honest failure JSON."""
+    deadline = time.time() + horizon_s
+    delay = 30.0
+    attempt = 0
+    while True:
+        attempt += 1
+        t0 = time.time()
+        if _probe_device():
+            if attempt > 1:
+                print(f"probe attempt {attempt}: device reachable after "
+                      f"{time.time() - (deadline - horizon_s):.0f}s of "
+                      "outage", file=sys.stderr)
+            return True
+        remaining = deadline - time.time()
+        print(f"probe attempt {attempt} failed after {time.time()-t0:.0f}s; "
+              f"{max(0.0, remaining):.0f}s left in retry horizon",
+              file=sys.stderr)
+        if remaining <= 0:
+            return False
+        time.sleep(min(delay, max(1.0, remaining)))
+        delay = min(delay * 1.5, 120.0)
+
+
 def main():
-    if not _probe_device():
+    if not _probe_with_retry():
         print("DEVICE UNREACHABLE: the TPU relay did not answer a trivial "
-              "op within the probe timeout; no measurement is possible in "
-              "this environment right now.", file=sys.stderr)
+              "op within the probe retry horizon; no measurement is "
+              "possible in this environment right now.", file=sys.stderr)
         print(json.dumps({
             "metric": "pconv_realtime_factor_2^17tap_512pts",
             "value": 0.0,

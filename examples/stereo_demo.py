@@ -82,7 +82,7 @@ def main():
 
     tail = cfg.cvs + pts
     T = dry.shape[1] + tail
-    T -= T % pts
+    T += (-T) % pts           # round UP: keep the full reverb decay
     stream = np.zeros((2, T), np.float32)
     stream[:, : dry.shape[1]] = dry
     blocks = stream.reshape(2, -1, pts).transpose(1, 0, 2)  # (nblk, 2, pts)
