@@ -117,6 +117,10 @@ def _stream_floor_s(cfg, blocks, batch=1, bw=3e12, tv=False):
     in and out — the MAC-plane floor would reject its legitimate speed."""
     if cfg._use_stream_kernel(tv=tv):
         return max(blocks * 2 * cfg.pts * 4 * batch / bw, 0.02e-6 * blocks)
+    if cfg._use_decomposed_stream(tv=tv):
+        # operand windows stream once per 8-block group (ops/decomposed)
+        return max(blocks * 4 * cfg.nparts * cfg.bins * 4 * batch / 8 / bw,
+                   0.02e-6 * blocks)
     return _mac_floor_s(cfg.nparts, cfg.bins, blocks, batch=batch, bw=bw)
 
 

@@ -88,6 +88,12 @@ def rt_ratio(pts: int, ir_len: int, scan_blocks: int = 512, reps: int = 4,
         # grid-streamed kernel: ring planes stay VMEM-resident across the
         # scan; per-block HBM traffic is only the (pts,) block in/out
         floor_block = max(2 * cfg.pts * 4 * 2 / 3e12, 0.02e-6)
+    elif cfg._use_decomposed_stream(tv=tv):
+        # decomposed engine: operand windows stream from HBM once per
+        # 8-block group (macflow kernel) — 4 (nparts, bins) f32 planes
+        # per group is the least any route reads
+        floor_block = max(4 * cfg.nparts * cfg.bins * 4 / 8 / 3e12,
+                          0.02e-6)
     else:
         floor_block = max(4 * cfg.nparts * cfg.bins * 4 / 3e12, 0.2e-6)
     delta, n = median_chain_delta(run, reps, floor_block * scan_blocks,

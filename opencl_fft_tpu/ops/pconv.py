@@ -80,10 +80,10 @@ class PconvConfig:
         if self.bin0_mode not in ("exact", "compat"):
             raise ValueError(f"bin0_mode must be 'exact' or 'compat', got {self.bin0_mode}")
         if self.pallas not in ("auto", "on", "off", "block", "blockf",
-                               "stream", "split"):
+                               "stream", "split", "macflow"):
             raise ValueError(
                 f"pallas must be 'auto'|'on'|'off'|'block'|'blockf'|"
-                f"'stream'|'split', got {self.pallas}")
+                f"'stream'|'split'|'macflow', got {self.pallas}")
         if self.ring_dtype not in ("f32", "bf16"):
             raise ValueError(f"ring_dtype must be 'f32'|'bf16', got {self.ring_dtype}")
         if self.dtype not in ("f32", "f64"):
@@ -198,6 +198,28 @@ class PconvConfig:
 
     def _use_stream_kernel(self, tv: bool = False) -> bool:
         return self._stream_kernel_impl(tv=tv) is not None
+
+    def _use_decomposed_stream(self, tv: bool = False) -> bool:
+        """Route whole-batch streaming through the decomposed engine
+        (ops/decomposed.py: batched transforms + HBM-streamed MAC).
+
+        "macflow" opts in explicitly (incl. interpret-mode tests).
+        "auto" takes it only where the resident whole-scan kernels do
+        NOT fit — the long-IR / huge-bins territory the r3 sweep left
+        on the scan — and the shape is structurally won: either the
+        macflow kernel takes it (per-block HBM traffic drops 8x vs any
+        per-block path), or bins >= 4096, where the scan is bound by
+        ~L-independent unbatched per-block transforms (the flat
+        M=8192/32768 rows) and transform batching alone dominates."""
+        from .pallas.macflow import fits_macflow
+        if self.pallas == "macflow":
+            return True
+        if self.pallas != "auto" or not self._kernel_eligible():
+            return False
+        if self._use_stream_kernel(tv=tv):
+            return False
+        return (fits_macflow(self.nparts, self.bins)
+                or self.bins >= 4096)
 
     @property
     def bins(self) -> int:
@@ -766,6 +788,12 @@ def pconv_stream(cfg: PconvConfig, state: PconvState, blocks: Float,
     if (jnp.ndim(blocks) == 2 and jnp.shape(blocks)[0] >= _STEP_GROUP
             and cfg._use_stream_kernel()):
         return _pconv_stream_kernel(cfg, state, blocks)
+    if (jnp.ndim(blocks) == 2 and jnp.shape(blocks)[0] >= _STEP_GROUP
+            and cfg._use_decomposed_stream()):
+        # batched-transform engine (within f32 reduction-order tolerance
+        # of the scan, not bit-equal — see ops/decomposed.py)
+        from .decomposed import stream_decomposed
+        return stream_decomposed(cfg, state, blocks)
 
     def body(st, blk):
         return pconv_step(cfg, st, blk)
@@ -842,6 +870,12 @@ def pconv_stream_tv(cfg: PconvConfig, state: PconvState, blocks_x: Float,
     if (jnp.ndim(blocks_x) == 2 and jnp.shape(blocks_x)[0] >= _STEP_GROUP
             and cfg._use_stream_kernel(tv=True)):
         return _pconv_stream_tv_kernel(cfg, state, blocks_x, blocks_h)
+    if (jnp.ndim(blocks_x) == 2 and jnp.shape(blocks_x)[0] >= _STEP_GROUP
+            and cfg._use_decomposed_stream(tv=True)):
+        # batched-transform engine (within f32 reduction-order tolerance
+        # of the scan, not bit-equal — see ops/decomposed.py)
+        from .decomposed import stream_decomposed
+        return stream_decomposed(cfg, state, blocks_x, blocks_h)
 
     def body(st, blks):
         return pconv_step_tv(cfg, st, blks[0], blks[1])
