@@ -280,3 +280,41 @@ def test_sharded_xfade_blends_and_preserves_untouched(shape):
     expect = (1 - r) * y_old + r * y_new
     np.testing.assert_allclose(got[:, swap_ch].reshape(-1), expect,
                                atol=1e-4 * np.max(np.abs(expect)), rtol=0)
+
+
+def test_sharded_step_collective_structure():
+    """Pin the SCALING claim, not just narrate it (docs/SCALING.md): the
+    sharded per-block step's only cross-chip communication is ONE psum
+    of the O(bins) accumulator per plane — the lowered module contains
+    exactly the all-reduces of `jax.lax.psum(acc_re/acc_im, "tp")`, each
+    reducing O(batch/dp x bins) elements, never O(nparts x bins)."""
+    import re
+
+    mesh = make_mesh((2, 4))
+    pts, nparts, batch = 32, 8, 8
+    cfg = P.PconvConfig.for_ir_length(pts * nparts, pts)
+    state = _put_state(sharded.sharded_pconv_init(cfg, batch), mesh)
+    step = sharded.make_sharded_pconv_step(cfg, mesh, tv=True)
+    bx = jax.device_put(jnp.zeros((batch, pts), jnp.float32),
+                        NamedSharding(mesh, P_("dp", None)))
+
+    hlo = jax.jit(step).lower(state, bx, bx).as_text()
+    reduces = re.findall(r'"stablehlo\.all_reduce"|stablehlo\.all_reduce',
+                         hlo)
+    # acc_re + acc_im: 2 logical psums (the compiler may merge them into
+    # one all-reduce with two operands — count OPS, bound by 2)
+    assert 1 <= len(reduces) <= 2, hlo[:2000]
+
+    # every all-reduce operand is O(bins)-sized: (batch/dp, bins) f32 =
+    # 4*bins floats per local shard — assert no reduce carries an
+    # nparts-scaled operand (the naive unsharded-MAC shape)
+    per_shard = (batch // 2) * cfg.bins
+    for m in re.finditer(r"all_reduce.*?tensor<([0-9x]+)xf32>", hlo):
+        dims = [int(d) for d in m.group(1).split("x")]
+        n = int(np.prod(dims))
+        assert n <= 2 * per_shard, (dims, per_shard)
+
+    # and the wire claim is per BLOCK: executing one step moves no more
+    # collective payload than those accumulators. Sanity-run it.
+    out = jax.jit(step)(state, bx, bx)[1]
+    assert out.shape == (batch, pts)

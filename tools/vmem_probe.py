@@ -87,6 +87,15 @@ def probe_one(family: str, nparts: int, bins: int, batch: int = 1):
             tails = jnp.zeros((batch, bins), jnp.float32)
             out = ST.stream_steps_fused_batched_tv(blocks2, w0, h, 0, 0.5,
                                                    tails, pts, batch)
+        elif family in ("macflow_lti", "macflow_tv"):
+            from opencl_fft_tpu.ops.pallas import macflow as MFK
+            rows = nparts - 1 + nblocks
+            xtl = _mk_plane(rng, rows, bins)
+            if family == "macflow_lti":
+                out = MFK.macflow_lti(xtl, h, nblocks, 2.0)
+            else:
+                htl = _mk_plane(rng, rows, bins)
+                out = MFK.macflow_tv(xtl, htl, nblocks, nparts, 2.0, 0)
         else:
             raise ValueError(f"unknown family {family}")
         float(jnp.sum(jax.tree.leaves(out)[0][..., :1]))   # force execution
@@ -125,7 +134,60 @@ GRID = [
     ("classic_lti", 8192, 512, 1),    # M=512, L=2^22
     ("split_lti", 2048, 2048, 1),     # M=2048, L=2^22
     ("split_tv", 1024, 2048, 1),      # M=2048, L=2^21 TV
+    # r4 HBM-streamed MAC kernels (ops/pallas/macflow.py): O(tile) VMEM
+    # by design — probe the dispatch extremes (deepest nparts at 512,
+    # split-territory bins, the widest-bins minimum-tile carve-out)
+    ("macflow_tv", 8192, 512, 1),     # M=512, L=2^22 TV
+    ("macflow_lti", 8192, 512, 1),
+    ("macflow_tv", 2048, 2048, 1),    # M=2048, L=2^22 TV
+    ("macflow_tv", 512, 8192, 1),     # M=8192, L=2^22 TV
+    ("macflow_tv", 128, 32768, 1),    # M=32768, L=2^22 (min-tile ceil)
 ]
+
+
+def _parse_key(key: str):
+    m = re.match(r"(\w+):np=(\d+),b=(\d+),c=(\d+)", key)
+    return (m.group(1), int(m.group(2)), int(m.group(3)),
+            int(m.group(4))) if m else None
+
+
+def verify_envelope(out_path: str) -> int:
+    """Re-probe the PASS edge of every family recorded in the artifact
+    (the largest plane-bytes shape that compiled) and FAIL LOUDLY if the
+    envelope shrank — the fits_vmem_* gate coefficients are hand-fit to
+    observed behavior and silently go stale across backend updates
+    (VERDICT r3 #10). Run after any jax/libtpu bump: a nonzero exit
+    means the gates admit shapes that no longer compile."""
+    try:
+        with open(out_path) as f:
+            prior = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        print(f"--verify: no prior artifact at {out_path}", file=sys.stderr)
+        return 2
+    edges = {}
+    for key, row in prior.items():
+        parsed = _parse_key(key)
+        if not parsed or row.get("status") != "pass":
+            continue
+        family, nparts, bins, batch = parsed
+        plane = batch * nparts * bins
+        if family not in edges or plane > edges[family][0]:
+            edges[family] = (plane, parsed)
+    bad = 0
+    for family, (_, (fam, nparts, bins, batch)) in sorted(edges.items()):
+        status, detail = probe_one(fam, nparts, bins, batch)
+        tag = "OK" if status == "pass" else "SHRANK"
+        print(f"--verify {fam}:np={nparts},b={bins},c={batch}: "
+              f"recorded pass -> {status} [{tag}]"
+              + (f" ({detail})" if status != "pass" and detail else ""),
+              file=sys.stderr, flush=True)
+        if status != "pass":
+            bad += 1
+    if bad:
+        print(f"--verify: {bad} recorded-PASS edge(s) no longer compile "
+              f"— recalibrate the fits_vmem_* gates and re-run the full "
+              f"probe grid", file=sys.stderr)
+    return 1 if bad else 0
 
 
 def main():
@@ -135,7 +197,13 @@ def main():
     ap.add_argument("--out", default="bench_results/vmem_probe.json")
     ap.add_argument("--skip-done", action="store_true",
                     help="skip shapes already recorded in --out")
+    ap.add_argument("--verify", action="store_true",
+                    help="re-probe each family's recorded PASS edge and "
+                         "exit 1 if the measured envelope shrank")
     args = ap.parse_args()
+
+    if args.verify:
+        raise SystemExit(verify_envelope(args.out))
 
     fams = set(args.families.split(",")) if args.families else None
     results = {}
