@@ -329,21 +329,25 @@ def bench_batched_serving(batch=64, pts=512, ir_len=1 << 17, scan_blocks=470,
 def bench_batched_serving_chunked(batch=64, pts=512, ir_len=1 << 17, K=8,
                                   scan_blocks=472):
     """Latency-relaxed serving throughput: K-block chunked streaming of
-    `batch` channels (bit-equal outputs to per-block streaming, at the
-    price of K blocks of added latency — 85 ms at K=8, pts=512, 48 kHz).
+    `batch` channels (matches per-block streaming within f32 tolerance,
+    at the price of K blocks of added latency — 85 ms at K=8, pts=512,
+    48 kHz).
 
     Why it exists: the one-block-latency batched stream is HBM-roofline
     bound — every block must re-read all channels' h spectra plus an
     nparts-deep ring window (batch=64, 2^17 taps: ~134 MB/block f32 ->
     >= ~224 us/block at the measured ~600 GB/s, i.e. <= ~3.4k aggregate
-    audio-s/s no matter how good the kernel is). Chunking K blocks into
-    one fused MAC amortizes that traffic K-fold, which is the correct
-    serving-farm operating point whenever the deployment tolerates a few
-    dozen ms of latency."""
+    audio-s/s no matter how good the kernel is). Chunking K blocks
+    through the scan-free offline engine amortizes that traffic across
+    each 8-output group, which is the correct serving-farm operating
+    point whenever the deployment tolerates a few dozen ms of latency.
+    (The r3 path here — a vmapped pconv_chunk — materialized
+    (K, nparts, bins) gather windows per channel and measured 5.6x
+    SLOWER than plain streaming; replaced per VERDICT r3 #4 by
+    pconv_stream_batched_chunked.)"""
     import jax
     import jax.numpy as jnp
-    from opencl_fft_tpu.models.convolver import _vmapped, _vmapped_push, \
-        batched_state
+    from opencl_fft_tpu.models.convolver import _vmapped_push, batched_state
     from opencl_fft_tpu.ops import pconv as P
 
     assert scan_blocks % K == 0
@@ -356,17 +360,15 @@ def bench_batched_serving_chunked(batch=64, pts=512, ir_len=1 << 17, K=8,
     def make_state():
         return jax.tree.map(jnp.asarray, base)
 
-    chunk_step = _vmapped(P.pconv_chunk, cfg)
-    chunks = jnp.asarray(
-        rng.standard_normal((scan_blocks // K, batch, K, pts)) * 0.1,
-        jnp.float32)
-    fn = jax.jit(
-        lambda st, cs: jax.lax.scan(lambda s, c: chunk_step(s, c), st, cs),
-        donate_argnums=(0,))
-    # per chunk: h ring + window, 4 (pts x nparts) f32 planes per channel
+    blocks = jnp.asarray(
+        rng.standard_normal((scan_blocks, batch, pts)) * 0.1, jnp.float32)
+    fn = jax.jit(partial(P.pconv_stream_batched_chunked, cfg, K=K),
+                 donate_argnums=(0,))
+    # per chunk: each channel's x window (nparts+K rows) + h ring, 2
+    # planes each, read once per 8-output group
     floor = max(scan_blocks / K * batch * 4 * cfg.nparts * cfg.bins * 4
                 / 3e12, 0.02e-6 * scan_blocks)
-    per_scan = _time_chained(fn, make_state, (chunks,), floor_s=floor)
+    per_scan = _time_chained(fn, make_state, (blocks,), floor_s=floor)
     per_block = per_scan / scan_blocks
     return batch * (pts / SR) / per_block
 

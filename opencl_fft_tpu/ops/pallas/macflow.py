@@ -266,6 +266,115 @@ def macflow_lti(xtl: Cplx, h: Cplx, nb: int, b0: float,
 
 
 # ---------------------------------------------------------------------------
+# Batched (multi-channel serving) LTI kernel: leading channel grid dim,
+# per-channel timelines/coefficients — the wide-serving regime chunkmac's
+# resident shifted stacks cannot reach (its VMEM is O(nparts * gb)) and
+# where its per-program window DMAs contend above ~16 channels.
+# ---------------------------------------------------------------------------
+
+def _lti_batched_kernel(np_, bins, T, ntiles, b0,
+                        xr_ref, xi_ref, hr_ref, hi_ref,
+                        or_ref, oi_ref,
+                        xr_s, xi_s, sems):
+    """(channel b, group j, tile i) program — the single-stream LTI body
+    with every HBM access indexed by the channel grid dim."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    i = pl.program_id(2)
+    nch = pl.num_programs(0)
+    ngroups = pl.num_programs(1)
+    prog = (b * ngroups + j) * ntiles + i
+    slot = jax.lax.rem(prog, 2)
+
+    def copies(bb, jj, ii, sl):
+        row0 = pl.multiple_of(jj * _GB + ii * T, 8)
+        return [
+            pltpu.make_async_copy(xr_ref.at[bb, pl.ds(row0, T + _GB), :],
+                                  xr_s.at[sl], sems.at[sl, 0]),
+            pltpu.make_async_copy(xi_ref.at[bb, pl.ds(row0, T + _GB), :],
+                                  xi_s.at[sl], sems.at[sl, 1]),
+        ]
+
+    @pl.when(prog == 0)
+    def _first():
+        for cp in copies(b, j, i, slot):
+            cp.start()
+
+    for cp in copies(b, j, i, slot):
+        cp.wait()
+
+    @pl.when(prog + 1 < nch * ngroups * ntiles)
+    def _prefetch():
+        last_t = i == ntiles - 1
+        last_g = last_t & (j == ngroups - 1)
+        bn = jnp.where(last_g, b + 1, b)
+        jn = jnp.where(last_g, 0, jnp.where(last_t, j + 1, j))
+        in_ = jnp.where(last_t, 0, i + 1)
+        for cp in copies(bn, jn, in_, 1 - slot):
+            cp.start()
+
+    hra, hiz, hrb = _h_variants(hr_ref[0], hi_ref[0], b0, (T, bins))
+    red_r, red_i = _band_mac(xr_s[slot], xi_s[slot], hra, hiz, hrb,
+                             shift_h=False)
+
+    @pl.when(i == 0)
+    def _init():
+        or_ref[0] = red_r
+        oi_ref[0] = red_i
+
+    @pl.when(i > 0)
+    def _acc():
+        or_ref[0] += red_r
+        oi_ref[0] += red_i
+
+
+def macflow_lti_batched(xtl: Cplx, h: Cplx, nb: int, b0: float,
+                        interpret: bool = False) -> Cplx:
+    """Per-channel LTI sliding MAC: acc[c, t] = sum_q xtl[c, t+q] (*)
+    h[c, q]. xtl: split (B, np-1+nb, bins); h: split (B, np, bins).
+    Returns split (B, nbp, bins) (caller slices [:, :nb])."""
+    xr, xi = xtl
+    hr, hi = h
+    nch, np_, bins = hr.shape
+    T = pick_tile(np_, bins)
+    nbp = _nbp(nb)
+    ntiles = np_ // T
+    rows = np_ + nbp + _GB
+    pad = rows - xr.shape[1]
+    xr = jnp.pad(xr, ((0, 0), (0, pad), (0, 0)))
+    xi = jnp.pad(xi, ((0, 0), (0, pad), (0, 0)))
+
+    kern = functools.partial(_lti_batched_kernel, np_, bins, T, ntiles,
+                             float(b0))
+    out_r, out_i = pl.pallas_call(
+        kern,
+        grid=(nch, nbp // _GB, ntiles),
+        out_shape=(
+            jax.ShapeDtypeStruct((nch, nbp, bins), jnp.float32),
+            jax.ShapeDtypeStruct((nch, nbp, bins), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),       # x timelines
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, T, bins), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, T, bins), lambda b, j, i: (b, i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, _GB, bins), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, _GB, bins), lambda b, j, i: (b, j, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, T + _GB, bins), jnp.float32),
+            pltpu.VMEM((2, T + _GB, bins), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(xr, xi, hr, hi)
+    return out_r, out_i
+
+
+# ---------------------------------------------------------------------------
 # TV kernel
 # ---------------------------------------------------------------------------
 

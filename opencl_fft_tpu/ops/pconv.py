@@ -1148,6 +1148,23 @@ def _use_chunkmac(cfg: PconvConfig) -> bool:
             and fits_vmem_chunkmac(cfg.nparts, cfg.bins))
 
 
+def _offline_impl(cfg: PconvConfig, batch: int):
+    """Which kernel carries the scan-free offline MAC: "chunkmac"
+    (resident shifted coefficient stacks — the measured winner at
+    nparts <= ~512 and batch <= its channel crossover), "macflow"
+    (HBM-streamed windows, ops/pallas/macflow.py — no nparts ceiling,
+    no channel crossover: its window DMAs are per-(channel, group) and
+    pipelined), or None (scan fallback)."""
+    from .pallas.chunkmac import CHUNKMAC_MAX_BATCH
+    from .pallas.macflow import fits_macflow
+    if _use_chunkmac(cfg) and batch <= CHUNKMAC_MAX_BATCH:
+        return "chunkmac"
+    if (cfg.pallas != "off" and cfg._kernel_eligible()
+            and fits_macflow(cfg.nparts, cfg.bins)):
+        return "macflow"
+    return None
+
+
 def _offline_batched(cfg: PconvConfig, state: PconvState, blocks: Float
                      ) -> Tuple[PconvState, Float]:
     """Batched offline LTI render: blocks (nb, B, pts) -> (nb, B, pts).
@@ -1162,7 +1179,6 @@ def _offline_batched(cfg: PconvConfig, state: PconvState, blocks: Float
     shared across channels (models.convolver.batched_state convention).
     """
     from .fft import exact_precision
-    from .pallas.chunkmac import chunk_mac
 
     f32 = cfg._jdtype
     nb, B, pts = blocks.shape
@@ -1181,22 +1197,27 @@ def _offline_batched(cfg: PconvConfig, state: PconvState, blocks: Float
         state.spec_x_im, (z, state.wp + 1, z),
         (B, np_ - 1, cfg.bins)).astype(f32)
 
-    from .pallas.chunkmac import pick_group_blocks
-    gb = pick_group_blocks(np_, cfg.bins)
-    groups = -(-nb // gb)
-    rows = np_ + gb * groups
-    pad = rows - (np_ - 1) - nb
-    tl_r = jnp.concatenate(
-        [old_r, fr, jnp.zeros((B, pad, cfg.bins), f32)], axis=1)
-    tl_i = jnp.concatenate(
-        [old_i, fi, jnp.zeros((B, pad, cfg.bins), f32)], axis=1)
-
     b0 = 2.0 if cfg.bin0_mode == "exact" else 1.0
     interp = jax.default_backend() == "cpu"
-    acc_r, acc_i = chunk_mac(
-        (tl_r, tl_i),
-        (state.spec_h_re.astype(f32), state.spec_h_im.astype(f32)),
-        b0, interpret=interp)
+    h = (state.spec_h_re.astype(f32), state.spec_h_im.astype(f32))
+    impl = _offline_impl(cfg, B)
+    if impl == "macflow":
+        from .pallas.macflow import macflow_lti_batched
+        tl_r = jnp.concatenate([old_r, fr], axis=1)   # (B, np-1+nb, bins)
+        tl_i = jnp.concatenate([old_i, fi], axis=1)
+        acc_r, acc_i = macflow_lti_batched(
+            (tl_r, tl_i), h, nb, b0, interpret=interp)
+    else:
+        from .pallas.chunkmac import chunk_mac, pick_group_blocks
+        gb = pick_group_blocks(np_, cfg.bins)
+        groups = -(-nb // gb)
+        rows = np_ + gb * groups
+        pad = rows - (np_ - 1) - nb
+        tl_r = jnp.concatenate(
+            [old_r, fr, jnp.zeros((B, pad, cfg.bins), f32)], axis=1)
+        tl_i = jnp.concatenate(
+            [old_i, fi, jnp.zeros((B, pad, cfg.bins), f32)], axis=1)
+        acc_r, acc_i = chunk_mac((tl_r, tl_i), h, b0, interpret=interp)
     acc_r, acc_i = acc_r[:, :nb], acc_i[:, :nb]       # (B, nb, bins)
 
     with exact_precision():
@@ -1238,7 +1259,7 @@ def pconv_offline(cfg: PconvConfig, state: PconvState, blocks: Float
     to the scan engine off-TPU-eligible configs.
     """
     blocks = jnp.asarray(blocks, cfg._jdtype)
-    if not _use_chunkmac(cfg):
+    if _offline_impl(cfg, 1) is None:
         return pconv_stream(cfg, state, blocks)
     bstate = state._replace(
         spec_x_re=state.spec_x_re[None], spec_x_im=state.spec_x_im[None],
@@ -1249,6 +1270,35 @@ def pconv_offline(cfg: PconvConfig, state: PconvState, blocks: Float
         spec_x_re=bstate.spec_x_re[0], spec_x_im=bstate.spec_x_im[0],
         spec_h_re=bstate.spec_h_re[0], spec_h_im=bstate.spec_h_im[0],
         tail=bstate.tail[0], wp=bstate.wp), outs[:, 0]
+
+
+def pconv_stream_batched_chunked(cfg: PconvConfig, state: PconvState,
+                                 blocks: Float, K: int = 8
+                                 ) -> Tuple[PconvState, Float]:
+    """Latency-relaxed batched streaming: (nblocks, B, pts) processed in
+    K-block chunks (K blocks of latency) through the scan-free offline
+    engine — one batched forward, one kernel MAC, one batched inverse
+    per chunk, so the per-channel ring window is read once per
+    min(K, 8)-output group instead of once per block.
+
+    This replaces the r3 chunked-serving path (a vmapped pconv_chunk,
+    whose (K, nparts, bins)-materializing gathers made the
+    "latency-relaxed" point 5.6x SLOWER than plain streaming — the
+    bench_details.json inversion VERDICT r3 #4 flagged). Outputs match
+    per-block streaming within f32 reduction-order tolerance; use the
+    per-block paths when bit-equality matters. State chains exactly
+    (each chunk's final ring state is the next chunk's initial state).
+    """
+    nb, B, pts = blocks.shape
+    if nb % K:
+        raise ValueError(f"nblocks {nb} must be a multiple of K={K}")
+    chunks = jnp.asarray(blocks, cfg._jdtype).reshape(nb // K, K, B, pts)
+
+    def body(st, ch):
+        return _offline_batched(cfg, st, ch)
+
+    state, outs = jax.lax.scan(body, state, chunks)
+    return state, outs.reshape(nb, B, pts)
 
 
 def convolve_oneshot(signal: Float, ir: Float, impl: str = "auto") -> Float:

@@ -230,6 +230,62 @@ def test_auto_routing_gates():
             pts=32768, nparts=4)._use_decomposed_stream(tv=True)
 
 
+def test_macflow_lti_batched_matches_single():
+    """The channel-grid kernel == per-channel single-stream kernel."""
+    from opencl_fft_tpu.ops.pallas.macflow import (macflow_lti,
+                                                   macflow_lti_batched)
+
+    nparts, nb, bins, B = 16, 24, 128, 3
+    rng = np.random.default_rng(10)
+    rows = nparts - 1 + nb
+    xtl = (jnp.asarray(rng.standard_normal((B, rows, bins)), jnp.float32),
+           jnp.asarray(rng.standard_normal((B, rows, bins)), jnp.float32))
+    h = (jnp.asarray(rng.standard_normal((B, nparts, bins)), jnp.float32),
+         jnp.asarray(rng.standard_normal((B, nparts, bins)), jnp.float32))
+    br, bi = macflow_lti_batched(xtl, h, nb, 2.0, interpret=True)
+    for c in range(B):
+        sr, si = macflow_lti((xtl[0][c], xtl[1][c]), (h[0][c], h[1][c]),
+                             nb, 2.0, interpret=True)
+        np.testing.assert_allclose(br[c], sr, atol=1e-5)
+        np.testing.assert_allclose(bi[c], si, atol=1e-5)
+
+
+def test_batched_chunked_matches_vmapped_scan():
+    """pconv_stream_batched_chunked == the vmapped per-block scan within
+    f32 tolerance, including exact state chaining across chunks."""
+    import dataclasses
+
+    from opencl_fft_tpu.models.convolver import batched_state, _vmapped_push
+
+    pts, nparts, B, K, nblk = 128, 16, 3, 8, 32
+    cfg = P.PconvConfig.for_ir_length(pts * nparts, pts)
+    rng = np.random.default_rng(12)
+    irs = jnp.asarray(rng.standard_normal((B, cfg.cvs)) * 0.2, jnp.float32)
+    st0 = _vmapped_push(cfg)(batched_state(cfg, B), irs)
+    blocks = jnp.asarray(rng.standard_normal((nblk, B, pts)), jnp.float32)
+
+    st_ref, out_ref = P.pconv_stream_batched(cfg, st0, blocks)
+    mcfg = dataclasses.replace(cfg, pallas="macflow")
+    st_c, out_c = P.pconv_stream_batched_chunked(mcfg, st0, blocks, K=K)
+    np.testing.assert_allclose(out_c, out_ref, atol=3e-5)
+    np.testing.assert_allclose(st_c.tail, st_ref.tail, atol=2e-4)
+    np.testing.assert_allclose(st_c.spec_x_re, st_ref.spec_x_re, atol=2e-5)
+    assert int(st_c.wp) == int(st_ref.wp)
+
+
+def test_offline_impl_dispatch():
+    """chunkmac keeps its measured territory; macflow takes wide batches
+    and deep nparts (off-CPU)."""
+    import unittest.mock as mock
+    with mock.patch.object(P.jax, "default_backend", return_value="tpu"):
+        small = P.PconvConfig(pts=512, nparts=256)
+        assert P._offline_impl(small, 1) == "chunkmac"
+        assert P._offline_impl(small, 64) == "macflow"
+        deep = P.PconvConfig(pts=512, nparts=8192)
+        assert P._offline_impl(deep, 1) == "macflow"
+    assert P._offline_impl(P.PconvConfig(pts=512, nparts=256), 1) is None
+
+
 def test_fits_macflow_gate():
     from opencl_fft_tpu.ops.pallas.macflow import fits_macflow
     assert fits_macflow(8192, 512)
