@@ -218,16 +218,16 @@ class Convolver:
         spectra, so the whole render is batched transforms + one kernel —
         no sequential scan. Output matches stream() within f32 tolerance;
         latency is the full render length (use step()/stream() for
-        bounded latency). Falls back to stream() off the kernel path and
-        above the measured channel-count crossover
-        (chunkmac.CHUNKMAC_MAX_BATCH)."""
-        from ..ops.pallas.chunkmac import CHUNKMAC_MAX_BATCH
+        bounded latency). Kernel selection follows _p._offline_impl:
+        chunkmac in its measured territory, the batched macflow kernel
+        for wide batches / deep nparts (r4); off both kernel paths it
+        falls back to stream()."""
         if self._xf is not None:
             raise RuntimeError(
                 "an IR crossfade is in progress — drive step() for the "
                 "remaining fade blocks before bulk rendering")
         blocks = jnp.asarray(blocks, jnp.float32)
-        if not _p._use_chunkmac(self.cfg) or self.batch > CHUNKMAC_MAX_BATCH:
+        if _p._offline_impl(self.cfg, self.batch) is None:
             return self.stream(blocks)
         self.state, out = self._render(self.state, blocks)
         return out
