@@ -54,16 +54,17 @@ interleaved):
     program's copies before computing).
 
 Index algebra (verified row-exact by tests/test_decomposed.py):
-  group t0 = 8j;  delta = (t0+1+c) mod T;  a0 = t0 - np + 1 - delta + iT
-  X rows:   XtlR[xs + k] = X_{a0+T-1-k},  xs = nbp - a0
-            (XtlR = flip of [T zero rows | np-1 old | nbp fresh | T zero])
+  group t0 = gb*j;  delta = (t0+1+c) mod T;  a0 = t0 - np + 1 - delta + iT
+  X rows:   XtlR[xs + k] = X_{a0+T-1-k},  xs = nbp + T - a0
+            (XtlR = flip of [T zero rows | np-1 old | nbp fresh | 2T zero])
   H rows:   hbuf[m] = Htl[hb0 + m], hb0 = t0 + np - ((a0+c) mod np) - T
             (Htl row(f) = f + np - 1; rows [0, np-1) = pre-scan ring
              time-ordered, then fresh frames, then >= 9 zero rows)
   pairing:  xbuf[k] (*) hbuf[k + g]   for output t0 + g
-  validity: the a-window [t-np+1, t] binds only in the first/last tile,
-            as the complementary masks m <= T-1-delta / m >= T-delta on
-            the H window index m = k + g.
+  validity: the a-window [t-np+1, t] as general per-tile thresholds on
+            m = k + g:  (i+1)T - np - delta <= m <= (i+1)T - 1 - delta
+            (ntiles = np/T + 2 so the window may straddle any tiles —
+            required for gb > 8, where delta + g can exceed T).
 
 All DMA row offsets (xs, hb0) are 8-aligned by construction given
 c ≡ 0 (mod 8) — t0, T, nbp, np are multiples of 8 and a0 ≡ -c (mod T).
@@ -84,7 +85,15 @@ from jax.experimental.pallas import tpu as pltpu
 from ..cplx import Cplx
 
 _VMEM_LIMIT = 100 * 1024 * 1024
-_GB = 8           # outputs per group (== streamstep._STEP_GROUP)
+_GB = 8           # minimum outputs per group (DMA row-alignment unit)
+
+
+def pick_group(nb: int) -> int:
+    """Outputs per group: window re-reads scale 1/gb while VPU work is
+    gb-independent, so long scans take gb=32 (measured at (8192,512):
+    24.45 -> 19.10 us/block vs gb=8); short chunks (the K=8 serving
+    path) keep gb=8 — a larger group would pad nbp with wasted compute."""
+    return 32 if nb >= 64 else _GB
 
 # Live-buffer cost model: 2 slots x 4 operand buffers of (T+8, bins) f32
 # plus ~6 (T, bins) body temporaries -> (14 T + 64) * bins * 4 bytes.
@@ -118,8 +127,8 @@ def fits_macflow(nparts: int, bins: int) -> bool:
     return pick_tile(nparts, bins) >= 8
 
 
-def _nbp(nb: int) -> int:
-    return -(-nb // _GB) * _GB
+def _nbp(nb: int, gb: int) -> int:
+    return -(-nb // gb) * gb
 
 
 def _h_variants(hr, hi, b0, shape):
@@ -136,14 +145,14 @@ def _h_variants(hr, hi, b0, shape):
     return hra, hiz, hrb
 
 
-def _band_mac(xs_r, xs_i, hra, hiz, hrb, shift_h: bool):
+def _band_mac(xs_r, xs_i, hra, hiz, hrb, gb: int, shift_h: bool):
     """The shared MAC body: 8 shifted (T, bins) complex products, each
     VPU-reduced over rows. shift_h selects which operand carries the
     per-output shift (H for the TV pairing, X for LTI). Returns
     (GB, bins) accumulator rows."""
-    T = xs_r.shape[0] if shift_h else xs_r.shape[0] - _GB
+    T = xs_r.shape[0] if shift_h else xs_r.shape[0] - gb
     rs, is_ = [], []
-    for g in range(_GB):
+    for g in range(gb):
         if shift_h:
             xr, xi = xs_r, xs_i
             ra, iz, rb = hra[g:g + T], hiz[g:g + T], hrb[g:g + T]
@@ -161,7 +170,7 @@ def _band_mac(xs_r, xs_i, hra, hiz, hrb, shift_h: bool):
 # LTI kernel
 # ---------------------------------------------------------------------------
 
-def _lti_kernel(np_, bins, T, ntiles, b0,
+def _lti_kernel(np_, bins, T, ntiles, gb, b0,
                 xr_ref, xi_ref, hr_ref, hi_ref,
                 or_ref, oi_ref,
                 xr_s, xi_s, sems):
@@ -176,11 +185,11 @@ def _lti_kernel(np_, bins, T, ntiles, b0,
     slot = jax.lax.rem(prog, 2)
 
     def copies(jj, ii, sl):
-        row0 = pl.multiple_of(jj * _GB + ii * T, 8)
+        row0 = pl.multiple_of(jj * gb + ii * T, 8)
         return [
-            pltpu.make_async_copy(xr_ref.at[pl.ds(row0, T + _GB), :],
+            pltpu.make_async_copy(xr_ref.at[pl.ds(row0, T + gb), :],
                                   xr_s.at[sl], sems.at[sl, 0]),
-            pltpu.make_async_copy(xi_ref.at[pl.ds(row0, T + _GB), :],
+            pltpu.make_async_copy(xi_ref.at[pl.ds(row0, T + gb), :],
                                   xi_s.at[sl], sems.at[sl, 1]),
         ]
 
@@ -202,7 +211,7 @@ def _lti_kernel(np_, bins, T, ntiles, b0,
 
     hra, hiz, hrb = _h_variants(hr_ref[:], hi_ref[:], b0, (T, bins))
     red_r, red_i = _band_mac(xr_s[slot], xi_s[slot], hra, hiz, hrb,
-                             shift_h=False)
+                             gb, shift_h=False)
 
     @pl.when(i == 0)
     def _init():
@@ -227,19 +236,21 @@ def macflow_lti(xtl: Cplx, h: Cplx, nb: int, b0: float,
     hr, hi = h
     np_, bins = hr.shape
     T = pick_tile(np_, bins)
-    nbp = _nbp(nb)
+    gb = pick_group(nb)
+    nbp = _nbp(nb, gb)
     ntiles = np_ // T
     # trailing pad: the last group's last tile DMAs up to row
-    # (nbp-8) + (np-T) + T+7 = np+nbp-1; base rows np-1+nb
-    rows = np_ + nbp + _GB
+    # (nbp-gb) + (np-T) + T+gb-1 = np+nbp-1; base rows np-1+nb
+    rows = np_ + nbp + gb
     pad = rows - xr.shape[0]
     xr = jnp.pad(xr, ((0, pad), (0, 0)))
     xi = jnp.pad(xi, ((0, pad), (0, 0)))
 
-    kern = functools.partial(_lti_kernel, np_, bins, T, ntiles, float(b0))
+    kern = functools.partial(_lti_kernel, np_, bins, T, ntiles, gb,
+                             float(b0))
     out_r, out_i = pl.pallas_call(
         kern,
-        grid=(nbp // _GB, ntiles),
+        grid=(nbp // gb, ntiles),
         out_shape=(
             jax.ShapeDtypeStruct((nbp, bins), jnp.float32),
             jax.ShapeDtypeStruct((nbp, bins), jnp.float32),
@@ -251,12 +262,12 @@ def macflow_lti(xtl: Cplx, h: Cplx, nb: int, b0: float,
             pl.BlockSpec((T, bins), lambda j, i: (i, 0)),   # h tile im
         ],
         out_specs=(
-            pl.BlockSpec((_GB, bins), lambda j, i: (j, 0)),
-            pl.BlockSpec((_GB, bins), lambda j, i: (j, 0)),
+            pl.BlockSpec((gb, bins), lambda j, i: (j, 0)),
+            pl.BlockSpec((gb, bins), lambda j, i: (j, 0)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, T + _GB, bins), jnp.float32),
-            pltpu.VMEM((2, T + _GB, bins), jnp.float32),
+            pltpu.VMEM((2, T + gb, bins), jnp.float32),
+            pltpu.VMEM((2, T + gb, bins), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
@@ -272,7 +283,7 @@ def macflow_lti(xtl: Cplx, h: Cplx, nb: int, b0: float,
 # where its per-program window DMAs contend above ~16 channels.
 # ---------------------------------------------------------------------------
 
-def _lti_batched_kernel(np_, bins, T, ntiles, b0,
+def _lti_batched_kernel(np_, bins, T, ntiles, gb, b0,
                         xr_ref, xi_ref, hr_ref, hi_ref,
                         or_ref, oi_ref,
                         xr_s, xi_s, sems):
@@ -287,11 +298,11 @@ def _lti_batched_kernel(np_, bins, T, ntiles, b0,
     slot = jax.lax.rem(prog, 2)
 
     def copies(bb, jj, ii, sl):
-        row0 = pl.multiple_of(jj * _GB + ii * T, 8)
+        row0 = pl.multiple_of(jj * gb + ii * T, 8)
         return [
-            pltpu.make_async_copy(xr_ref.at[bb, pl.ds(row0, T + _GB), :],
+            pltpu.make_async_copy(xr_ref.at[bb, pl.ds(row0, T + gb), :],
                                   xr_s.at[sl], sems.at[sl, 0]),
-            pltpu.make_async_copy(xi_ref.at[bb, pl.ds(row0, T + _GB), :],
+            pltpu.make_async_copy(xi_ref.at[bb, pl.ds(row0, T + gb), :],
                                   xi_s.at[sl], sems.at[sl, 1]),
         ]
 
@@ -315,7 +326,7 @@ def _lti_batched_kernel(np_, bins, T, ntiles, b0,
 
     hra, hiz, hrb = _h_variants(hr_ref[0], hi_ref[0], b0, (T, bins))
     red_r, red_i = _band_mac(xr_s[slot], xi_s[slot], hra, hiz, hrb,
-                             shift_h=False)
+                             gb, shift_h=False)
 
     @pl.when(i == 0)
     def _init():
@@ -337,18 +348,19 @@ def macflow_lti_batched(xtl: Cplx, h: Cplx, nb: int, b0: float,
     hr, hi = h
     nch, np_, bins = hr.shape
     T = pick_tile(np_, bins)
-    nbp = _nbp(nb)
+    gb = pick_group(nb)
+    nbp = _nbp(nb, gb)
     ntiles = np_ // T
-    rows = np_ + nbp + _GB
+    rows = np_ + nbp + gb
     pad = rows - xr.shape[1]
     xr = jnp.pad(xr, ((0, 0), (0, pad), (0, 0)))
     xi = jnp.pad(xi, ((0, 0), (0, pad), (0, 0)))
 
     kern = functools.partial(_lti_batched_kernel, np_, bins, T, ntiles,
-                             float(b0))
+                             gb, float(b0))
     out_r, out_i = pl.pallas_call(
         kern,
-        grid=(nch, nbp // _GB, ntiles),
+        grid=(nch, nbp // gb, ntiles),
         out_shape=(
             jax.ShapeDtypeStruct((nch, nbp, bins), jnp.float32),
             jax.ShapeDtypeStruct((nch, nbp, bins), jnp.float32),
@@ -360,12 +372,12 @@ def macflow_lti_batched(xtl: Cplx, h: Cplx, nb: int, b0: float,
             pl.BlockSpec((1, T, bins), lambda b, j, i: (b, i, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, _GB, bins), lambda b, j, i: (b, j, 0)),
-            pl.BlockSpec((1, _GB, bins), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, gb, bins), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, gb, bins), lambda b, j, i: (b, j, 0)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, T + _GB, bins), jnp.float32),
-            pltpu.VMEM((2, T + _GB, bins), jnp.float32),
+            pltpu.VMEM((2, T + gb, bins), jnp.float32),
+            pltpu.VMEM((2, T + gb, bins), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
@@ -378,7 +390,7 @@ def macflow_lti_batched(xtl: Cplx, h: Cplx, nb: int, b0: float,
 # TV kernel
 # ---------------------------------------------------------------------------
 
-def _tv_kernel(np_, bins, T, ntiles, nbp, b0,
+def _tv_kernel(np_, bins, T, ntiles, nbp, gb, b0,
                c_ref, xr_ref, xi_ref, hr_ref, hi_ref,
                or_ref, oi_ref,
                xr_s, xi_s, hr_s, hi_s, sems):
@@ -394,10 +406,10 @@ def _tv_kernel(np_, bins, T, ntiles, nbp, b0,
     slot = jax.lax.rem(prog, 2)
 
     def offsets(jj, ii):
-        t0 = jj * _GB
+        t0 = jj * gb
         delta = (t0 + 1 + c) % T
         a0 = t0 - np_ + 1 - delta + ii * T
-        xs = pl.multiple_of(nbp - a0, 8)
+        xs = pl.multiple_of(nbp + T - a0, 8)
         hb0 = pl.multiple_of(t0 + np_ - ((a0 + c) % np_) - T, 8)
         return xs, hb0, delta
 
@@ -408,9 +420,9 @@ def _tv_kernel(np_, bins, T, ntiles, nbp, b0,
                                   xr_s.at[sl], sems.at[sl, 0]),
             pltpu.make_async_copy(xi_ref.at[pl.ds(xs, T), :],
                                   xi_s.at[sl], sems.at[sl, 1]),
-            pltpu.make_async_copy(hr_ref.at[pl.ds(hb0, T + _GB), :],
+            pltpu.make_async_copy(hr_ref.at[pl.ds(hb0, T + gb), :],
                                   hr_s.at[sl], sems.at[sl, 2]),
-            pltpu.make_async_copy(hi_ref.at[pl.ds(hb0, T + _GB), :],
+            pltpu.make_async_copy(hi_ref.at[pl.ds(hb0, T + gb), :],
                                   hi_s.at[sl], sems.at[sl, 3]),
         ]
 
@@ -431,18 +443,21 @@ def _tv_kernel(np_, bins, T, ntiles, nbp, b0,
             cp.start()
 
     _, _, delta = offsets(j, i)
-    # validity of the a-window binds in the first/last tile only, as
-    # complementary masks on the h-window index m = k + g
-    m_io = jax.lax.broadcasted_iota(jnp.int32, (T + _GB, bins), 0)
-    hi_thr = jnp.where(i == 0, T - 1 - delta, jnp.int32(2 ** 30))
-    lo_thr = jnp.where(i == ntiles - 1, T - delta, -jnp.int32(2 ** 30))
+    # a-window validity as general per-tile thresholds on the h-window
+    # index m = k + g: valid u = a - amin in [delta+g, delta+g+np-1]
+    # with u = iT + T-1-k  =>  (i+1)T - np - delta <= m <= (i+1)T-1-delta.
+    # (Special-casing first/last tiles only works at gb = 8, where the
+    # mod-8 phase alignment makes delta + g <= T exactly tight.)
+    m_io = jax.lax.broadcasted_iota(jnp.int32, (T + gb, bins), 0)
+    hi_thr = (i + 1) * T - 1 - delta
+    lo_thr = (i + 1) * T - np_ - delta
     keep = (m_io <= hi_thr) & (m_io >= lo_thr)
     hr = jnp.where(keep, hr_s[slot], 0.0)          # (T+8, bins)
     hi_ = jnp.where(keep, hi_s[slot], 0.0)
-    hra, hiz, hrb = _h_variants(hr, hi_, b0, (T + _GB, bins))
+    hra, hiz, hrb = _h_variants(hr, hi_, b0, (T + gb, bins))
 
     red_r, red_i = _band_mac(xr_s[slot], xi_s[slot], hra, hiz, hrb,
-                             shift_h=True)
+                             gb, shift_h=True)
 
     @pl.when(i == 0)
     def _init():
@@ -471,14 +486,17 @@ def macflow_tv(xtl: Cplx, htl: Cplx, nb: int, np_: int, b0: float,
     htl_r, htl_i = htl
     bins = xr.shape[1]
     T = pick_tile(np_, bins)
-    nbp = _nbp(nb)
-    ntiles = np_ // T + 1
+    gb = pick_group(nb)
+    nbp = _nbp(nb, gb)
+    # one tile beyond np/T + 1: the general masks let the valid window
+    # straddle up to ntiles partial tiles for any gb <= T
+    ntiles = np_ // T + 2
 
-    # X: [T zeros | np-1 old | nbp fresh | T zeros], flipped. Total rows
-    # np-1+nbp+2T; xs = nbp - a0 spans the padded range exactly.
+    # X: [T zeros | np-1 old | nbp fresh | 2T zeros], flipped. Total
+    # rows np-1+nbp+3T; xs = nbp + T - a0 spans the padded range.
     padf = nbp - nb
-    xr_p = jnp.pad(xr, ((T, T + padf), (0, 0)))
-    xi_p = jnp.pad(xi, ((T, T + padf), (0, 0)))
+    xr_p = jnp.pad(xr, ((T, 2 * T + padf), (0, 0)))
+    xi_p = jnp.pad(xi, ((T, 2 * T + padf), (0, 0)))
     xr_rev = jnp.flip(xr_p, axis=0)
     xi_rev = jnp.flip(xi_p, axis=0)
 
@@ -488,11 +506,11 @@ def macflow_tv(xtl: Cplx, htl: Cplx, nb: int, np_: int, b0: float,
     hr_p = jnp.pad(htl_r, ((0, hpad), (0, 0)))
     hi_p = jnp.pad(htl_i, ((0, hpad), (0, 0)))
 
-    kern = functools.partial(_tv_kernel, np_, bins, T, ntiles, nbp,
+    kern = functools.partial(_tv_kernel, np_, bins, T, ntiles, nbp, gb,
                              float(b0))
     out_r, out_i = pl.pallas_call(
         kern,
-        grid=(nbp // _GB, ntiles),
+        grid=(nbp // gb, ntiles),
         out_shape=(
             jax.ShapeDtypeStruct((nbp, bins), jnp.float32),
             jax.ShapeDtypeStruct((nbp, bins), jnp.float32),
@@ -505,14 +523,14 @@ def macflow_tv(xtl: Cplx, htl: Cplx, nb: int, np_: int, b0: float,
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((_GB, bins), lambda j, i: (j, 0)),
-            pl.BlockSpec((_GB, bins), lambda j, i: (j, 0)),
+            pl.BlockSpec((gb, bins), lambda j, i: (j, 0)),
+            pl.BlockSpec((gb, bins), lambda j, i: (j, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, T, bins), jnp.float32),
             pltpu.VMEM((2, T, bins), jnp.float32),
-            pltpu.VMEM((2, T + _GB, bins), jnp.float32),
-            pltpu.VMEM((2, T + _GB, bins), jnp.float32),
+            pltpu.VMEM((2, T + gb, bins), jnp.float32),
+            pltpu.VMEM((2, T + gb, bins), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 4)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),

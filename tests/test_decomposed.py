@@ -127,7 +127,8 @@ def test_macflow_lti_kernel_matches_xla(nparts, nb):
 
 
 @pytest.mark.parametrize("nparts,nb", [(16, 24), (32, 8), (64, 40),
-                                       (16, 11), (16, 64)])
+                                       (16, 11), (16, 64), (32, 80),
+                                       (64, 96)])
 def test_macflow_tv_kernel_matches_xla(nparts, nb):
     from opencl_fft_tpu.ops.decomposed import _tv_mac_xla
     from opencl_fft_tpu.ops.pallas.macflow import macflow_tv
