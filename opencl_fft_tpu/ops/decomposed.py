@@ -174,7 +174,7 @@ def _lti_mac_xla(cfg, xtl: Cplx, h: Cplx, nb: int, b0: float) -> Cplx:
     return _chunked_mac(nb, bins, chunk)
 
 
-def _use_macflow(cfg, tv: bool) -> bool:
+def _use_macflow(cfg) -> bool:
     from .pallas.macflow import fits_macflow
     return cfg._kernel_eligible() and fits_macflow(cfg.nparts, cfg.bins)
 
@@ -218,7 +218,7 @@ def stream_decomposed(cfg, state, blocks_x: Float,
     old_r, old_i = _x_prefix_rows(cfg, state)
     xtl_r = jnp.concatenate([old_r.astype(f32), fxr], axis=0)
     xtl_i = jnp.concatenate([old_i.astype(f32), fxi], axis=0)
-    use_kernel = _use_macflow(cfg, tv)
+    use_kernel = _use_macflow(cfg)
     if tv:
         h0_r, h0_i = _h_prefix_rows(cfg, state)
         htl_r = jnp.concatenate([h0_r.astype(f32), fhr], axis=0)
