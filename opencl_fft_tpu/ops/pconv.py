@@ -1207,7 +1207,7 @@ def _offline_batched(cfg: PconvConfig, state: PconvState, blocks: Float
         tl_i = jnp.concatenate([old_i, fi], axis=1)
         acc_r, acc_i = macflow_lti_batched(
             (tl_r, tl_i), h, nb, b0, interpret=interp)
-    else:
+    elif impl == "chunkmac":
         from .pallas.chunkmac import chunk_mac, pick_group_blocks
         gb = pick_group_blocks(np_, cfg.bins)
         groups = -(-nb // gb)
@@ -1218,6 +1218,16 @@ def _offline_batched(cfg: PconvConfig, state: PconvState, blocks: Float
         tl_i = jnp.concatenate(
             [old_i, fi, jnp.zeros((B, pad, cfg.bins), f32)], axis=1)
         acc_r, acc_i = chunk_mac((tl_r, tl_i), h, b0, interpret=interp)
+    else:
+        # pure-XLA sliding-window MAC (pallas="off" / CPU / ineligible
+        # shapes) — keeps the offline/chunked engines total
+        from .decomposed import _lti_mac_xla
+        tl_r = jnp.concatenate([old_r, fr], axis=1)
+        tl_i = jnp.concatenate([old_i, fi], axis=1)
+        acc_r, acc_i = jax.vmap(
+            lambda xr, xi, hr, hi: _lti_mac_xla(
+                cfg, (xr, xi), (hr, hi), nb, b0))(
+            tl_r, tl_i, h[0], h[1])
     acc_r, acc_i = acc_r[:, :nb], acc_i[:, :nb]       # (B, nb, bins)
 
     with exact_precision():

@@ -117,7 +117,16 @@ def make_runners(batch: int, tv: bool, scan_blocks: int) -> dict:
     blocks = jnp.asarray(rng.standard_normal((scan_blocks, batch, PTS)) * 0.1,
                          jnp.float32)
     from opencl_fft_tpu.models.convolver import _vmapped
+    # r4: the scan-free chunked engine (offline kernel per K-chunk);
+    # the old vmapped-pconv_chunk arm is kept as the measured negative
+    # its (K, nparts, bins) gather materialization made it (VERDICT r3
+    # #4: 772 vs 4331 plain streaming)
+    cfg_auto = P.PconvConfig.for_ir_length(IR_LEN, PTS)
     safe("chunk8", lambda: finish(
+        jax.jit(partial(P.pconv_stream_batched_chunked, cfg_auto, K=K),
+                donate_argnums=(0,)),
+        base, (blocks,)))
+    safe("chunk8_gather", lambda: finish(
         chunked(_vmapped(P.pconv_chunk, cfg_off)),
         base, (to_chunks(blocks),)))
 
