@@ -176,7 +176,115 @@ def _lti_mac_xla(cfg, xtl: Cplx, h: Cplx, nb: int, b0: float) -> Cplx:
 
 def _use_macflow(cfg) -> bool:
     from .pallas.macflow import fits_macflow
-    return cfg._kernel_eligible() and fits_macflow(cfg.nparts, cfg.bins)
+    return (cfg.pallas != "off" and cfg._kernel_eligible()
+            and fits_macflow(cfg.nparts, cfg.bins))
+
+
+def stream_batched_tv_decomposed(cfg, state, blocks_x: Float,
+                                 blocks_h: Float
+                                 ) -> Tuple["PconvState", Float]:  # noqa: F821
+    """Batched (multi-channel) TIME-VARYING decomposed streaming:
+    blocks (nb, B, pts), state fields with a leading channel axis and
+    SHARED scalar ring pointers (models.convolver.batched_state layout).
+
+    The per-channel analog of stream_decomposed's TV path: one batched
+    forward over all (block, operand, channel) frames, the TV pairing
+    MAC per channel (macflow_tv_batched behind the phase lax.cond, the
+    vmapped gather fallback otherwise), one batched inverse + OLA, and
+    per-channel ring rebuilds with the shared pointer walk.
+    """
+    from . import pconv as P
+    from .fft import exact_precision
+
+    f32 = cfg._jdtype
+    np_, bins, pts = cfg.nparts, cfg.bins, cfg.pts
+    blocks_x = jnp.asarray(blocks_x, f32)
+    blocks_h = jnp.asarray(blocks_h, f32)
+    nb, B = blocks_x.shape[0], blocks_x.shape[1]
+    b0 = 2.0 if cfg.bin0_mode == "exact" else 1.0
+
+    both = jnp.stack([blocks_x, blocks_h], axis=1)    # (nb, 2, B, pts)
+    fr, fi = P._forward_partition(cfg, both)          # (nb, 2, B, bins)
+    fr = fr.astype(cfg._ring_jdtype).astype(f32)
+    fi = fi.astype(cfg._ring_jdtype).astype(f32)
+    fxr = jnp.moveaxis(fr[:, 0], 1, 0)                # (B, nb, bins)
+    fxi = jnp.moveaxis(fi[:, 0], 1, 0)
+    fhr = jnp.moveaxis(fr[:, 1], 1, 0)
+    fhi = jnp.moveaxis(fi[:, 1], 1, 0)
+
+    z = jnp.asarray(0, state.wp.dtype)
+    old_r = jax.lax.dynamic_slice(
+        state.spec_x_re, (z, state.wp + 1, z),
+        (B, np_ - 1, bins)).astype(f32)
+    old_i = jax.lax.dynamic_slice(
+        state.spec_x_im, (z, state.wp + 1, z),
+        (B, np_ - 1, bins)).astype(f32)
+    xtl_r = jnp.concatenate([old_r, fxr], axis=1)     # (B, np-1+nb, bins)
+    xtl_i = jnp.concatenate([old_i, fxi], axis=1)
+
+    f = jnp.arange(-(np_ - 1), 0)
+    q = (state.wp2 - f) % np_
+    h0_r = jnp.take(state.spec_h_re, q, axis=1).astype(f32)
+    h0_i = jnp.take(state.spec_h_im, q, axis=1).astype(f32)
+    htl_r = jnp.concatenate([h0_r, fhr], axis=1)
+    htl_i = jnp.concatenate([h0_i, fhi], axis=1)
+
+    if _use_macflow(cfg):
+        from .pallas.macflow import macflow_tv_batched
+
+        def _kernel_branch(ops):
+            (xr, xi), (hr, hi), wp2 = ops
+            c = ((np_ - 1 - wp2) % np_).astype(jnp.int32)
+            kr, ki = macflow_tv_batched(
+                (xr, xi), (hr, hi), nb, np_, b0, c,
+                interpret=jax.default_backend() == "cpu")
+            return kr[:, :nb], ki[:, :nb]
+
+        def _xla_branch(ops):
+            (xr, xi), (hr, hi), wp2 = ops
+            return jax.vmap(
+                lambda a, b_, g, h_: _tv_mac_xla(
+                    cfg, (a, b_), (g, h_), nb, b0, wp2))(xr, xi, hr, hi)
+
+        ops = ((xtl_r, xtl_i), (htl_r, htl_i), state.wp2)
+        acc_r, acc_i = jax.lax.cond(
+            state.wp2 % 8 == (np_ - 1) % 8,
+            _kernel_branch, _xla_branch, ops)
+    else:
+        acc_r, acc_i = jax.vmap(
+            lambda a, b_, g, h_: _tv_mac_xla(
+                cfg, (a, b_), (g, h_), nb, b0, state.wp2))(
+            xtl_r, xtl_i, htl_r, htl_i)
+
+    with exact_precision():
+        y = irfft_split((acc_r, acc_i), cfg.impl)     # (B, nb, 2*pts)
+    tails = jnp.concatenate([state.tail[:, None], y[:, :-1, pts:]], axis=1)
+    outs = jnp.swapaxes((y[:, :, :pts] + tails) / pts, 0, 1)
+
+    # per-channel ring rebuilds, shared pointer walk
+    rdt = state.spec_x_re.dtype
+    s = jnp.arange(np_)
+    if nb >= np_:
+        t_s = nb - 1 - ((state.wp + nb - 1 - s) % np_)
+        ring_r = jnp.take(fxr, t_s, axis=1).astype(rdt)
+        ring_i = jnp.take(fxi, t_s, axis=1).astype(rdt)
+        sxr = jnp.concatenate([ring_r, ring_r], axis=1)
+        sxi = jnp.concatenate([ring_i, ring_i], axis=1)
+    else:
+        slots = (state.wp + jnp.arange(nb)) % np_
+        sxr = state.spec_x_re.at[:, slots].set(fxr.astype(rdt))
+        sxr = sxr.at[:, slots + np_].set(fxr.astype(rdt))
+        sxi = state.spec_x_im.at[:, slots].set(fxi.astype(rdt))
+        sxi = sxi.at[:, slots + np_].set(fxi.astype(rdt))
+    t_q = nb - 1 - ((nb - 1 - state.wp2 + s) % np_)
+    hdt = state.spec_h_re.dtype
+    return state._replace(
+        spec_x_re=sxr, spec_x_im=sxi,
+        spec_h_re=jnp.take(htl_r, t_q + np_ - 1, axis=1).astype(hdt),
+        spec_h_im=jnp.take(htl_i, t_q + np_ - 1, axis=1).astype(hdt),
+        tail=y[:, -1, pts:],
+        wp=(state.wp + nb) % np_,
+        wp2=(state.wp2 - nb) % np_), outs
 
 
 def stream_decomposed(cfg, state, blocks_x: Float,

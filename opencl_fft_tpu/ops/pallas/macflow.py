@@ -537,3 +537,137 @@ def macflow_tv(xtl: Cplx, htl: Cplx, nb: int, np_: int, b0: float,
         interpret=interpret,
     )(jnp.asarray(c, jnp.int32).reshape(1), xr_rev, xi_rev, hr_p, hi_p)
     return out_r, out_i
+
+
+def _tv_batched_kernel(np_, bins, T, ntiles, nbp, gb, b0,
+                       c_ref, xr_ref, xi_ref, hr_ref, hi_ref,
+                       or_ref, oi_ref,
+                       xr_s, xi_s, hr_s, hi_s, sems):
+    """(channel b, group j, tile i) program — the single-stream TV body
+    with every HBM access indexed by the channel grid dim (timelines are
+    per-channel; the ring-pointer phase c is shared, as in the
+    batched_state layout)."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    i = pl.program_id(2)
+    nch = pl.num_programs(0)
+    ngroups = pl.num_programs(1)
+    c = c_ref[0]
+    prog = (b * ngroups + j) * ntiles + i
+    slot = jax.lax.rem(prog, 2)
+
+    def offsets(jj, ii):
+        t0 = jj * gb
+        delta = (t0 + 1 + c) % T
+        a0 = t0 - np_ + 1 - delta + ii * T
+        xs = pl.multiple_of(nbp + T - a0, 8)
+        hb0 = pl.multiple_of(t0 + np_ - ((a0 + c) % np_) - T, 8)
+        return xs, hb0, delta
+
+    def copies(bb, jj, ii, sl):
+        xs, hb0, _ = offsets(jj, ii)
+        return [
+            pltpu.make_async_copy(xr_ref.at[bb, pl.ds(xs, T), :],
+                                  xr_s.at[sl], sems.at[sl, 0]),
+            pltpu.make_async_copy(xi_ref.at[bb, pl.ds(xs, T), :],
+                                  xi_s.at[sl], sems.at[sl, 1]),
+            pltpu.make_async_copy(hr_ref.at[bb, pl.ds(hb0, T + gb), :],
+                                  hr_s.at[sl], sems.at[sl, 2]),
+            pltpu.make_async_copy(hi_ref.at[bb, pl.ds(hb0, T + gb), :],
+                                  hi_s.at[sl], sems.at[sl, 3]),
+        ]
+
+    @pl.when(prog == 0)
+    def _first():
+        for cp in copies(b, j, i, slot):
+            cp.start()
+
+    for cp in copies(b, j, i, slot):
+        cp.wait()
+
+    @pl.when(prog + 1 < nch * ngroups * ntiles)
+    def _prefetch():
+        last_t = i == ntiles - 1
+        last_g = last_t & (j == ngroups - 1)
+        bn = jnp.where(last_g, b + 1, b)
+        jn = jnp.where(last_g, 0, jnp.where(last_t, j + 1, j))
+        in_ = jnp.where(last_t, 0, i + 1)
+        for cp in copies(bn, jn, in_, 1 - slot):
+            cp.start()
+
+    _, _, delta = offsets(j, i)
+    m_io = jax.lax.broadcasted_iota(jnp.int32, (T + gb, bins), 0)
+    hi_thr = (i + 1) * T - 1 - delta
+    lo_thr = (i + 1) * T - np_ - delta
+    keep = (m_io <= hi_thr) & (m_io >= lo_thr)
+    hr = jnp.where(keep, hr_s[slot], 0.0)
+    hi_ = jnp.where(keep, hi_s[slot], 0.0)
+    hra, hiz, hrb = _h_variants(hr, hi_, b0, (T + gb, bins))
+
+    red_r, red_i = _band_mac(xr_s[slot], xi_s[slot], hra, hiz, hrb,
+                             gb, shift_h=True)
+
+    @pl.when(i == 0)
+    def _init():
+        or_ref[0] = red_r
+        oi_ref[0] = red_i
+
+    @pl.when(i > 0)
+    def _acc():
+        or_ref[0] += red_r
+        oi_ref[0] += red_i
+
+
+def macflow_tv_batched(xtl: Cplx, htl: Cplx, nb: int, np_: int, b0: float,
+                       c=0, interpret: bool = False) -> Cplx:
+    """Per-channel TV sliding MAC: xtl / htl split (B, np-1+nb, bins)
+    timelines (layout as macflow_tv, per channel; the phase c is shared
+    across channels). Returns split (B, nbp, bins)."""
+    xr, xi = xtl
+    htl_r, htl_i = htl
+    nch, _, bins = xr.shape
+    T = pick_tile(np_, bins)
+    gb = pick_group(nb)
+    nbp = _nbp(nb, gb)
+    ntiles = np_ // T + 2
+
+    padf = nbp - nb
+    xr_rev = jnp.flip(jnp.pad(xr, ((0, 0), (T, 2 * T + padf), (0, 0))),
+                      axis=1)
+    xi_rev = jnp.flip(jnp.pad(xi, ((0, 0), (T, 2 * T + padf), (0, 0))),
+                      axis=1)
+    hpad = (np_ - 1 + nbp + 9) - htl_r.shape[1]
+    hr_p = jnp.pad(htl_r, ((0, 0), (0, hpad), (0, 0)))
+    hi_p = jnp.pad(htl_i, ((0, 0), (0, hpad), (0, 0)))
+
+    kern = functools.partial(_tv_batched_kernel, np_, bins, T, ntiles,
+                             nbp, gb, float(b0))
+    out_r, out_i = pl.pallas_call(
+        kern,
+        grid=(nch, nbp // gb, ntiles),
+        out_shape=(
+            jax.ShapeDtypeStruct((nch, nbp, bins), jnp.float32),
+            jax.ShapeDtypeStruct((nch, nbp, bins), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # phase c
+            pl.BlockSpec(memory_space=pltpu.ANY),   # reversed x timelines
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # h timelines
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, gb, bins), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, gb, bins), lambda b, j, i: (b, j, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, T, bins), jnp.float32),
+            pltpu.VMEM((2, T, bins), jnp.float32),
+            pltpu.VMEM((2, T + gb, bins), jnp.float32),
+            pltpu.VMEM((2, T + gb, bins), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(jnp.asarray(c, jnp.int32).reshape(1), xr_rev, xi_rev, hr_p, hi_p)
+    return out_r, out_i

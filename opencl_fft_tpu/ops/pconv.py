@@ -1311,6 +1311,39 @@ def pconv_stream_batched_chunked(cfg: PconvConfig, state: PconvState,
     return state, outs.reshape(nb, B, pts)
 
 
+def pconv_stream_batched_tv_chunked(cfg: PconvConfig, state: PconvState,
+                                    blocks_x: Float, blocks_h: Float,
+                                    K: int = 8
+                                    ) -> Tuple[PconvState, Float]:
+    """Latency-relaxed batched TIME-VARYING streaming: (nblocks, B, pts)
+    operand pairs processed in K-block chunks through the batched TV
+    decomposed engine (ops.decomposed.stream_batched_tv_decomposed) —
+    one batched forward over both operands, one TV pairing MAC
+    (macflow_tv_batched where eligible), one batched inverse per chunk.
+
+    The TV analog of pconv_stream_batched_chunked: K blocks of latency
+    buy transform batching and a kernel MAC whose coefficient-timeline
+    window is read once per output group instead of once per block.
+    Outputs match per-block streaming within f32 reduction-order
+    tolerance; state chains exactly across chunks (wp/wp2 walks are the
+    scan's). Use pconv_stream_batched_tv when bit-equality with the
+    per-block scan matters.
+    """
+    from .decomposed import stream_batched_tv_decomposed
+
+    nb, B, pts = blocks_x.shape
+    if nb % K:
+        raise ValueError(f"nblocks {nb} must be a multiple of K={K}")
+    cx = jnp.asarray(blocks_x, cfg._jdtype).reshape(nb // K, K, B, pts)
+    ch = jnp.asarray(blocks_h, cfg._jdtype).reshape(nb // K, K, B, pts)
+
+    def body(st, pair):
+        return stream_batched_tv_decomposed(cfg, st, pair[0], pair[1])
+
+    state, outs = jax.lax.scan(body, state, (cx, ch))
+    return state, outs.reshape(nb, B, pts)
+
+
 def convolve_oneshot(signal: Float, ir: Float, impl: str = "auto") -> Float:
     """Full linear convolution in ONE zero-padded transform (offline path).
 

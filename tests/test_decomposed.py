@@ -251,6 +251,83 @@ def test_macflow_lti_batched_matches_single():
         np.testing.assert_allclose(bi[c], si, atol=1e-5)
 
 
+@pytest.mark.parametrize("c", [0, 8])
+def test_macflow_tv_batched_matches_single(c):
+    """The channel-grid TV kernel == per-channel single-stream kernel,
+    at the fresh-stream phase and a general (mod-8) ring phase."""
+    from opencl_fft_tpu.ops.pallas.macflow import (macflow_tv,
+                                                   macflow_tv_batched)
+
+    nparts, nb, bins, B = 16, 24, 128, 3
+    rng = np.random.default_rng(11)
+    rows = nparts - 1 + nb
+    xtl = (jnp.asarray(rng.standard_normal((B, rows, bins)), jnp.float32),
+           jnp.asarray(rng.standard_normal((B, rows, bins)), jnp.float32))
+    htl = (jnp.asarray(rng.standard_normal((B, rows, bins)), jnp.float32),
+           jnp.asarray(rng.standard_normal((B, rows, bins)), jnp.float32))
+    br, bi = macflow_tv_batched(xtl, htl, nb, nparts, 2.0, c=c,
+                                interpret=True)
+    for ch in range(B):
+        sr, si = macflow_tv((xtl[0][ch], xtl[1][ch]),
+                            (htl[0][ch], htl[1][ch]),
+                            nb, nparts, 2.0, c=c, interpret=True)
+        np.testing.assert_allclose(br[ch], sr, atol=1e-5)
+        np.testing.assert_allclose(bi[ch], si, atol=1e-5)
+
+
+def test_batched_tv_chunked_matches_vmapped_scan():
+    """pconv_stream_batched_tv_chunked == the vmapped per-block TV scan
+    within f32 tolerance, including exact state chaining across chunks
+    (wp AND wp2 walks), on both the kernel and the pure-XLA routes."""
+    import dataclasses
+
+    from opencl_fft_tpu.models.convolver import batched_state, _vmapped_push
+
+    pts, nparts, B, K, nblk = 128, 16, 3, 8, 32
+    cfg = P.PconvConfig.for_ir_length(pts * nparts, pts)
+    rng = np.random.default_rng(13)
+    irs = jnp.asarray(rng.standard_normal((B, cfg.cvs)) * 0.2, jnp.float32)
+    st0 = _vmapped_push(cfg)(batched_state(cfg, B), irs)
+    bx = jnp.asarray(rng.standard_normal((nblk, B, pts)), jnp.float32)
+    bh = jnp.asarray(rng.standard_normal((nblk, B, pts)) * 0.2, jnp.float32)
+
+    st_ref, out_ref = P.pconv_stream_batched_tv(cfg, st0, bx, bh)
+    mcfg = dataclasses.replace(cfg, pallas="macflow")
+    st_c, out_c = P.pconv_stream_batched_tv_chunked(mcfg, st0, bx, bh, K=K)
+    np.testing.assert_allclose(out_c, out_ref, atol=3e-5)
+    # tails are stored unnormalized (scale ~pts): relative tolerance
+    np.testing.assert_allclose(st_c.tail, st_ref.tail, atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(st_c.spec_x_re, st_ref.spec_x_re, atol=2e-5)
+    np.testing.assert_allclose(st_c.spec_h_re, st_ref.spec_h_re, atol=2e-5)
+    assert int(st_c.wp) == int(st_ref.wp)
+    assert int(st_c.wp2) == int(st_ref.wp2)
+    # default (auto/CPU) config: the vmapped gather-MAC branch
+    st_x, out_x = P.pconv_stream_batched_tv_chunked(cfg, st0, bx, bh, K=K)
+    np.testing.assert_allclose(out_x, out_ref, atol=3e-5)
+    np.testing.assert_allclose(st_x.spec_h_re, st_ref.spec_h_re, atol=2e-5)
+
+
+def test_batched_tv_chunked_off_phase_chaining():
+    """A K=4 chunk size walks wp2 off the mod-8 kernel phase mid-stream:
+    the lax.cond must take the gather branch there and still chain."""
+    import dataclasses
+
+    from opencl_fft_tpu.models.convolver import batched_state, _vmapped_push
+
+    pts, nparts, B, K, nblk = 128, 16, 2, 4, 24
+    cfg = P.PconvConfig.for_ir_length(pts * nparts, pts)
+    rng = np.random.default_rng(14)
+    irs = jnp.asarray(rng.standard_normal((B, cfg.cvs)) * 0.2, jnp.float32)
+    st0 = _vmapped_push(cfg)(batched_state(cfg, B), irs)
+    bx = jnp.asarray(rng.standard_normal((nblk, B, pts)), jnp.float32)
+    bh = jnp.asarray(rng.standard_normal((nblk, B, pts)) * 0.2, jnp.float32)
+    st_ref, out_ref = P.pconv_stream_batched_tv(cfg, st0, bx, bh)
+    mcfg = dataclasses.replace(cfg, pallas="macflow")
+    st_c, out_c = P.pconv_stream_batched_tv_chunked(mcfg, st0, bx, bh, K=K)
+    np.testing.assert_allclose(out_c, out_ref, atol=3e-5)
+    assert int(st_c.wp2) == int(st_ref.wp2)
+
+
 def test_batched_chunked_matches_vmapped_scan():
     """pconv_stream_batched_chunked == the vmapped per-block scan within
     f32 tolerance, including exact state chaining across chunks."""
