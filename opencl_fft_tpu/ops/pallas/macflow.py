@@ -88,12 +88,29 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 _GB = 8           # minimum outputs per group (DMA row-alignment unit)
 
 
-def pick_group(nb: int) -> int:
+# Measured scoped-VMEM envelope for the gb=32 body (tools/macflow_smoke
+# + the r4 sweep): live rows ~= 4T (x bufs) + 7(T+gb) (h bufs + the 3
+# column-adjusted variants) + 2*gb*T (the unrolled per-group products)
+# + 16. Model vs chip: (8192, T=32, gb=32) -> 86.5 MB modeled, compiles;
+# (32768, T=8, gb=32) -> 110 MB modeled, 107.8 MB actual scoped OOM at
+# the 100 MB limit. 90 MB sits between the measured pass and fail.
+_GROUP_ENVELOPE = 90 * 1024 * 1024
+
+
+def _model_bytes(T: int, gb: int, bins: int) -> int:
+    return (4 * T + 7 * (T + gb) + 2 * gb * T + 16) * bins * 4
+
+
+def pick_group(nb: int, T: int, bins: int) -> int:
     """Outputs per group: window re-reads scale 1/gb while VPU work is
     gb-independent, so long scans take gb=32 (measured at (8192,512):
     24.45 -> 19.10 us/block vs gb=8); short chunks (the K=8 serving
-    path) keep gb=8 — a larger group would pad nbp with wasted compute."""
-    return 32 if nb >= 64 else _GB
+    path) keep gb=8 — a larger group would pad nbp with wasted compute.
+    Huge bins also keep gb=8: the unrolled gb=32 body's live set blows
+    the scoped-VMEM limit (see _GROUP_ENVELOPE)."""
+    if nb >= 64 and _model_bytes(T, 32, bins) <= _GROUP_ENVELOPE:
+        return 32
+    return _GB
 
 # Live-buffer cost model: 2 slots x 4 operand buffers of (T+8, bins) f32
 # plus ~6 (T, bins) body temporaries -> (14 T + 64) * bins * 4 bytes.
@@ -236,7 +253,7 @@ def macflow_lti(xtl: Cplx, h: Cplx, nb: int, b0: float,
     hr, hi = h
     np_, bins = hr.shape
     T = pick_tile(np_, bins)
-    gb = pick_group(nb)
+    gb = pick_group(nb, T, bins)
     nbp = _nbp(nb, gb)
     ntiles = np_ // T
     # trailing pad: the last group's last tile DMAs up to row
@@ -348,7 +365,7 @@ def macflow_lti_batched(xtl: Cplx, h: Cplx, nb: int, b0: float,
     hr, hi = h
     nch, np_, bins = hr.shape
     T = pick_tile(np_, bins)
-    gb = pick_group(nb)
+    gb = pick_group(nb, T, bins)
     nbp = _nbp(nb, gb)
     ntiles = np_ // T
     rows = np_ + nbp + gb
@@ -486,7 +503,7 @@ def macflow_tv(xtl: Cplx, htl: Cplx, nb: int, np_: int, b0: float,
     htl_r, htl_i = htl
     bins = xr.shape[1]
     T = pick_tile(np_, bins)
-    gb = pick_group(nb)
+    gb = pick_group(nb, T, bins)
     nbp = _nbp(nb, gb)
     # one tile beyond np/T + 1: the general masks let the valid window
     # straddle up to ntiles partial tiles for any gb <= T
@@ -627,7 +644,7 @@ def macflow_tv_batched(xtl: Cplx, htl: Cplx, nb: int, np_: int, b0: float,
     htl_r, htl_i = htl
     nch, _, bins = xr.shape
     T = pick_tile(np_, bins)
-    gb = pick_group(nb)
+    gb = pick_group(nb, T, bins)
     nbp = _nbp(nb, gb)
     ntiles = np_ // T + 2
 
