@@ -308,6 +308,7 @@ class TVConvolver:
         self._stream = jax.jit(
             functools.partial(_p.pconv_stream_batched_tv, cfg),
             static_argnames=("unroll",), donate_argnums=(0,))
+        self._stream_chunked_fns = {}    # K -> jitted chunked engine
 
     def step(self, blocks_x: Float, blocks_h: Float) -> Float:
         """(batch, pts) x 2 -> (batch, pts)."""
@@ -324,6 +325,24 @@ class TVConvolver:
                                        jnp.asarray(blocks_x, jnp.float32),
                                        jnp.asarray(blocks_h, jnp.float32),
                                        unroll=unroll)
+        return out
+
+    def stream_chunked(self, blocks_x: Float, blocks_h: Float,
+                       K: int = 8) -> Float:
+        """Latency-relaxed TV serving: (nblocks, batch, pts) pairs in
+        K-block chunks through the batched TV decomposed engine
+        (pconv_stream_batched_tv_chunked) — K blocks of latency buy
+        batched transforms and the macflow TV MAC. Within f32
+        reduction-order tolerance of stream(); state chains exactly."""
+        fn = self._stream_chunked_fns.get(K)
+        if fn is None:
+            fn = jax.jit(functools.partial(
+                _p.pconv_stream_batched_tv_chunked, self.cfg, K=K),
+                donate_argnums=(0,))
+            self._stream_chunked_fns[K] = fn
+        self.state, out = fn(self.state,
+                             jnp.asarray(blocks_x, jnp.float32),
+                             jnp.asarray(blocks_h, jnp.float32))
         return out
 
     def step_fn(self):

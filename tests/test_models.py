@@ -194,6 +194,28 @@ def test_batched_stream_accepts_per_channel_ring_pointers():
                                   np.asarray(out_tv_scalar))
 
 
+def test_tvconvolver_stream_chunked_matches_stream():
+    """TVConvolver.stream_chunked == stream() within f32 tolerance and
+    chains state across calls (two chunked calls == one stream call)."""
+    import jax.numpy as jnp
+
+    pts, nparts, nch = 64, 8, 2
+    cfg = P.PconvConfig.for_ir_length(pts * nparts, pts)
+    rng = np.random.default_rng(15)
+    nblk = 32
+    bx = jnp.asarray(rng.standard_normal((nblk, nch, pts)), jnp.float32)
+    bh = jnp.asarray(rng.standard_normal((nblk, nch, pts)) * 0.2, jnp.float32)
+
+    ref = TVConvolver(cfg, batch=nch)
+    out_ref = ref.stream(bx, bh)
+    got = TVConvolver(cfg, batch=nch)
+    out_a = got.stream_chunked(bx[:16], bh[:16], K=8)
+    out_b = got.stream_chunked(bx[16:], bh[16:], K=8)
+    out = np.concatenate([np.asarray(out_a), np.asarray(out_b)], axis=0)
+    np.testing.assert_allclose(out, np.asarray(out_ref), atol=3e-5)
+    assert int(got.state.wp2) == int(ref.state.wp2)
+
+
 def test_convolver_set_ir_crossfade_per_channel():
     """Serving hot-swap: set_ir on a channel subset crossfades only those
     channels between their two exact convolutions; untouched channels are

@@ -89,7 +89,15 @@ def make_runners(batch: int, tv: bool, scan_blocks: int) -> dict:
         bh = jnp.asarray(rng.standard_normal((scan_blocks, batch, PTS)) * 0.1,
                          jnp.float32)
         from opencl_fft_tpu.models.convolver import _vmapped
+        # r4: scan-free TV chunked engine (batched TV decomposed per
+        # K-chunk); the vmapped pconv_chunk_tv gather path is kept as
+        # the measured negative (same story as the LTI chunk8_gather)
+        cfg_auto = P.PconvConfig.for_ir_length(IR_LEN, PTS)
         safe("chunk8", lambda: finish(
+            jax.jit(partial(P.pconv_stream_batched_tv_chunked, cfg_auto,
+                            K=K), donate_argnums=(0,)),
+            base, (bx, bh)))
+        safe("chunk8_gather", lambda: finish(
             chunked(_vmapped(P.pconv_chunk_tv, cfg_off)),
             base, (to_chunks(bx), to_chunks(bh))))
         # scan unroll amortizes the ~15us/iter backend loop overhead,
