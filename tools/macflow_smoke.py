@@ -69,7 +69,31 @@ def check(pts=512, ir_len=1 << 18, nb=64):
               f"{'PASS' if ok else 'FAIL'}", flush=True)
         if not ok:
             return False
-    return True
+    return check_batched_tv(pts, ir_len)
+
+
+def check_batched_tv(pts=512, ir_len=1 << 18, nb=16, nch=2):
+    """Batched TV chunked engine (macflow_tv_batched) vs the per-block
+    batched scan on-chip."""
+    from opencl_fft_tpu.models.convolver import batched_state
+    from opencl_fft_tpu.ops import pconv as P
+
+    cfg = P.PconvConfig.for_ir_length(ir_len, pts, pallas="off")
+    rng = np.random.default_rng(1)
+    st = batched_state(cfg, nch)
+    bx = jnp.asarray(rng.standard_normal((nb, nch, pts)), jnp.float32)
+    bh = jnp.asarray(rng.standard_normal((nb, nch, pts)) * 0.2, jnp.float32)
+    _, out_s = P.pconv_stream_batched_tv(cfg, st, bx, bh)
+    import dataclasses
+    mcfg = dataclasses.replace(cfg, pallas="macflow")
+    _, out_d = P.pconv_stream_batched_tv_chunked(mcfg, st, bx, bh, K=8)
+    err = float(jnp.max(jnp.abs(out_d - out_s)))
+    ref = float(jnp.max(jnp.abs(out_s)))
+    ok = err <= 3e-5 * max(1.0, ref)
+    print(f"  batched tv chunked vs scan (pts={pts}, nparts={cfg.nparts}, "
+          f"nb={nb}, nch={nch}): max err {err:.2e} (ref {ref:.2e}) "
+          f"{'PASS' if ok else 'FAIL'}", flush=True)
+    return ok
 
 
 def time_cell(pts: int, ir_len: int, tv: bool, scan_blocks=512, reps=4,

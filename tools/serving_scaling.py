@@ -199,6 +199,11 @@ def measure(batch: int, tv: bool, rounds: int, reps: int,
         "kernel": max(batch * (fac + 1) * PTS * 4 / 3e12, 0.02e-6),
         # chunk arm amortizes the 4-plane read over K=8 blocks
         "chunk8": max(batch * 4 * nparts * PTS * 4 / 8 / 3e12, 0.1e-6),
+        # the measured-negative gather path reads at least as much as
+        # the scan-free chunk engine (its K-fold gather materialization
+        # only adds traffic) — same 5x-generous bound
+        "chunk8_gather": max(batch * 4 * nparts * PTS * 4 / 8 / 3e12,
+                             0.1e-6),
         # bf16 rings: 2-byte planes
         "scan_bf16": max(batch * 4 * nparts * PTS * 2 / 3e12, 0.5e-6),
     }
@@ -227,7 +232,8 @@ def measure(batch: int, tv: bool, rounds: int, reps: int,
             # blocks of latency, scan_bf16 ~1e-3 error) taking the window
             # must not strip the production pool of its drift-immune signal
             pool_rnd = {m: t for m, t in rnd.items()
-                        if m not in ("chunk8", "scan_bf16")} or rnd
+                        if m not in ("chunk8", "chunk8_gather",
+                                     "scan_bf16")} or rnd
             wins[min(pool_rnd, key=pool_rnd.get)] += 1
     measured = {m: float(np.median(v)) for m, v in rows.items()
                 if len(v) >= min(2, rounds)}
