@@ -137,6 +137,20 @@ def test_dryrun_multichip_entry():
     assert out.shape == args[1].shape
 
 
+def test_dist_serving_demo_runs():
+    """The distributed-serving example passes its own cross-check on the
+    virtual mesh (same in-process import pattern as the graft entry)."""
+    import importlib.util
+    import pathlib
+    path = (pathlib.Path(__file__).resolve().parent.parent / "examples"
+            / "dist_serving_demo.py")
+    spec = importlib.util.spec_from_file_location("dist_serving_demo", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rel = mod.run(channels=8, nblocks=12, pts=32, nparts=8, verbose=False)
+    assert rel <= 3e-5
+
+
 def test_sharded_step_bitwise_reproducible():
     """Sharded runs are deterministic run-to-run (the property the
     reference's CAS-loop float atomics could not give, SURVEY §5.2);
