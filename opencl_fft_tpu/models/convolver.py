@@ -330,10 +330,11 @@ class TVConvolver:
     def stream_chunked(self, blocks_x: Float, blocks_h: Float,
                        K: int = 8) -> Float:
         """Latency-relaxed TV serving: (nblocks, batch, pts) pairs in
-        K-block chunks through the batched TV decomposed engine
-        (pconv_stream_batched_tv_chunked) — K blocks of latency buy
-        batched transforms and the macflow TV MAC. Within f32
-        reduction-order tolerance of stream(); state chains exactly."""
+        K-block chunks through pconv_stream_batched_tv_chunked — the
+        batched TV decomposed engine where the shape is structurally won
+        (long IR / huge bins), the per-block batched engine otherwise
+        (see the dispatch note on the op). Within f32 reduction-order
+        tolerance of stream(); state chains exactly."""
         fn = self._stream_chunked_fns.get(K)
         if fn is None:
             fn = jax.jit(functools.partial(

@@ -1328,8 +1328,23 @@ def pconv_stream_batched_tv_chunked(cfg: PconvConfig, state: PconvState,
     tolerance; state chains exactly across chunks (wp/wp2 walks are the
     scan's). Use pconv_stream_batched_tv when bit-equality with the
     per-block scan matters.
+
+    Auto dispatch: the chunk engine rebuilds both (nparts-1)-row
+    timeline prefixes and all four ring planes every K blocks, an
+    O(nparts)-per-chunk cost that only pays where the per-block path is
+    itself transform/residency-bound. At resident-kernel shapes it is a
+    measured NEGATIVE (batch=64, nparts=256, bins=512: 601.9 vs the
+    scan's 141.3 us/block all-channels, bench_results/
+    serving_scaling.json) — so pallas="auto" takes the chunk engine
+    only where `_use_decomposed_stream(tv=True)` holds and otherwise
+    runs the per-block batched engine (which also has K-blocks-lower
+    latency, trivially satisfying the relaxation). Explicit
+    pallas="macflow" forces the chunk engine.
     """
     from .decomposed import stream_batched_tv_decomposed
+
+    if cfg.pallas == "auto" and not cfg._use_decomposed_stream(tv=True):
+        return pconv_stream_batched_tv(cfg, state, blocks_x, blocks_h)
 
     nb, B, pts = blocks_x.shape
     if nb % K:

@@ -301,10 +301,15 @@ def test_batched_tv_chunked_matches_vmapped_scan():
     np.testing.assert_allclose(st_c.spec_h_re, st_ref.spec_h_re, atol=2e-5)
     assert int(st_c.wp) == int(st_ref.wp)
     assert int(st_c.wp2) == int(st_ref.wp2)
-    # default (auto/CPU) config: the vmapped gather-MAC branch
-    st_x, out_x = P.pconv_stream_batched_tv_chunked(cfg, st0, bx, bh, K=K)
+    # pallas="off": the vmapped gather-MAC chunk branch
+    ocfg = dataclasses.replace(cfg, pallas="off")
+    st_x, out_x = P.pconv_stream_batched_tv_chunked(ocfg, st0, bx, bh, K=K)
     np.testing.assert_allclose(out_x, out_ref, atol=3e-5)
     np.testing.assert_allclose(st_x.spec_h_re, st_ref.spec_h_re, atol=2e-5)
+    # pallas="auto" at a resident-kernel shape: delegates to the
+    # per-block engine (measured negative for the chunk engine there)
+    st_a, out_a = P.pconv_stream_batched_tv_chunked(cfg, st0, bx, bh, K=K)
+    np.testing.assert_allclose(out_a, out_ref, atol=3e-5)
 
 
 def test_batched_tv_chunked_off_phase_chaining():

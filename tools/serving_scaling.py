@@ -90,11 +90,15 @@ def make_runners(batch: int, tv: bool, scan_blocks: int) -> dict:
                          jnp.float32)
         from opencl_fft_tpu.models.convolver import _vmapped
         # r4: scan-free TV chunked engine (batched TV decomposed per
-        # K-chunk); the vmapped pconv_chunk_tv gather path is kept as
-        # the measured negative (same story as the LTI chunk8_gather)
-        cfg_auto = P.PconvConfig.for_ir_length(IR_LEN, PTS)
+        # K-chunk), forced via pallas="macflow" — at this resident-kernel
+        # shape it is a measured NEGATIVE (601.9 vs scan 141.3 us at
+        # batch=64) and the production auto path delegates to the
+        # per-block engine (see pconv_stream_batched_tv_chunked); the
+        # vmapped pconv_chunk_tv gather path is kept as the other
+        # measured negative (same story as the LTI chunk8_gather)
+        cfg_mf = P.PconvConfig.for_ir_length(IR_LEN, PTS, pallas="macflow")
         safe("chunk8", lambda: finish(
-            jax.jit(partial(P.pconv_stream_batched_tv_chunked, cfg_auto,
+            jax.jit(partial(P.pconv_stream_batched_tv_chunked, cfg_mf,
                             K=K), donate_argnums=(0,)),
             base, (bx, bh)))
         safe("chunk8_gather", lambda: finish(
