@@ -1298,8 +1298,20 @@ def pconv_stream_batched_chunked(cfg: PconvConfig, state: PconvState,
     per-block streaming within f32 reduction-order tolerance; use the
     per-block paths when bit-equality matters. State chains exactly
     (each chunk's final ring state is the next chunk's initial state).
+
+    Auto dispatch: while the whole ring carry (batch x 4 planes of
+    (nparts, bins) f32) fits VMEM, XLA keeps the per-block scan's carry
+    resident and the scan beats the chunk engine's O(nparts)-per-chunk
+    ring rebuilds (measured at nparts=256, bins=512: batch=16 / 33.5 MB
+    carry -> scan 24.4 vs chunk 140.4 us; batch=64 / 134 MB -> scan
+    151.1 vs chunk 91.9, bench_results/serving_scaling.json). auto
+    delegates to pconv_stream_batched below ~64 MB of carry; "macflow"
+    or "off" force the chunk engine.
     """
     nb, B, pts = blocks.shape
+    if (cfg.pallas == "auto"
+            and B * 4 * cfg.nparts * cfg.bins * 4 <= 64 * 1024 * 1024):
+        return pconv_stream_batched(cfg, state, blocks, unroll=1)
     if nb % K:
         raise ValueError(f"nblocks {nb} must be a multiple of K={K}")
     chunks = jnp.asarray(blocks, cfg._jdtype).reshape(nb // K, K, B, pts)

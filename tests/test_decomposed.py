@@ -354,10 +354,15 @@ def test_batched_chunked_matches_vmapped_scan():
     np.testing.assert_allclose(st_c.tail, st_ref.tail, atol=2e-4)
     np.testing.assert_allclose(st_c.spec_x_re, st_ref.spec_x_re, atol=2e-5)
     assert int(st_c.wp) == int(st_ref.wp)
-    # default (auto/CPU) config: the pure-XLA offline MAC branch
-    st_x, out_x = P.pconv_stream_batched_chunked(cfg, st0, blocks, K=K)
+    # pallas="off": the pure-XLA offline MAC chunk branch
+    ocfg = dataclasses.replace(cfg, pallas="off")
+    st_x, out_x = P.pconv_stream_batched_chunked(ocfg, st0, blocks, K=K)
     np.testing.assert_allclose(out_x, out_ref, atol=3e-5)
     np.testing.assert_allclose(st_x.spec_x_re, st_ref.spec_x_re, atol=2e-5)
+    # pallas="auto" under the VMEM-carry threshold: delegates to the
+    # per-block engine (measured faster there)
+    st_a, out_a = P.pconv_stream_batched_chunked(cfg, st0, blocks, K=K)
+    np.testing.assert_allclose(out_a, out_ref, atol=3e-5)
 
 
 def test_offline_impl_dispatch():
