@@ -45,12 +45,13 @@ def run(channels: int = 8, nblocks: int = 32, pts: int = 128,
 
     ndev = len(jax.devices())
     dp, tp = balanced_shape(ndev)
-    # dp must divide channels, tp must divide nparts
-    while channels % dp:
+    # dp must divide channels, tp must divide nparts; shrinking either
+    # strands devices, so build the mesh on the first dp*tp of them
+    while dp > 1 and channels % dp:
         dp //= 2
-    while nparts % tp:
+    while tp > 1 and nparts % tp:
         tp //= 2
-    mesh = make_mesh((dp, tp))
+    mesh = make_mesh((dp, tp), devices=jax.devices()[:dp * tp])
     if verbose:
         print(f"devices: {ndev} ({jax.devices()[0].platform}), "
               f"mesh dp={dp} x tp={tp}, channels={channels}, "

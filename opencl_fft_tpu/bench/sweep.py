@@ -106,16 +106,30 @@ def rt_ratio(pts: int, ir_len: int, scan_blocks: int = 512, reps: int = 4,
     return (pts / SR) / per_block
 
 
+_HISTORY_KEEP = 9      # pooled drift windows per published point
+
+
 def run_sweep(parts_list, ir_list, tv=True, out_prefix="sweep",
-              row_repeats=2, merge_json=None):
+              row_repeats=2, merge_json=None, reset_history=False):
     """Measure the grid. Each M-row is swept row_repeats times end-to-end
     (row passes land ~10 minutes apart, spanning the relay's drift
-    timescale); each point's published value is the MEDIAN of its
-    independent estimates, then the row is checked for monotonicity: RT
+    timescale); each point's published value is the MEDIAN of its pooled
+    window estimates, then the row is checked for monotonicity: RT
     ratio must be non-increasing in L (longer IR, strictly more work per
     block). Inversions get extra estimates on both endpoints and a
     re-median; survivors are reported to stderr rather than silently
     shipped.
+
+    Cross-RUN window pooling: per-window estimates persist in
+    `<out_prefix>_history.json` and each re-run APPENDS its estimates,
+    publishing the median of the last _HISTORY_KEEP windows. Device-side
+    drift was observed to swing a whole 3-window run 7x on one point
+    (M=512 L=2^22: an 87.7x run bracketed by 327x and 612x readings
+    minutes away), so a single run's median can still publish one bad
+    period; pooling across runs converges instead of coin-flipping.
+    reset_history=True (--reset-history) clears the measured rows'
+    history first — REQUIRED after a code change that alters those
+    rows' kernels (stale windows describe the old program).
 
     merge_json: path to a prior sweep.json — its points seed the result
     table so a single re-measured row (--row) refreshes the full-grid
@@ -137,9 +151,18 @@ def run_sweep(parts_list, ir_list, tv=True, out_prefix="sweep",
                 old = results.pop(f"M={pts},L=2^{int(np.log2(L))}", None)
                 if old is not None:
                     prior_row[(pts, L)] = old
+    hist_path = f"{out_prefix}_history.json"
+    try:
+        with open(hist_path) as f:
+            history = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        history = {}
     for pts in parts_list:
         Ls = [L for L in ir_list if L >= pts]
-        est = {L: [] for L in Ls}              # independent estimates
+        if reset_history:
+            for L in Ls:
+                history.pop(f"M={pts},L=2^{int(np.log2(L))}", None)
+        est = {L: [] for L in Ls}              # this run's estimates
         broken = set()                         # compile-failed points
         for _ in range(row_repeats):           # row passes ~10 min apart
             for L in Ls:                       # => one bad drift window
@@ -154,7 +177,17 @@ def run_sweep(parts_list, ir_list, tv=True, out_prefix="sweep",
                     print(f"  M={pts} L=2^{int(np.log2(L))}: FAILED "
                           f"({str(e)[:160]})", file=sys.stderr, flush=True)
                     continue                 # row's artifacts (r3 crash)
-        row = {L: float(np.median(v)) for L, v in est.items() if v}
+        def pooled(L):
+            key = f"M={pts},L=2^{int(np.log2(L))}"
+            return (history.get(key, []) + est[L])[-_HISTORY_KEEP:]
+
+        row = {L: float(np.median(pooled(L))) for L, v in est.items() if v}
+        for L in Ls:
+            if est[L]:
+                print(f"  M={pts} L=2^{int(np.log2(L))}: run estimates "
+                      f"{[round(v, 1) for v in est[L]]}, pooled "
+                      f"{[round(v, 1) for v in pooled(L)]}",
+                      file=sys.stderr, flush=True)
         # monotonicity repair: an out-of-order point means one window's
         # drift still dominates its median — add estimates, re-median
         for _ in range(2):
@@ -175,7 +208,7 @@ def run_sweep(parts_list, ir_list, tv=True, out_prefix="sweep",
                 except Exception:
                     broken.add(L)
                     continue
-                row[L] = float(np.median(est[L]))
+                row[L] = float(np.median(pooled(L)))
         for i in range(len(Ls) - 1):
             if (Ls[i] in row and Ls[i + 1] in row
                     and row[Ls[i + 1]] > row[Ls[i]] * 1.15):
@@ -204,7 +237,13 @@ def run_sweep(parts_list, ir_list, tv=True, out_prefix="sweep",
             results[f"M={pts},L=2^{int(np.log2(L))}"] = round(row[L], 1)
             print(f"  M={pts:6d} L=2^{int(np.log2(L)):2d}: "
                   f"{row[L]:10.1f}x realtime", file=sys.stderr, flush=True)
+        for L in Ls:                           # persist this run's windows
+            if est[L]:
+                key = f"M={pts},L=2^{int(np.log2(L))}"
+                history[key] = [round(v, 1) for v in pooled(L)]
 
+    with open(hist_path, "w") as f:
+        json.dump(history, f, indent=2)
     with open(f"{out_prefix}.json", "w") as f:
         json.dump(results, f, indent=2)
 
@@ -274,6 +313,10 @@ def main():
     ap.add_argument("--out", default="sweep", help="artifact path prefix")
     ap.add_argument("--repeats", type=int, default=3,
                     help="end-to-end row sweeps (median kept per point)")
+    ap.add_argument("--reset-history", action="store_true",
+                    help="clear the measured rows' pooled window history "
+                         "first (REQUIRED after a code change that alters "
+                         "those rows' kernels)")
     args = ap.parse_args()
     if args.row:
         parts = [args.row]
@@ -286,7 +329,8 @@ def main():
         parts = [1 << 9, 1 << 11, 1 << 13, 1 << 15]
         irs = [1 << k for k in range(16, 23)]
     run_sweep(parts, irs, tv=not args.lti, out_prefix=args.out,
-              row_repeats=args.repeats, merge_json=args.merge or None)
+              row_repeats=args.repeats, merge_json=args.merge or None,
+              reset_history=args.reset_history)
 
 
 if __name__ == "__main__":

@@ -107,10 +107,18 @@ def pick_group(nb: int, T: int, bins: int) -> int:
     24.45 -> 19.10 us/block vs gb=8); short chunks (the K=8 serving
     path) keep gb=8 — a larger group would pad nbp with wasted compute.
     Huge bins also keep gb=8: the unrolled gb=32 body's live set blows
-    the scoped-VMEM limit (see _GROUP_ENVELOPE)."""
-    if nb >= 64 and _model_bytes(T, 32, bins) <= _GROUP_ENVELOPE:
-        return 32
-    return _GB
+    the scoped-VMEM limit (see _GROUP_ENVELOPE).
+
+    HARD geometric bound gb <= T: the TV kernels' ntiles = np/T + 2
+    tile sweep covers group offsets only up to delta + g <= 2T, so a
+    group wider than the tile silently drops the most-recent partitions
+    for outputs past 2T - delta (caught by review at T=8, bins=16384:
+    outputs 16..31 of each 32-group wrong by O(1))."""
+    gb = 32 if nb >= 64 else _GB
+    while gb > _GB and (gb > T or _model_bytes(T, gb, bins)
+                        > _GROUP_ENVELOPE):
+        gb //= 2
+    return gb
 
 # Live-buffer cost model: 2 slots x 4 operand buffers of (T+8, bins) f32
 # plus ~6 (T, bins) body temporaries -> (14 T + 64) * bins * 4 bytes.

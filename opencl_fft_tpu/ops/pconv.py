@@ -1309,11 +1309,19 @@ def pconv_stream_batched_chunked(cfg: PconvConfig, state: PconvState,
     or "off" force the chunk engine.
     """
     nb, B, pts = blocks.shape
-    if (cfg.pallas == "auto"
-            and B * 4 * cfg.nparts * cfg.bins * 4 <= 64 * 1024 * 1024):
-        return pconv_stream_batched(cfg, state, blocks, unroll=1)
     if nb % K:
         raise ValueError(f"nblocks {nb} must be a multiple of K={K}")
+    # per-channel ring-pointer vectors: the chunk engine assumes the
+    # shared-scalar state layout; the per-block engine handles both
+    if (jnp.ndim(state.wp) != 0
+            or (cfg.pallas == "auto"
+                and B * 4 * cfg.nparts * cfg.bins * 4
+                <= 64 * 1024 * 1024)):
+        # measured scan-unroll guidance (serving tool): narrow batches
+        # amortize the ~15us/iter loop overhead, wide ones suffer the
+        # unrolled program bloat
+        return pconv_stream_batched(cfg, state, blocks,
+                                    unroll=1 if B >= 16 else 8)
     chunks = jnp.asarray(blocks, cfg._jdtype).reshape(nb // K, K, B, pts)
 
     def body(st, ch):
@@ -1355,12 +1363,16 @@ def pconv_stream_batched_tv_chunked(cfg: PconvConfig, state: PconvState,
     """
     from .decomposed import stream_batched_tv_decomposed
 
-    if cfg.pallas == "auto" and not cfg._use_decomposed_stream(tv=True):
-        return pconv_stream_batched_tv(cfg, state, blocks_x, blocks_h)
-
     nb, B, pts = blocks_x.shape
     if nb % K:
         raise ValueError(f"nblocks {nb} must be a multiple of K={K}")
+    # per-channel ring-pointer vectors: the chunk engine assumes the
+    # shared-scalar state layout; the per-block engine handles both
+    if (jnp.ndim(state.wp) != 0 or jnp.ndim(state.wp2) != 0
+            or (cfg.pallas == "auto"
+                and not cfg._use_decomposed_stream(tv=True))):
+        return pconv_stream_batched_tv(cfg, state, blocks_x, blocks_h,
+                                       unroll=1 if B >= 16 else 8)
     cx = jnp.asarray(blocks_x, cfg._jdtype).reshape(nb // K, K, B, pts)
     ch = jnp.asarray(blocks_h, cfg._jdtype).reshape(nb // K, K, B, pts)
 

@@ -191,8 +191,32 @@ def test_macflow_tile_multiple_tiles():
         assert MF.pick_tile(64, 128) == 8
         test_macflow_tv_kernel_matches_xla(64, 40)
         test_macflow_lti_kernel_matches_xla(64, 40)
+        # long-scan group sizing at a small tile: gb must cap at T (the
+        # TV tile sweep covers group offsets only up to 2T — a gb=32
+        # group at T=8 silently dropped partitions, review r4), and the
+        # capped kernel must still match the oracle at nb >= 64
+        assert MF.pick_group(64, 8, 128) == 8
+        test_macflow_tv_kernel_matches_xla(64, 96)
+        # intermediate gb=16 (T=16): the halving cap's middle rung
+        MF._TILE_BUDGET = (14 * 16 + 70) * 128 * 4
+        assert MF.pick_tile(64, 128) == 16
+        assert MF.pick_group(96, 16, 128) == 16
+        test_macflow_tv_kernel_matches_xla(64, 96)
+        test_macflow_lti_kernel_matches_xla(64, 96)
     finally:
         MF._TILE_BUDGET = old
+
+
+def test_pick_group_bounds():
+    """gb: 32 for long scans within the envelope, halved down to 8 by
+    the geometric gb <= T cap and the scoped-VMEM model."""
+    from opencl_fft_tpu.ops.pallas.macflow import pick_group
+
+    assert pick_group(8, 512, 512) == 8        # short chunk
+    assert pick_group(64, 512, 512) == 32      # long scan, fits
+    assert pick_group(64, 16, 8192) == 16      # geometric cap gb <= T
+    assert pick_group(64, 8, 16384) == 8       # geometric cap gb <= T
+    assert pick_group(64, 8, 32768) == 8       # VMEM envelope + cap
 
 
 def test_stream_dispatch_macflow_explicit():
