@@ -23,6 +23,7 @@ Methodology notes for this environment:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from functools import partial
@@ -118,8 +119,10 @@ def _stream_floor_s(cfg, blocks, batch=1, bw=3e12, tv=False):
     if cfg._use_stream_kernel(tv=tv):
         return max(blocks * 2 * cfg.pts * 4 * batch / bw, 0.02e-6 * blocks)
     if cfg._use_decomposed_stream(tv=tv):
-        # operand windows stream once per 8-block group (ops/decomposed)
-        return max(blocks * 4 * cfg.nparts * cfg.bins * 4 * batch / 8 / bw,
+        # operand windows stream once per group (ops/decomposed); use
+        # the MAXIMUM group size (macflow pick_group caps gb at 32) so
+        # the floor stays 5x-generous for every dispatched group
+        return max(blocks * 4 * cfg.nparts * cfg.bins * 4 * batch / 32 / bw,
                    0.02e-6 * blocks)
     return _mac_floor_s(cfg.nparts, cfg.bins, blocks, batch=batch, bw=bw)
 
@@ -461,16 +464,44 @@ def bench_fft_sweep(passes=3, sizes=(10, 12, 14, 16, 18, 20)):
     return results
 
 
-def _measure(details, key, fn, fmt):
-    """Record one secondary metric; omit LOUDLY if unmeasurable."""
-    try:
-        val = fn()
-    except Unmeasurable as e:
-        print(f"OMITTED {key}: {e}", file=sys.stderr)
-        return None
-    details[key] = round(val, 1)
-    print(fmt.format(val), file=sys.stderr)
-    return val
+def _measure_multiwindow(details, metrics, passes=3):
+    """Measure every secondary metric `passes` times, ROUND-ROBIN (one
+    full pass over all metrics per relay-drift window, ~10 min apart by
+    construction), publishing each metric's MEDIAN with the full
+    min/median/max spread alongside.
+
+    Why round-robin instead of per-metric repeats: (a) the relay drifts
+    2-3x on ~10-minute timescales, so back-to-back repeats of one metric
+    share a window and a single bad window still owns its median; (b)
+    paired comparisons (bf16 vs f32 rings, chunked vs plain) land in the
+    SAME window each pass, which is the only drift-robust way to compare
+    them (CLAUDE.md: only interleaved A/Bs are meaningful).
+
+    metrics: {key: (fn, fmt)}. Omits LOUDLY when all windows fail."""
+    samples = {k: [] for k in metrics}
+    for p in range(passes):
+        for key, (fn, _fmt) in metrics.items():
+            try:
+                samples[key].append(fn())
+            except Unmeasurable as e:
+                print(f"  pass {p} {key}: {e}", file=sys.stderr)
+            except Exception as e:
+                print(f"  pass {p} {key}: FAILED ({str(e)[:160]})",
+                      file=sys.stderr)
+    for key, (_fn, fmt) in metrics.items():
+        vals = sorted(samples[key])
+        if not vals:
+            print(f"OMITTED {key}: unmeasurable in all {passes} windows",
+                  file=sys.stderr)
+            continue
+        med = vals[(len(vals) - 1) // 2]
+        details[key] = round(med, 1)
+        details[key + "_spread"] = {
+            "min": round(vals[0], 1), "median": round(med, 1),
+            "max": round(vals[-1], 1), "windows": len(vals)}
+        print(fmt.format(med)
+              + f" (spread {vals[0]:.0f}/{med:.0f}/{vals[-1]:.0f} "
+              f"over {len(vals)} windows)", file=sys.stderr)
 
 
 def _probe_device(timeout_s: int = 180) -> bool:
@@ -570,62 +601,59 @@ def main():
           f"{attempts[-1][0]:.0f}x over {len(attempts)} windows)",
           file=sys.stderr)
 
-    _measure(details, "tvconv_rt_factor_2^17_512",
-             lambda: bench_pconv_rt(tv=True)[0],
-             "tvconv 2^17-tap @512: {:.1f}x real time")
-    _measure(details, "dconv_rt_factor_512tap", bench_dconv,
-             "dconv 512-tap: {:.1f}x real time")
-    # serving gets the same multi-window treatment as the headline: the
-    # relay drifts 2-3x between ~10-min windows, so a single reading
-    # under- or over-states aggregate throughput by the window it lands
-    # in. Publish the MEDIAN window plus the full spread (a max would
-    # drift-select the luckiest window).
-    sv_attempts = []
-    for attempt in range(3):
-        try:
-            sv_attempts.append(bench_batched_serving())
-        except Unmeasurable as e:
-            print(f"serving attempt {attempt}: {e}", file=sys.stderr)
-    if sv_attempts:
-        sv_attempts.sort()
-        sv_med = sv_attempts[(len(sv_attempts) - 1) // 2]
-        details["serving_64ch_audio_seconds_per_second"] = round(sv_med, 1)
-        details["serving_64ch_spread"] = {
-            "min": round(sv_attempts[0], 1),
-            "median": round(sv_med, 1),
-            "max": round(sv_attempts[-1], 1),
-            "windows": len(sv_attempts),
-        }
-        print(f"serving 64ch 2^17-tap: {sv_med:.0f} aggregate "
-              f"audio-s/s (spread {sv_attempts[0]:.0f}/"
-              f"{sv_med:.0f}/{sv_attempts[-1]:.0f} "
-              f"over {len(sv_attempts)} windows)", file=sys.stderr)
-    else:
-        print("OMITTED serving_64ch: unmeasurable in all windows",
-              file=sys.stderr)
-    _measure(details, "serving_64ch_chunk8_audio_seconds_per_second",
-             bench_batched_serving_chunked,
-             "serving 64ch chunked K=8 (85 ms latency): {:.0f} "
-             "aggregate audio-s/s")
-    _measure(details, "serving_64ch_bf16_audio_seconds_per_second",
-             lambda: bench_batched_serving(ring_dtype="bf16"),
-             "serving 64ch bf16 rings (~1e-3 err): {:.0f} "
-             "aggregate audio-s/s")
-    _measure(details, "pconv_offline_rt_factor", bench_pconv_offline,
-             "pconv offline render: {:.0f}x real time")
-    _measure(details, "serving_offline_16ch_audio_seconds_per_second",
-             bench_serving_offline,
-             "serving-offline 16ch: {:.0f} aggregate audio-s/s")
-    _measure(details, "pconv_chunk8_rt_factor", bench_pconv_chunk,
-             "pconv chunked K=8: {:.1f}x real time")
-    _measure(details, "pconv_chunk8_bf16_rt_factor",
-             lambda: bench_pconv_chunk(ring_dtype="bf16"),
-             "pconv chunked K=8 bf16: {:.1f}x real time")
+    # every secondary metric gets the same multi-window median+spread
+    # treatment as the headline (VERDICT r4 #1: tvconv swung 3x between
+    # the one driver window and the README window; nobody could tell
+    # slow from unlucky). Round-robin passes also put the bf16-vs-f32
+    # and chunked-vs-plain pairs in the SAME drift window each pass.
+    _measure_multiwindow(details, {
+        "tvconv_rt_factor_2^17_512": (
+            lambda: bench_pconv_rt(tv=True)[0],
+            "tvconv 2^17-tap @512: {:.1f}x real time"),
+        "dconv_rt_factor_512tap": (
+            bench_dconv, "dconv 512-tap: {:.1f}x real time"),
+        "serving_64ch_audio_seconds_per_second": (
+            bench_batched_serving,
+            "serving 64ch 2^17-tap: {:.0f} aggregate audio-s/s"),
+        "serving_64ch_bf16_audio_seconds_per_second": (
+            lambda: bench_batched_serving(ring_dtype="bf16"),
+            "serving 64ch bf16 rings (~1e-3 err): {:.0f} "
+            "aggregate audio-s/s"),
+        "serving_64ch_chunk8_audio_seconds_per_second": (
+            bench_batched_serving_chunked,
+            "serving 64ch chunked K=8 (85 ms latency): {:.0f} "
+            "aggregate audio-s/s"),
+        "pconv_offline_rt_factor": (
+            bench_pconv_offline, "pconv offline render: {:.0f}x real time"),
+        "serving_offline_16ch_audio_seconds_per_second": (
+            bench_serving_offline,
+            "serving-offline 16ch: {:.0f} aggregate audio-s/s"),
+        "pconv_chunk8_rt_factor": (
+            bench_pconv_chunk, "pconv chunked K=8: {:.1f}x real time"),
+        "pconv_chunk8_bf16_rt_factor": (
+            lambda: bench_pconv_chunk(ring_dtype="bf16"),
+            "pconv chunked K=8 bf16: {:.1f}x real time"),
+    })
 
     details["fft_sweep"] = bench_fft_sweep()
 
     with open("bench_details.json", "w") as f:
         json.dump(details, f, indent=2)
+
+    # evidence hygiene (VERDICT r4 #6a): regenerate README's perf block
+    # from the artifact just written, so `tools/readme_perf.py --check`
+    # can never fail at snapshot+capture time
+    try:
+        import importlib.util as _ilu
+        _rp = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "tools", "readme_perf.py")
+        _spec = _ilu.spec_from_file_location("readme_perf", _rp)
+        _mod = _ilu.module_from_spec(_spec)
+        _spec.loader.exec_module(_mod)
+        _mod.main([])
+    except Exception as e:
+        print(f"warning: README perf re-render failed: {e!r}",
+              file=sys.stderr)
 
     # Headline line for the driver (target: >100x real time, BASELINE.md)
     print(json.dumps({

@@ -90,9 +90,11 @@ def rt_ratio(pts: int, ir_len: int, scan_blocks: int = 512, reps: int = 4,
         floor_block = max(2 * cfg.pts * 4 * 2 / 3e12, 0.02e-6)
     elif cfg._use_decomposed_stream(tv=tv):
         # decomposed engine: operand windows stream from HBM once per
-        # 8-block group (macflow kernel) — 4 (nparts, bins) f32 planes
-        # per group is the least any route reads
-        floor_block = max(4 * cfg.nparts * cfg.bins * 4 / 8 / 3e12,
+        # group (macflow kernel) — 4 (nparts, bins) f32 planes per
+        # group is the least any route reads. Divide by the MAXIMUM
+        # group size (pick_group caps gb at 32) so the floor keeps its
+        # 5x-generous margin whatever group the dispatcher picks.
+        floor_block = max(4 * cfg.nparts * cfg.bins * 4 / 32 / 3e12,
                           0.02e-6)
     else:
         floor_block = max(4 * cfg.nparts * cfg.bins * 4 / 3e12, 0.2e-6)
@@ -106,7 +108,157 @@ def rt_ratio(pts: int, ir_len: int, scan_blocks: int = 512, reps: int = 4,
     return (pts / SR) / per_block
 
 
+def cpu_rt_ratio_inprocess(pts: int, ir_len: int, scan_blocks: int = 32,
+                           repeats: int = 3, tv: bool = True) -> float:
+    """Real-time ratio of the SAME workload on the CPU backend — the
+    comparison-oracle arm of the reference's benchmark (its published
+    table is GPU vs the CPU `tvconv` opcode on the identical signal
+    path, /root/reference/csound/tests.py:19-34, tests.csd:14-18).
+
+    Must run in a process whose jax platform is cpu BEFORE backend init
+    (the env pins axon; use `--cpu-point` which provisions it). Plain
+    wall-clock timing: no relay, no drift — min over repeats."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import pconv as P
+
+    cfg = P.PconvConfig.for_ir_length(ir_len, pts)
+    rng = np.random.default_rng(0)
+    base = jax.tree.map(np.asarray, P.pconv_init(cfg))
+    blocks = jnp.asarray(rng.standard_normal((scan_blocks, pts)) * 0.1,
+                         jnp.float32)
+    if tv:
+        fn = jax.jit(partial(P.pconv_stream_tv, cfg), donate_argnums=(0,))
+        args = (blocks, blocks)
+    else:
+        fn = jax.jit(partial(P.pconv_stream, cfg), donate_argnums=(0,))
+        args = (blocks,)
+
+    def make_state():
+        return jax.tree.map(jnp.asarray, base)
+
+    _sync(fn(make_state(), *args)[1])           # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        st = make_state()
+        t0 = time.time()
+        st, out = fn(st, *args)
+        _sync(out)
+        best = min(best, time.time() - t0)
+    per_block = best / scan_blocks
+    return (pts / SR) / per_block
+
+
+def measure_cpu_oracle(parts_list, ir_list, out_path, tv=True,
+                       timeout_s=1200):
+    """CPU-backend timings for every grid point, via one subprocess per
+    point (the parent's jax is pinned to the TPU platform; the child
+    forces cpu before backend init). Results merge into `out_path`
+    (points already present are kept — CPU numbers don't drift)."""
+    import os
+    import subprocess
+
+    try:
+        with open(out_path) as f:
+            cpu = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        cpu = {}
+    env = dict(os.environ)
+    site = os.path.dirname(os.path.dirname(np.__file__))
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env["PYTHONPATH"] = os.pathsep.join(
+        [root, site] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else []))
+    for pts in parts_list:
+        for L in ir_list:
+            if L < pts:
+                continue
+            key = f"M={pts},L=2^{int(np.log2(L))}"
+            if key in cpu:
+                continue
+            code = (
+                "import jax; jax.config.update('jax_platforms','cpu');\n"
+                "from opencl_fft_tpu.bench.sweep import "
+                "cpu_rt_ratio_inprocess as f;\n"
+                f"print('CPU_RT', f({pts}, {L}, tv={tv}))")
+            try:
+                r = subprocess.run([sys.executable, "-c", code],
+                                   capture_output=True, text=True,
+                                   timeout=timeout_s, env=env)
+                line = [ln for ln in (r.stdout or "").splitlines()
+                        if ln.startswith("CPU_RT ")]
+                if r.returncode == 0 and line:
+                    cpu[key] = round(float(line[0].split()[1]), 1)
+                    print(f"  cpu-oracle {key}: {cpu[key]:.1f}x realtime",
+                          file=sys.stderr, flush=True)
+                else:
+                    print(f"  cpu-oracle {key}: FAILED "
+                          f"({(r.stderr or '')[-160:]})",
+                          file=sys.stderr, flush=True)
+            except subprocess.TimeoutExpired:
+                print(f"  cpu-oracle {key}: timeout after {timeout_s}s",
+                      file=sys.stderr, flush=True)
+            with open(out_path, "w") as f:
+                json.dump(cpu, f, indent=2)
+    return cpu
+
+
 _HISTORY_KEEP = 9      # pooled drift windows per published point
+
+
+def _code_fingerprint() -> str:
+    """Hash of the dispatch-relevant modules (everything under ops/,
+    which holds the engines, kernels and measured dispatch tables).
+    History windows are stamped with this; a window measured under a
+    different program is auto-discarded instead of silently pooling
+    stale-kernel readings into shipped numbers (the failure mode was:
+    re-running after a kernel change without the documented
+    --reset-history blended old-program windows into the medians)."""
+    import hashlib
+    import os
+
+    from .. import ops
+    root = os.path.dirname(os.path.abspath(ops.__file__))
+    h = hashlib.sha256()
+    for dirpath, _dirs, files in sorted(os.walk(root)):
+        if "__pycache__" in dirpath:
+            continue
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                with open(os.path.join(dirpath, fn), "rb") as f:
+                    h.update(fn.encode())
+                    h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def _load_history(hist_path: str, fp: str) -> dict:
+    """history file -> {key: [windows]}, dropping stale-fingerprint
+    entries. Legacy un-stamped lists (pre-r5 format) are kept once with
+    a note — they predate the stamping and the operator already vetted
+    them via --reset-history discipline; everything written back is
+    stamped."""
+    try:
+        with open(hist_path) as f:
+            raw = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+    out = {}
+    stale = []
+    for k, v in raw.items():
+        if isinstance(v, list):                  # legacy format
+            out[k] = v
+        elif isinstance(v, dict) and v.get("fp") == fp:
+            out[k] = v.get("windows", [])
+        else:
+            stale.append(k)
+    if stale:
+        print(f"  history: discarded {len(stale)} stale-fingerprint "
+              f"point(s) (code changed since they were measured): "
+              f"{', '.join(sorted(stale)[:6])}"
+              f"{'...' if len(stale) > 6 else ''}",
+              file=sys.stderr, flush=True)
+    return out
 
 
 def run_sweep(parts_list, ir_list, tv=True, out_prefix="sweep",
@@ -152,11 +304,8 @@ def run_sweep(parts_list, ir_list, tv=True, out_prefix="sweep",
                 if old is not None:
                     prior_row[(pts, L)] = old
     hist_path = f"{out_prefix}_history.json"
-    try:
-        with open(hist_path) as f:
-            history = json.load(f)
-    except (OSError, json.JSONDecodeError):
-        history = {}
+    fp = _code_fingerprint()
+    history = _load_history(hist_path, fp)
     for pts in parts_list:
         Ls = [L for L in ir_list if L >= pts]
         if reset_history:
@@ -243,7 +392,8 @@ def run_sweep(parts_list, ir_list, tv=True, out_prefix="sweep",
                 history[key] = [round(v, 1) for v in pooled(L)]
 
     with open(hist_path, "w") as f:
-        json.dump(history, f, indent=2)
+        json.dump({k: {"fp": fp, "windows": v} for k, v in history.items()},
+                  f, indent=2)
     with open(f"{out_prefix}.json", "w") as f:
         json.dump(results, f, indent=2)
 
@@ -253,17 +403,33 @@ def run_sweep(parts_list, ir_list, tv=True, out_prefix="sweep",
     parts_list = sorted(set(parts_list) | set(all_parts))
     ir_list = sorted(set(ir_list) | set(all_irs))
 
-    # table.tex analog (tests.py:70-76): rows = partition sizes, cols = L
+    # table.tex analog (tests.py:70-76): rows = partition sizes, cols = L.
+    # When the CPU-oracle arm has been measured (--cpu-oracle ->
+    # <prefix>_cpu.json), each M additionally gets a CPU row and a
+    # TPU/CPU speedup row — the reference's published table is exactly
+    # this device-vs-`tvconv` comparison (tests.csd:14-18).
+    try:
+        with open(f"{out_prefix}_cpu.json") as f:
+            cpu = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        cpu = {}
     with open(f"{out_prefix}_table.tex", "w") as f:
         cols = " & ".join(f"$2^{{{int(np.log2(L))}}}$" for L in ir_list)
         f.write("\\begin{tabular}{l" + "r" * len(ir_list) + "}\n")
         f.write(f"M / L & {cols} \\\\\n\\hline\n")
         for pts in parts_list:
-            vals = []
+            vals, cvals, rvals = [], [], []
             for L in ir_list:
                 key = f"M={pts},L=2^{int(np.log2(L))}"
                 vals.append(f"{results[key]:.0f}" if key in results else "--")
+                cvals.append(f"{cpu[key]:.0f}" if key in cpu else "--")
+                rvals.append(f"{results[key] / cpu[key]:.1f}"
+                             if key in results and cpu.get(key) else "--")
             f.write(f"{pts} & " + " & ".join(vals) + " \\\\\n")
+            if any(v != "--" for v in cvals):
+                f.write(f"{pts} (cpu) & " + " & ".join(cvals) + " \\\\\n")
+                f.write(f"{pts} (speedup) & " + " & ".join(rvals)
+                        + " \\\\\n")
         f.write("\\end{tabular}\n")
 
     # plot.csv: RT ratio vs log2(L), one column per M (plot.eps analog)
@@ -317,6 +483,11 @@ def main():
                     help="clear the measured rows' pooled window history "
                          "first (REQUIRED after a code change that alters "
                          "those rows' kernels)")
+    ap.add_argument("--cpu-oracle", action="store_true",
+                    help="also measure the CPU-backend comparison arm "
+                         "(one subprocess per missing grid point; merged "
+                         "into <out>_cpu.json and the table.tex "
+                         "speedup rows)")
     args = ap.parse_args()
     if args.row:
         parts = [args.row]
@@ -328,6 +499,9 @@ def main():
         # the reference grid: tests.py:10,12
         parts = [1 << 9, 1 << 11, 1 << 13, 1 << 15]
         irs = [1 << k for k in range(16, 23)]
+    if args.cpu_oracle:
+        measure_cpu_oracle(parts, irs, f"{args.out}_cpu.json",
+                           tv=not args.lti)
     run_sweep(parts, irs, tv=not args.lti, out_prefix=args.out,
               row_repeats=args.repeats, merge_json=args.merge or None,
               reset_history=args.reset_history)

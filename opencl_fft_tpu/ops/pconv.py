@@ -1312,9 +1312,13 @@ def pconv_stream_batched_chunked(cfg: PconvConfig, state: PconvState,
     if nb % K:
         raise ValueError(f"nblocks {nb} must be a multiple of K={K}")
     # per-channel ring-pointer vectors: the chunk engine assumes the
-    # shared-scalar state layout; the per-block engine handles both
+    # shared-scalar state layout; the per-block engine handles both.
+    # The carry-envelope delegation applies to every pallas mode except
+    # the explicit "macflow"/"off" chunk-engine opt-ins (docstring
+    # contract): a user pinning e.g. pallas="stream" must not silently
+    # get the measured-negative chunk path at resident shapes.
     if (jnp.ndim(state.wp) != 0
-            or (cfg.pallas == "auto"
+            or (cfg.pallas not in ("macflow", "off")
                 and B * 4 * cfg.nparts * cfg.bins * 4
                 <= 64 * 1024 * 1024)):
         # measured scan-unroll guidance (serving tool): narrow batches
@@ -1367,9 +1371,13 @@ def pconv_stream_batched_tv_chunked(cfg: PconvConfig, state: PconvState,
     if nb % K:
         raise ValueError(f"nblocks {nb} must be a multiple of K={K}")
     # per-channel ring-pointer vectors: the chunk engine assumes the
-    # shared-scalar state layout; the per-block engine handles both
+    # shared-scalar state layout; the per-block engine handles both.
+    # As in the LTI wrapper: only the explicit "macflow" opt-in forces
+    # the chunk engine; every other pallas mode takes the measured
+    # delegation (the chunk path is a measured NEGATIVE at
+    # resident-kernel shapes).
     if (jnp.ndim(state.wp) != 0 or jnp.ndim(state.wp2) != 0
-            or (cfg.pallas == "auto"
+            or (cfg.pallas != "macflow"
                 and not cfg._use_decomposed_stream(tv=True))):
         return pconv_stream_batched_tv(cfg, state, blocks_x, blocks_h,
                                        unroll=1 if B >= 16 else 8)

@@ -166,7 +166,10 @@ def open_host(callback: PipelineCallback, sr: int = 48000,
     if prefer in ("auto", "sounddevice"):
         try:
             return SoundDeviceHost(callback, sr=sr, frames=frames, **kw)
-        except RuntimeError:
+        except Exception:
+            # auto must fall back on ANY open failure: with sounddevice
+            # installed but no audio device (headless CI), sd.Stream()
+            # raises sounddevice.PortAudioError, not RuntimeError
             if prefer == "sounddevice":
                 raise
     return VirtualHost(callback, sr=sr, frames=frames, source=source)

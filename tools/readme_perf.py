@@ -47,12 +47,18 @@ def render(details: dict, sweep: dict) -> str:
         f"  single stream (the headline config): **{us:g} µs per block —\n"
         f"  {rtf:g}× real time** ({_fmt_spread(sp)},\n"
         f"  `bench_details.json`); the reference target is >100×")
+    def _sp(key):
+        s = details.get(key + "_spread")
+        return f" ({_fmt_spread(s)})" if s else ""
+
     if "tvconv_rt_factor_2^17_512" in details:
         out.append(f"- time-varying convolution, same config: "
-                   f"{details['tvconv_rt_factor_2^17_512']:g}× real time")
+                   f"{details['tvconv_rt_factor_2^17_512']:g}× real time"
+                   f"{_sp('tvconv_rt_factor_2^17_512')}")
     if "dconv_rt_factor_512tap" in details:
         out.append(f"- direct 512-tap FIR @ 512-sample blocks: "
-                   f"{details['dconv_rt_factor_512tap']:g}× real time")
+                   f"{details['dconv_rt_factor_512tap']:g}× real time"
+                   f"{_sp('dconv_rt_factor_512tap')}")
 
     fft = details.get("fft_sweep", {})
     if fft:
@@ -104,8 +110,10 @@ def render(details: dict, sweep: dict) -> str:
     serve = []
     if "serving_64ch_audio_seconds_per_second" in details:
         s = f"{details['serving_64ch_audio_seconds_per_second']:g}"
-        if "serving_64ch_spread" in details:
-            s += f" ({_fmt_spread(details['serving_64ch_spread'])})"
+        sp = (details.get("serving_64ch_audio_seconds_per_second_spread")
+              or details.get("serving_64ch_spread"))
+        if sp:
+            s += f" ({_fmt_spread(sp)})"
         serve.append(f"64-channel streaming {s}")
     if "serving_64ch_bf16_audio_seconds_per_second" in details:
         serve.append(
