@@ -378,10 +378,18 @@ def _fft_mm(x: Cplx, sign: int, inner: bool = False,
     n = re.shape[-1]
     if gauss_min is None:
         gauss_min = _GAUSS_BY_ROOT.get(n, _GAUSS_MIN_N)
+    # per-LEVEL Gauss (VERDICT r4 #9): a (g1, g2) pair applies g1 to the
+    # first factor's leaf/subtree and g2 to the second — needed to race
+    # Gauss on exactly one level of a balanced tree (e.g. 2^16 = 256x256,
+    # where a size threshold cannot distinguish the levels).
+    if isinstance(gauss_min, tuple):
+        g1, g2 = gauss_min
+    else:
+        g1 = g2 = gauss_min
     elems = re.size            # static at trace time; constant down the
     #                            recursion, so one plan bucket per call tree
     if _is_leaf(n, elems, inner):
-        return _leaf_dft(re, im, sign, -1, gauss_min)
+        return _leaf_dft(re, im, sign, -1, g1)
     n1, n2 = _split_factors(n, elems, inner)
     batch = re.shape[:-1]
 
@@ -393,11 +401,11 @@ def _fft_mm(x: Cplx, sign: int, inner: bool = False,
     if _is_leaf(n1, elems, True) and n1 >= _AXIS2_MIN_N1:
         # transpose-free first factor: contract n1 over axis -2 directly
         # (wins ~20% at 2^20; hurts small transforms, hence the gate)
-        re, im = _leaf_dft(re, im, sign, -2, gauss_min)  # (..., k1, n2)
+        re, im = _leaf_dft(re, im, sign, -2, g1)         # (..., k1, n2)
     else:
         re = jnp.swapaxes(re, -1, -2)                    # (..., n2, n1)
         im = jnp.swapaxes(im, -1, -2)
-        re, im = _fft_mm((re, im), sign, True, gauss_min)  # DFT over n1
+        re, im = _fft_mm((re, im), sign, True, g1)       # DFT over n1
         re = jnp.swapaxes(re, -1, -2)                    # (..., k1, n2)
         im = jnp.swapaxes(im, -1, -2)
     twr, twi = _fourstep_twiddle_np(n1, n2, sign, k1_major=True,
@@ -405,9 +413,9 @@ def _fft_mm(x: Cplx, sign: int, inner: bool = False,
     twr, twi = jnp.asarray(twr), jnp.asarray(twi)
     re, im = re * twr - im * twi, re * twi + im * twr
     if _is_leaf(n2, elems, True) and n2 >= _OUT_T_MIN_N2:
-        re, im = _leaf_dft_out_t(re, im, sign, gauss_min)  # (..., k2, k1)
+        re, im = _leaf_dft_out_t(re, im, sign, g2)       # (..., k2, k1)
     else:
-        re, im = _fft_mm((re, im), sign, True, gauss_min)  # DFT over n2
+        re, im = _fft_mm((re, im), sign, True, g2)       # DFT over n2
         re = jnp.swapaxes(re, -1, -2)                    # (..., k2, k1)
         im = jnp.swapaxes(im, -1, -2)
     return shape_to(re, (n,)), shape_to(im, (n,))

@@ -86,7 +86,7 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def supported(n: int) -> bool:
-    return n in _PLANS or n in _PLANS2
+    return n in _PLANS or n in _PLANS2 or n in _PLANS_SL
 
 
 # ---------------------------------------------------------------------------
@@ -197,6 +197,43 @@ def _twiddle_np(f: int, rest: int, sign: int, scale: float = 1.0):
     ph = np.outer(np.arange(f, dtype=np.float64), np.arange(rest, dtype=np.float64))
     w = scale * np.exp(sign * 2j * np.pi * ph / (f * rest))
     return w.real.astype(np.float32), w.imag.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _leaf_stackedT_np(f: int, sign: int):
+    """Transposed stacked leaf for ROW-side dots: two (6f, f) bf16
+    tables (real, imag output columns) such that
+    [zh | zl | zh]_(M,6f) @ W gives the bf16x3 f-point DFT of each row
+    (z stacked along lanes by _stack6). Plain (M,K)@(K,N) matmuls — the
+    M dimension carries batch*f1, so Mosaic never sees a batched dot."""
+    stk = _leaf_stacked_np(f, sign)          # (2f, 6f) = [Bh | Bl | Bh]
+    t = stk.T.copy()                         # (6f, 2f)
+    return t[:, :f].copy(), t[:, f:].copy()
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddle_tiled_np(f1: int, f2: int, sign: int, tb: int,
+                      scale: float = 1.0):
+    """(tb*f1, f2) f32 re/im twiddle scale·ω_N^{k1·b} with rows tiled
+    over tb (row r carries digit k1 = r mod f1) — 2-D so the kernel
+    never touches a 3-D broadcast. The epilogue scale folds here
+    (exact f32, applied before the last linear level)."""
+    tr, ti = _twiddle_np(f1, f2, sign, scale)
+    return (np.tile(tr, (tb, 1)).copy(), np.tile(ti, (tb, 1)).copy())
+
+
+@functools.lru_cache(maxsize=None)
+def _wcol_np(f1: int, sign: int, tb: int):
+    """(tb*f1, f1) f32 re/im sublane-DFT weight columns: column s at row
+    r (output digit k = r mod f1) holds ω_{f1}^{k·((k+s) mod f1)} — the
+    weight of the rolled-by-s canvas in out[k] (_vmemfft_sl_kernel)."""
+    k = np.arange(f1, dtype=np.float64)[:, None]
+    s = np.arange(f1, dtype=np.float64)[None, :]
+    n1 = np.mod(k + s, f1)
+    w = np.exp(sign * 2j * np.pi * k * n1 / f1)
+    wr = np.tile(w.real.astype(np.float32), (tb, 1)).copy()
+    wi = np.tile(w.imag.astype(np.float32), (tb, 1)).copy()
+    return wr, wi
 
 
 # ---------------------------------------------------------------------------
@@ -503,6 +540,80 @@ def _vmemfft2_kernel(f1, f2, tb, scale, in_r, in_i, w1, w2, t1r, t1i,
     else:
         out_r[:] = y[:f2]
         out_i[:] = y[f2:]
+
+
+def _vmemfft_sl_kernel(f1, f2, tb, inkernel_t, in_r, in_i, w2tr, w2ti,
+                       t1r, t1i, wcr, wci, out_r, out_i):
+    """Two-level kernel: SUBLANE-digit DFT on the VPU + lane-leaf MXU dot.
+
+    The r3/r4 two-level kernels lost at 2^10-2^12 (3565 us vs mm's 255,
+    bench_results/vmemfft_ab.json) because every formulation of the
+    f1 level either batched the leaf dot (Mosaic lowers that as a
+    per-row loop of tiny matmuls) or forced an in-kernel canvas
+    relayout between the levels. This kernel removes both:
+
+      * the f1-point DFT over the SUBLANE digit a (stride f2, which
+        must pair with the LOW output digit k1) runs on the VPU as f1
+        static `pltpu.roll`s of the raw canvas with host-precomputed
+        per-output-digit weight columns: A[.., k1, ..] = sum_s
+        w[k1, s] * x[.., (k1+s) mod f1, ..]. The group-cyclic index is
+        two global rolls (cumulative 1-step + f1) blended by a
+        sublane-digit mask — exact f32 MACs, no unaligned slices.
+      * the f2-point leaf over the LANE digit is ONE plain
+        (tb*f1, 6f2) x (6f2, f2) bf16x3 matmul per output plane — the
+        shared table is a plain dot operand with batch*f1 folded into M
+        (the shape VERDICT r4 #2 prescribed), so the MXU sees full
+        128-row tiles at any tb >= 16.
+
+    The factored FFT's one digit transpose (out index k = k1 + f1*k2;
+    the canvas computes (k1, k2)-major) is NOT avoidable; it is taken
+    either in-kernel (`inkernel_t`: one (tb, f1, f2) -> (tb, f2, f1)
+    value relayout before the store — racing the r2 "relayouts are
+    pathological" rule at small-plane shapes) or as one XLA transpose
+    pass in the wrapper (2 HBM passes total, still below the mm path's
+    measured cost at 2^11-2^13). Reference equivalent: log2(n) kernel
+    dispatches + bit-reversal pass (cl_fft.cpp:138-151).
+    """
+    M = tb * f1
+    xr = in_r[:].reshape(M, f2)
+    xi = in_i[:].reshape(M, f2)
+
+    # L1: sublane-digit DFT (a -> k1), exact f32
+    kdig = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0) & (f1 - 1)
+    wr, wi = wcr[:], wci[:]                              # (M, f1)
+    acc_r = wr[:, 0:1] * xr - wi[:, 0:1] * xi
+    acc_i = wr[:, 0:1] * xi + wi[:, 0:1] * xr
+    ar, ai = xr, xi
+    for s in range(1, f1):
+        # cumulative: after s steps ar[r] == xr[(r + s) mod M]
+        ar = pltpu.roll(ar, M - 1, 0)
+        ai = pltpu.roll(ai, M - 1, 0)
+        br = pltpu.roll(ar, f1, 0)                       # x[(r + s - f1)]
+        bi = pltpu.roll(ai, f1, 0)
+        m = kdig < (f1 - s)
+        ur = jnp.where(m, ar, br)
+        ui = jnp.where(m, ai, bi)
+        cr, ci = wr[:, s:s + 1], wi[:, s:s + 1]
+        acc_r = acc_r + cr * ur - ci * ui
+        acc_i = acc_i + cr * ui + ci * ur
+
+    # twiddle T[k1, b] (scale folded here: f32, before the last level)
+    tr, ti = t1r[:], t1i[:]                              # (M, f2) tiled
+    hr = acc_r * tr - acc_i * ti
+    hi = acc_r * ti + acc_i * tr
+
+    # L2: lane-leaf dot (b -> k2), bf16x3 stacked
+    z = _stack6(hr, hi, axis=1)                          # (M, 6f2) bf16
+    yr = jax.lax.dot_general(z, w2tr[:], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    yi = jax.lax.dot_general(z, w2ti[:], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    if inkernel_t:
+        out_r[:] = jnp.transpose(yr.reshape(tb, f1, f2), (0, 2, 1))
+        out_i[:] = jnp.transpose(yi.reshape(tb, f1, f2), (0, 2, 1))
+    else:
+        out_r[:] = yr.reshape(tb, f1, f2)
+        out_i[:] = yi.reshape(tb, f1, f2)
 
 
 def _vmemfft3h_kernel(f1, f2, f3, tb, scale, in_r, in_i, w1, w2, w3, t1r, t1i,
@@ -836,6 +947,57 @@ def _build2(n: int, sign: int, rows: int, interpret: bool, tb_override=None,
     return call, tables, (f1, f2)
 
 
+# Sublane-DFT single-pass plans: n = f1 (sublane digit, VPU) * f2 (lane
+# leaf, MXU dot). f1 stays small (the VPU level costs ~f1 complex MACs
+# per element); f2 carries the dense MXU leaf (cost ~ 8*E*f2 MACs, so it
+# wants to stay <= 512). tb = rows per grid step.
+_PLANS_SL = {
+    1 << 10: (8, 128, 256),
+    1 << 11: (8, 256, 128),
+    1 << 12: (16, 256, 64),
+    1 << 13: (16, 512, 32),
+    1 << 14: (16, 1024, 16),     # MXU-heavy; raced for the record
+}
+
+
+@functools.lru_cache(maxsize=None)
+def _build_sl(n: int, sign: int, rows: int, interpret: bool,
+              tb_override=None, scale: float = 1.0,
+              rowmajor_out: bool = True):
+    f1, f2, tb = _PLANS_SL[n]
+    if tb_override:
+        tb = tb_override
+    while rows % tb:
+        tb //= 2
+    w2tr, w2ti = _leaf_stackedT_np(f2, sign)
+    t1r, t1i = _twiddle_tiled_np(f1, f2, sign, tb, scale)
+    wcr, wci = _wcol_np(f1, sign, tb)
+    tables = [w2tr, w2ti, t1r, t1i, wcr, wci]
+    kern = functools.partial(_vmemfft_sl_kernel, f1, f2, tb, rowmajor_out)
+    table_specs = [pl.BlockSpec(t.shape, (lambda nd: lambda b: (0,) * nd)(t.ndim),
+                                memory_space=pltpu.VMEM) for t in tables]
+    oshape = (rows, f2, f1) if rowmajor_out else (rows, f1, f2)
+    oblock = (tb,) + oshape[1:]
+    call = pl.pallas_call(
+        kern,
+        grid=(rows // tb,),
+        out_shape=tuple(jax.ShapeDtypeStruct(oshape, jnp.float32)
+                        for _ in range(2)),
+        in_specs=[
+            pl.BlockSpec((tb, f1, f2), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, f1, f2), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + table_specs,
+        out_specs=tuple(pl.BlockSpec(oblock, lambda b: (b, 0, 0),
+                                     memory_space=pltpu.VMEM)
+                        for _ in range(2)),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )
+    return call, tables, (f1, f2)
+
+
 @functools.lru_cache(maxsize=None)
 def _build(n: int, sign: int, rows: int, interpret: bool, tb_override=None,
            plan_override=None, scale: float = 1.0, transposed: bool = False,
@@ -974,6 +1136,20 @@ def fft_vmem(x: Cplx, sign: int, interpret: bool = False,
             plan_override=plan_override,
             gauss_mask=(gauss_mask if gauss_mask is not None
                         else _MASKS_F2.get(n, 0)))
+    if levels == 9:                       # sublane-DFT two-level kernel
+        if n not in _PLANS_SL:
+            raise ValueError(f"sublane-DFT kernel: unsupported size {n}")
+        call, tables, (f1, f2) = _build_sl(n, sign, rows, interpret,
+                                           tb_override or None, scale=scale,
+                                           rowmajor_out=rowmajor_out)
+        out_r, out_i = call(re.reshape(rows, f1, f2),
+                            im.reshape(rows, f1, f2), *tables)
+        if not rowmajor_out:
+            # kernel emitted the (k1, k2)-major canvas; the spectrum is
+            # (k2, k1)-major (k = k1 + f1*k2) — one XLA transpose pass
+            out_r = jnp.transpose(out_r, (0, 2, 1))
+            out_i = jnp.transpose(out_i, (0, 2, 1))
+        return (out_r.reshape(lead + (n,)), out_i.reshape(lead + (n,)))
     if gauss_mask is None:
         gauss_mask = _MASKS.get(n, 7)
     if levels in (2, 4) and plan_override is not None:

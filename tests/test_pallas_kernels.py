@@ -353,6 +353,42 @@ def test_vmemfft_front2_matches_numpy(n, plan, mask, sign):
     np.testing.assert_allclose(got, ref, atol=1e-4 * scale, rtol=0)
 
 
+@pytest.mark.parametrize("n", [1 << 10, 1 << 11, 1 << 12, 1 << 13])
+@pytest.mark.parametrize("sign", [-1, 1])
+def test_vmemfft_sublane_matches_numpy(n, sign):
+    """Sublane-DFT two-level kernel (levels=9, VERDICT r4 #2): the VPU
+    f1-level is exact f32 and the lane leaf bf16x3, so the budget is the
+    same ~5e-5 relative as the other kernels. Both output modes
+    (in-kernel digit transpose / XLA transpose pass) must agree with
+    numpy; a scale must fold into the twiddle table exactly."""
+    from opencl_fft_tpu.ops.pallas.vmemfft import _PLANS_SL
+    assert n in _PLANS_SL and supported(n)
+    x = (RNG.standard_normal((4, n)) + 1j * RNG.standard_normal((4, n)))
+    sp = (jnp.asarray(x.real, jnp.float32), jnp.asarray(x.imag, jnp.float32))
+    s = 1.0 / np.sqrt(n)
+    ref = (np.fft.fft(x) if sign == -1 else np.fft.ifft(x) * n) * s
+    scale = np.max(np.abs(ref))
+    for rowmajor in (True, False):
+        re, im = fft_vmem(sp, sign, interpret=True, levels=9, scale=s,
+                          rowmajor_out=rowmajor)
+        got = np.asarray(re) + 1j * np.asarray(im)
+        np.testing.assert_allclose(got, ref, atol=1e-4 * scale, rtol=0)
+
+
+def test_vmemfft_sublane_tb_override_and_determinism():
+    n = 1 << 10
+    x = (RNG.standard_normal((6, n)) + 1j * RNG.standard_normal((6, n)))
+    sp = (jnp.asarray(x.real, jnp.float32), jnp.asarray(x.imag, jnp.float32))
+    ar, ai = fft_vmem(sp, -1, interpret=True, levels=9, tb_override=2)
+    br, bi = fft_vmem(sp, -1, interpret=True, levels=9, tb_override=2)
+    assert np.array_equal(np.asarray(ar), np.asarray(br))
+    assert np.array_equal(np.asarray(ai), np.asarray(bi))
+    ref = np.fft.fft(x)
+    got = np.asarray(ar) + 1j * np.asarray(ai)
+    np.testing.assert_allclose(got, ref,
+                               atol=1e-4 * np.max(np.abs(ref)), rtol=0)
+
+
 def test_vmemfft_front2_via_levels8():
     """fft_vmem(levels=8) routes to the front-2 hybrid (identical
     output), so the A/B tool's variant plumbing exercises production

@@ -96,6 +96,13 @@ def candidates(logn: int):
         cands[f"b{h}"] = (patch, False, None)
         cands[f"b{h}t"] = (patch, True, None)
         cands[f"b{h}g"] = (patch, False, 64)
+        # per-LEVEL Gauss (VERDICT r4 #9): a size threshold cannot
+        # distinguish the two equal leaves of the balanced tree, so
+        # these pass a (g1, g2) pair — Gauss on the first level only
+        # (gl) or the second only (gr)
+        off = 1 << 30
+        cands[f"b{h}gl"] = (patch, False, (64, off))
+        cands[f"b{h}gr"] = (patch, False, (off, 64))
     # leaf-sized alternative top splits (small transforms: the whole
     # tree is two leaf levels; which edge carries the MXU matters)
     for n1a in {16, 32, 64, 128} - {n1}:

@@ -49,6 +49,9 @@ def default_variants(logn: int):
     if n in vmemfft._PLANS3H:
         tb = vmemfft._PLANS3H[n][3]
         v += [f"h3_tb{tb}"]
+    if n in vmemfft._PLANS_SL:
+        tb = vmemfft._PLANS_SL[n][2]
+        v += [f"sl_tb{tb}", f"slx_tb{tb}"]
     return v
 
 
@@ -75,8 +78,11 @@ def make_runner(logn: int, variant: str, iters: int):
                   else 6 if variant.startswith("g3")   # + Gauss leaves
                   else 7 if variant.startswith("n3")   # lean (no concats)
                   else 8 if variant.startswith("f2")   # front-2 hybrid
+                  else 9 if variant.startswith("sl")   # sublane-DFT 2-level
                   else int(variant[1]))
-        rowmajor = not variant.startswith("l2x")   # l2x = XLA-transpose out
+        # l2x / slx = XLA-transpose out (kernel emits the freq-major canvas)
+        rowmajor = not (variant.startswith("l2x")
+                        or variant.startswith("slx"))
         parts = variant.split("_")
         tb = int(parts[1][2:])                     # _tb<k> (unused for f2)
         plan = None                                # _p<f1>x<f2>x<f3> override
