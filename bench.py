@@ -65,36 +65,53 @@ class Unmeasurable(RuntimeError):
     rather than publish a garbage number."""
 
 
-def _time_chained(fn, make_state, args, reps=4, warm=1, floor_s=0.0):
-    """Seconds per fn() call: chain state through repeated async dispatches,
-    sync once, subtract a short chain to cancel dispatch+sync overhead.
+def _time_chained_fori(step, make_state, args, floor_s=0.0, reps=3):
+    """Seconds per step() call, with the repetition chained ON DEVICE in
+    a fori_loop — ONE dispatch per timed chain.
 
-    Timing estimator: utils.profiling.median_chain_delta (median of >= 2
-    floor-guarded deltas; see its docstring for the drift rationale).
-    floor_s is the minimum physically plausible seconds per call (the
-    HBM-bandwidth bound on the bytes the call must touch). A window that
-    never yields enough physical deltas raises Unmeasurable instead of
-    publishing a clamped value (the round-1 failure mode: a noise-poisoned
-    non-positive delta clamped to 1 ns shipped as 1.28e12 'results')."""
+    Why this replaces the Python-loop chain for the state-chained
+    metrics: the r5 serving diagnosis (tools/serving_diag.py ->
+    bench_results/serving_diag.json) interleaved the serving measurement
+    with a fixed-cost on-device-chained sentinel matmul. The sentinel
+    held MXU peak (71-93 us/iter) across every window while the
+    Python-loop-chained serving reading swung 310 -> 4457 audio-s/s —
+    the 14-19x "serving spread" was relay DISPATCH congestion entering
+    the timed region once per chained call, not chip drift and not
+    engine bimodality. A fori chain pays dispatch+sync ONCE per chain
+    regardless of reps, and the long-minus-short delta cancels that too.
+
+    step: raw callable (state, *args) -> (state, out). The output is
+    folded into a checksum carried through the loop so XLA cannot
+    dead-code-eliminate the compute that only feeds `out` (e.g. the
+    dconv FIR dot, whose state update alone would keep none of it).
+    Static trip counts: reps stays FIXED (growth would recompile per
+    reps value); pick reps so the chain spans >= ~50 ms of device work.
+    """
+    import jax
+    import jax.numpy as jnp
     from opencl_fft_tpu.utils.profiling import median_chain_delta
 
-    st, out = fn(make_state(), *args)
-    _sync(out)                                   # compile + warm
+    @partial(jax.jit, static_argnums=1, donate_argnums=0)
+    def run_k(st, k):
+        def body(i, carry):
+            st, acc = carry
+            st2, out = step(st, *args)
+            return st2, acc + jnp.sum(out)
+        return jax.lax.fori_loop(0, k, body,
+                                 (st, jnp.float32(0.0)))
 
-    def run(n):
+    def timed(k):
         st = make_state()
         t0 = time.time()
-        out = None
-        for _ in range(n):
-            st, out = fn(st, *args)
-        _sync(out)
+        float(run_k(st, k)[1])
         return time.time() - t0
 
+    timed(1)                                   # compile both trip counts
+    timed(1 + reps)
     floor = max(floor_s, 1e-7)
-    # >=50ms chain spans: per-reading relay sync jitter (~ms) must be
-    # divided by enough chained work to stay <5% of the signal
-    dt, n = median_chain_delta(run, reps, floor, short=warm,
-                               min_chain_s=0.05)
+    # min_chain_s growth recompiles run_k at the grown static trip count
+    # (inner program cached — cheap relative to a jitter-poisoned chain)
+    dt, n = median_chain_delta(timed, reps, floor, min_chain_s=0.05)
     if dt is None:
         raise Unmeasurable(
             f"only {n} physical timing delta(s) above floor "
@@ -144,15 +161,15 @@ def bench_pconv_rt(pts=512, ir_len=1 << 17, tv=False, scan_blocks=1880):
     blocks = jnp.asarray(rng.standard_normal((scan_blocks, pts)) * 0.1,
                          jnp.float32)
     if tv:
-        fn = jax.jit(partial(P.pconv_stream_tv, cfg), donate_argnums=(0,))
+        step = partial(P.pconv_stream_tv, cfg)
         args = (blocks, blocks)
     else:
-        fn = jax.jit(partial(P.pconv_stream, cfg), donate_argnums=(0,))
+        step = partial(P.pconv_stream, cfg)
         args = (blocks,)
 
-    per_scan = _time_chained(
-        fn, make_state, args,
-        floor_s=_stream_floor_s(cfg, scan_blocks, tv=tv))
+    per_scan = _time_chained_fori(
+        step, make_state, args,
+        floor_s=_stream_floor_s(cfg, scan_blocks, tv=tv), reps=16)
     per_block = per_scan / scan_blocks
     return (pts / SR) / per_block, per_block
 
@@ -174,12 +191,12 @@ def bench_dconv(irsize=512, vsize=512, scan_blocks=1880):
 
     blocks = jnp.asarray(rng.standard_normal((scan_blocks, vsize)) * 0.1,
                          jnp.float32)
-    fn = jax.jit(partial(D.dconv_stream, cfg), donate_argnums=(0,))
     # whole-scan kernel regime: per-block HBM traffic is only the block
     # in/out, so the scan-path heuristic floor would reject its speed
     floor_block = 0.02e-6 if cfg._use_stream_kernel() else 0.2e-6
-    per_scan = _time_chained(fn, make_state, (blocks,),
-                             floor_s=floor_block * scan_blocks)
+    per_scan = _time_chained_fori(partial(D.dconv_stream, cfg), make_state,
+                                  (blocks,),
+                                  floor_s=floor_block * scan_blocks, reps=16)
     per_block = per_scan / scan_blocks
     return (vsize / SR) / per_block
 
@@ -205,12 +222,12 @@ def bench_pconv_chunk(pts=512, ir_len=1 << 17, K=8, scan_blocks=1880,
     def chunked(st, chunks):
         return jax.lax.scan(lambda s, c: P.pconv_chunk(cfg, s, c), st, chunks)
 
-    fn = jax.jit(chunked, donate_argnums=(0,))
     nblocks = blocks.shape[0] * K
     ring_bytes = 2 if ring_dtype == "bf16" else 4
     floor = max(nblocks * 4 * cfg.nparts * cfg.bins * ring_bytes / 3e12,
                 0.2e-6 * nblocks)
-    per_scan = _time_chained(fn, make_state, (blocks,), floor_s=floor)
+    per_scan = _time_chained_fori(chunked, make_state, (blocks,),
+                                  floor_s=floor, reps=16)
     per_block = per_scan / nblocks
     return (pts / SR) / per_block
 
@@ -236,10 +253,10 @@ def bench_pconv_offline(pts=512, ir_len=1 << 17, scan_blocks=1880):
 
     blocks = jnp.asarray(rng.standard_normal((scan_blocks, pts)) * 0.1,
                          jnp.float32)
-    fn = jax.jit(partial(P.pconv_offline, cfg), donate_argnums=(0,))
     floor = max(scan_blocks * 2 * (cfg.nparts + 8) * cfg.bins * 4 / 8 / 3e12,
                 0.02e-6 * scan_blocks)
-    per_scan = _time_chained(fn, make_state, (blocks,), floor_s=floor)
+    per_scan = _time_chained_fori(partial(P.pconv_offline, cfg), make_state,
+                                  (blocks,), floor_s=floor, reps=16)
     per_block = per_scan / scan_blocks
     return (pts / SR) / per_block
 
@@ -269,10 +286,11 @@ def bench_serving_offline(batch=16, pts=512, ir_len=1 << 17, scan_blocks=470):
 
     blocks = jnp.asarray(rng.standard_normal((scan_blocks, batch, pts)) * 0.1,
                          jnp.float32)
-    fn = jax.jit(partial(P._offline_batched, cfg), donate_argnums=(0,))
     floor = max(batch * scan_blocks * 2 * (cfg.nparts + 8) * cfg.bins * 4 / 8
                 / 3e12, 0.02e-6 * scan_blocks)
-    per_scan = _time_chained(fn, make_state, (blocks,), floor_s=floor)
+    per_scan = _time_chained_fori(partial(P._offline_batched, cfg),
+                                  make_state, (blocks,), floor_s=floor,
+                                  reps=8)
     per_block = per_scan / scan_blocks
     return batch * (pts / SR) / per_block
 
@@ -313,7 +331,6 @@ def bench_batched_serving(batch=64, pts=512, ir_len=1 << 17, scan_blocks=470,
     from opencl_fft_tpu.ops.pallas import _tuned
     from opencl_fft_tpu.ops.pallas.streamstep import \
         fits_vmem_streamstep_batched
-    fn = jax.jit(partial(P.pconv_stream_batched, cfg), donate_argnums=(0,))
     cross = getattr(_tuned, "BATCHED_KERNEL_MAX_CH", {}).get("lti")
     if (cfg._stream_kernel_impl() == "classic"
             and fits_vmem_streamstep_batched(cfg.nparts, cfg.bins, 1)
@@ -324,7 +341,9 @@ def bench_batched_serving(batch=64, pts=512, ir_len=1 << 17, scan_blocks=470,
         floor = _mac_floor_s(cfg.nparts, cfg.bins, scan_blocks, batch=batch)
         if ring_dtype == "bf16":
             floor /= 2          # ring planes are 2 bytes, not 4
-    per_scan = _time_chained(fn, make_state, (blocks,), floor_s=floor)
+    per_scan = _time_chained_fori(partial(P.pconv_stream_batched, cfg),
+                                  make_state, (blocks,), floor_s=floor,
+                                  reps=3)
     per_block = per_scan / scan_blocks
     return batch * (pts / SR) / per_block
 
@@ -365,13 +384,13 @@ def bench_batched_serving_chunked(batch=64, pts=512, ir_len=1 << 17, K=8,
 
     blocks = jnp.asarray(
         rng.standard_normal((scan_blocks, batch, pts)) * 0.1, jnp.float32)
-    fn = jax.jit(partial(P.pconv_stream_batched_chunked, cfg, K=K),
-                 donate_argnums=(0,))
     # per chunk: each channel's x window (nparts+K rows) + h ring, 2
     # planes each, read once per 8-output group
     floor = max(scan_blocks / K * batch * 4 * cfg.nparts * cfg.bins * 4
                 / 3e12, 0.02e-6 * scan_blocks)
-    per_scan = _time_chained(fn, make_state, (blocks,), floor_s=floor)
+    per_scan = _time_chained_fori(
+        partial(P.pconv_stream_batched_chunked, cfg, K=K), make_state,
+        (blocks,), floor_s=floor, reps=3)
     per_block = per_scan / scan_blocks
     return batch * (pts / SR) / per_block
 

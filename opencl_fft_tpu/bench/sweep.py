@@ -58,23 +58,35 @@ def rt_ratio(pts: int, ir_len: int, scan_blocks: int = 512, reps: int = 4,
     blocks = jnp.asarray(rng.standard_normal((scan_blocks, pts)) * 0.1,
                          jnp.float32)
     if tv:
-        fn = jax.jit(partial(P.pconv_stream_tv, cfg), donate_argnums=(0,))
+        step = partial(P.pconv_stream_tv, cfg)
         args = (blocks, blocks)
     else:
-        fn = jax.jit(partial(P.pconv_stream, cfg), donate_argnums=(0,))
+        step = partial(P.pconv_stream, cfg)
         args = (blocks,)
 
-    st, out = fn(make_state(), *args)
-    _sync(out)
+    # Repetition chained ON DEVICE (fori_loop): one dispatch per timed
+    # chain. The r5 serving diagnosis (bench_results/serving_diag.json)
+    # showed Python-loop chains absorbing relay DISPATCH congestion as
+    # signal (a 14x swing against a steady on-device sentinel); sweep
+    # outliers like the M=512 L=2^22 87.7x window were the same
+    # artifact. The summed-output carry stops XLA dead-code-eliminating
+    # compute that feeds only the output.
+    @partial(jax.jit, static_argnums=1, donate_argnums=0)
+    def run_k(st, k):
+        def body(i, carry):
+            st, acc = carry
+            st2, out = step(st, *args)
+            return st2, acc + jnp.sum(out)
+        return jax.lax.fori_loop(0, k, body, (st, jnp.float32(0.0)))
 
-    def run(n):
+    def timed(k):
         st = make_state()
         t0 = time.time()
-        out = None
-        for _ in range(n):
-            st, out = fn(st, *args)
-        _sync(out)
+        float(run_k(st, k)[1])
         return time.time() - t0
+
+    timed(1)                                  # compile both trip counts
+    timed(1 + reps)
 
     # physical floor per block: the spectral MAC must stream 4 ring
     # planes (x/h, re/im) of (nparts, bins) f32 through HBM. 3 TB/s is
@@ -98,7 +110,10 @@ def rt_ratio(pts: int, ir_len: int, scan_blocks: int = 512, reps: int = 4,
                           0.02e-6)
     else:
         floor_block = max(4 * cfg.nparts * cfg.bins * 4 / 3e12, 0.2e-6)
-    delta, n = median_chain_delta(run, reps, floor_block * scan_blocks,
+    # min_chain_s growth still applies: a grown reps recompiles run_k at
+    # the new static trip count (the inner scan program is cached, so
+    # the incremental compile is cheap relative to a poisoned window)
+    delta, n = median_chain_delta(timed, reps, floor_block * scan_blocks,
                                   tries=4, min_chain_s=0.05)
     if delta is None:
         raise Unmeasurable(
