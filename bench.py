@@ -86,6 +86,13 @@ def _time_chained_fori(step, make_state, args, floor_s=0.0, reps=3):
     dconv FIR dot, whose state update alone would keep none of it).
     Static trip counts: reps stays FIXED (growth would recompile per
     reps value); pick reps so the chain spans >= ~50 ms of device work.
+
+    State provisioning: the base state uploads to the device ONCE and
+    every timed call gets a fresh DEVICE-SIDE copy, forced complete
+    before the clock starts. Re-uploading per call (the old pattern)
+    ships up to ~134 MB through the relay TUNNEL asynchronously, and
+    the transfer tail lands inside the timed region — the r5 validation
+    run still swung 3x after the fori fix until this was removed.
     """
     import jax
     import jax.numpy as jnp
@@ -100,8 +107,17 @@ def _time_chained_fori(step, make_state, args, floor_s=0.0, reps=3):
         return jax.lax.fori_loop(0, k, body,
                                  (st, jnp.float32(0.0)))
 
+    base = jax.tree.map(jnp.asarray, make_state())
+    for leaf in jax.tree.leaves(base):        # force the one-time upload
+        float(jnp.sum(jnp.ravel(leaf)[:1]))
+
+    @jax.jit
+    def fresh(s):                             # device-side copy, no donation
+        return jax.tree.map(lambda a: a * 1, s)
+
     def timed(k):
-        st = make_state()
+        st = fresh(base)
+        float(jnp.sum(jnp.ravel(jax.tree.leaves(st)[0])[:1]))  # copy done
         t0 = time.time()
         float(run_k(st, k)[1])
         return time.time() - t0

@@ -70,7 +70,11 @@ def rt_ratio(pts: int, ir_len: int, scan_blocks: int = 512, reps: int = 4,
     # signal (a 14x swing against a steady on-device sentinel); sweep
     # outliers like the M=512 L=2^22 87.7x window were the same
     # artifact. The summed-output carry stops XLA dead-code-eliminating
-    # compute that feeds only the output.
+    # compute that feeds only the output. The state uploads ONCE and
+    # each timed call takes a device-side copy forced complete before
+    # the clock starts — per-call uploads (up to 67 MB at the M=32768
+    # row) ride the relay tunnel asynchronously and their tail
+    # otherwise lands inside the timed region.
     @partial(jax.jit, static_argnums=1, donate_argnums=0)
     def run_k(st, k):
         def body(i, carry):
@@ -79,8 +83,17 @@ def rt_ratio(pts: int, ir_len: int, scan_blocks: int = 512, reps: int = 4,
             return st2, acc + jnp.sum(out)
         return jax.lax.fori_loop(0, k, body, (st, jnp.float32(0.0)))
 
+    base_dev = make_state()
+    for leaf in jax.tree.leaves(base_dev):    # force the one-time upload
+        float(jnp.sum(jnp.ravel(leaf)[:1]))
+
+    @jax.jit
+    def fresh(s):                             # device-side copy, no donation
+        return jax.tree.map(lambda a: a * 1, s)
+
     def timed(k):
-        st = make_state()
+        st = fresh(base_dev)
+        float(jnp.sum(jnp.ravel(jax.tree.leaves(st)[0])[:1]))  # copy done
         t0 = time.time()
         float(run_k(st, k)[1])
         return time.time() - t0
