@@ -68,6 +68,12 @@ def candidates(logn: int):
     cands["cur_g"] = ({}, False, 64)
     cands["cur_t"] = ({}, True, None)
     cands["cur_tg"] = ({}, True, 64)
+    # per-LEVEL Gauss on the current tree (VERDICT r4 #9): (g1, g2)
+    # applies Gauss to only the first / only the second root factor —
+    # at 2^16 the tuned tree IS the balanced 256x256, where a size
+    # threshold cannot tell the levels apart
+    cands["cur_gl"] = ({}, False, (64, 1 << 30))
+    cands["cur_gr"] = ({}, False, (1 << 30, 64))
     for fac, tag in ((n1, "l"), (n2, "r")):
         if F.MAX_RADIX < fac <= F._MAX_DIRECT:
             # recursing factor as one dense leaf: flop-heavy,

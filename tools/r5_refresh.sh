@@ -47,7 +47,7 @@ for s in $stages; do
     slrace)       run slrace 5400 "$PY" -u tools/vmemfft_ab.py \
                      --sizes 10,11,12,13 --rounds 4 ;;
     gauss16)      run gauss16 3600 "$PY" -u tools/fft_plan16.py --logn 16 \
-                     --only cur,cur_g,b256,b256g,b256gl,b256gr ;;
+                     --only cur,cur_g,cur_gl,cur_gr,cur_t,cur_tg ;;
     tvab)         run tvab 3600 "$PY" -u tools/tv_ab.py --pairs 4 ;;
     servdiag)     run servdiag 3600 "$PY" -u tools/serving_diag.py ;;
     sweep512)     run sweep512 5400 "$PY" -m opencl_fft_tpu.bench.sweep \
