@@ -38,7 +38,7 @@ probe() {
     || { echo "TPU unreachable — aborting"; exit 1; }
 }
 
-stages=${*:-smoke slrace gauss16 tvab servdiag sweep512 sweep2048 sweep8192 sweep32768 bench cpuoracle readme}
+stages=${*:-smoke slrace gauss16 tvab servdiag sweep512 sweep2048 sweep8192 sweep32768 bench cpuoracle table readme}
 
 for s in $stages; do
   [ "$s" = cpuoracle ] || probe
@@ -63,9 +63,14 @@ for s in $stages; do
                      --row 32768 --repeats 3 --merge bench_results/sweep.json \
                      --out bench_results/sweep ;;
     bench)        run bench 7200 "$PY" bench.py ;;
-    cpuoracle)    run cpuoracle 14400 "$PY" -m opencl_fft_tpu.bench.sweep \
-                     --cpu-oracle --repeats 0 \
-                     --merge bench_results/sweep.json \
+    cpuoracle)    run cpuoracle 14400 "$PY" -u -c "
+from opencl_fft_tpu.bench.sweep import measure_cpu_oracle
+measure_cpu_oracle([512, 2048, 8192, 32768],
+                   [1 << k for k in range(16, 23)],
+                   'bench_results/sweep_cpu.json', tv=True,
+                   timeout_s=1800)" ;;
+    table)        run table 900 "$PY" -m opencl_fft_tpu.bench.sweep \
+                     --repeats 0 --merge bench_results/sweep.json \
                      --out bench_results/sweep ;;
     readme)       run readme 300 "$PY" tools/readme_perf.py \
                   && run readmechk 300 "$PY" tools/readme_perf.py --check ;;
