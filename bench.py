@@ -516,13 +516,17 @@ def _measure_multiwindow(details, metrics, passes=3):
     samples = {k: [] for k in metrics}
     for p in range(passes):
         for key, (fn, _fmt) in metrics.items():
+            t0 = time.time()
             try:
                 samples[key].append(fn())
+                print(f"  pass {p} {key}: {samples[key][-1]:.1f} "
+                      f"({time.time() - t0:.0f}s)", file=sys.stderr,
+                      flush=True)
             except Unmeasurable as e:
-                print(f"  pass {p} {key}: {e}", file=sys.stderr)
+                print(f"  pass {p} {key}: {e}", file=sys.stderr, flush=True)
             except Exception as e:
                 print(f"  pass {p} {key}: FAILED ({str(e)[:160]})",
-                      file=sys.stderr)
+                      file=sys.stderr, flush=True)
     for key, (_fn, fmt) in metrics.items():
         vals = sorted(samples[key])
         if not vals:
