@@ -317,11 +317,18 @@ def bench_batched_serving(batch=64, pts=512, ir_len=1 << 17, scan_blocks=470,
     their own 2^17-tap IRs. Returns aggregate audio-seconds per wall second
     (channels x per-channel RT factor).
 
-    ring_dtype="bf16" is the serving-precision operating point: one-block
-    latency streaming at wide batch is HBM-bound on the per-block ring
-    reads (batch=64 f32: ~134 MB/block -> <= ~3.4k aggregate at the
-    measured ~600 GB/s), and bf16 rings halve exactly that traffic at
-    ~1e-3 relative output error (products still accumulate in f32)."""
+    ring_dtype="bf16" trades ~1e-3 relative output error for halved
+    ring BYTES (products still accumulate in f32). The r5 de-noised
+    measurement ADJUDICATED the r4 inversion as real, not drift: bf16
+    serves 3361 vs f32's 4763 audio-s/s with 1.01-1.03x spreads in
+    adjacent windows (bench_details.json). Why: the f32 engine's
+    throughput implies ~926 GB/s of naive per-block ring traffic —
+    above the chip's HBM — so XLA is NOT re-streaming the full rings
+    every block (partial residency/fused re-reads); the halved bytes
+    buy little, while every MAC pays bf16->f32 conversion on the VPU.
+    bf16 rings remain an option for HBM-FOOTPRINT relief (half-size
+    states for more channels per chip), not a throughput knob at this
+    shape."""
     import jax
     import jax.numpy as jnp
     from opencl_fft_tpu.models.convolver import batched_state, _vmapped_push
