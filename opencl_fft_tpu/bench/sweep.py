@@ -262,10 +262,11 @@ def _code_fingerprint() -> str:
 
 def _load_history(hist_path: str, fp: str) -> dict:
     """history file -> {key: [windows]}, dropping stale-fingerprint
-    entries. Legacy un-stamped lists (pre-r5 format) are kept once with
-    a note — they predate the stamping and the operator already vetted
-    them via --reset-history discipline; everything written back is
-    stamped."""
+    entries AND legacy un-stamped lists. (r5 initially grandfathered the
+    legacy format; a --repeats 0 artifact regen then re-stamped those
+    stale-methodology windows with the current fingerprint, silently
+    pooling them into fresh measurements — exactly the laundering the
+    stamp exists to prevent. Unstamped windows are now discarded.)"""
     try:
         with open(hist_path) as f:
             raw = json.load(f)
@@ -274,9 +275,7 @@ def _load_history(hist_path: str, fp: str) -> dict:
     out = {}
     stale = []
     for k, v in raw.items():
-        if isinstance(v, list):                  # legacy format
-            out[k] = v
-        elif isinstance(v, dict) and v.get("fp") == fp:
+        if isinstance(v, dict) and v.get("fp") == fp:
             out[k] = v.get("windows", [])
         else:
             stale.append(k)
