@@ -31,7 +31,10 @@ def main() -> int:
 
     from opencl_fft_tpu.utils.profiling import median_chain_delta
 
-    n_bytes = 32 << 20
+    # must NOT fit VMEM (128 MB on v5e): a 32 MB plane stayed resident
+    # and the first probe run measured pure VMEM traffic (all deltas
+    # under the HBM floor). 256 MB forces true HBM streaming.
+    n_bytes = 256 << 20
     x = jnp.asarray(np.random.default_rng(0)
                     .standard_normal(n_bytes // 4), jnp.float32)
 
@@ -43,7 +46,7 @@ def main() -> int:
             1.0000001), x)
 
     float(jnp.sum(run(x, 1)[:1]))
-    float(jnp.sum(run(x, 400)[:1]))
+    float(jnp.sum(run(x, 100)[:1]))
 
     def timed(k):
         t0 = time.time()
@@ -52,7 +55,7 @@ def main() -> int:
 
     results = []
     for w in range(3):
-        dt, nv = median_chain_delta(timed, 399, 2 * n_bytes / 3e12,
+        dt, nv = median_chain_delta(timed, 99, 2 * n_bytes / 3e12,
                                     min_chain_s=0.05)
         if dt is not None:
             gbs = 2 * n_bytes / dt / 1e9
