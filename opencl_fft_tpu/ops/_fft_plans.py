@@ -39,9 +39,17 @@ PLANS = {
 # 256/128-leaves are MXU-bound under bf16x3; 2/3 at 2^14 (160.6 ->
 # 157.5); 2^12 and 2^20 keep the block form (HBM-bound: smaller leaves /
 # batch-4 working set).
+# r5 per-LEVEL refinement at 2^16 (tools/fft_plan16.py --only
+# cur,cur_g,cur_gl,cur_gr, 3/3 rounds, bench_results/fft_plan16_race
+# .json): Gauss on ONLY the second (out_t) 256-leaf of the balanced
+# tree — (g1, g2) tuple, g applied where leaf >= g — beats Gauss-on-
+# both by ~7% (209.7 vs 224.3 us best) and plain by ~18% (255.5).
+# The L1 axis-(-2) leaf loses MXU efficiency under the Gauss split
+# (three narrower dots on the strided contraction) while the out_t
+# L2 leaf keeps it.
 GAUSS = {
     16384: 64,
-    65536: 64,
+    65536: (1 << 30, 64),
     262144: 64,
 }
 
