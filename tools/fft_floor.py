@@ -40,7 +40,7 @@ sys.path.insert(0, ".")
 
 import numpy as np
 
-BW = 600e9          # measured HBM roofline (CLAUDE.md)
+BW = 679e9          # de-noised HBM roofline (bench_results/hbm_probe.json, r5)
 TF_BUDGET = 61e12   # bf16x3 measured rate — fastest within error budget
 FORCED_3PASS = {18, 20}
 
